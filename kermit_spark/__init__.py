@@ -1,0 +1,15 @@
+"""kermit_spark — a from-scratch PySpark-native distributed crawl engine.
+
+Re-implements the capabilities of bennidi/kermit (CoffeeScript event-loop
+crawler, reference at /root/reference) as an idiomatic Spark DataFrame
+pipeline: a salted, host-partitioned URL frontier with per-host politeness
+budgets and robots gating, a partitioned-Bloom URL-seen set, and a
+fetch/parse stage emitting interleaved text+media spans — all batch "wave"
+jobs over snapshot-versioned tables (Iceberg in production; a
+copy-on-write parquet snapshot catalog in this sandbox, see catalog.py).
+
+No code is ported from the reference; file:line citations in docstrings
+point at the behavior being re-expressed, for parity review only.
+"""
+
+__version__ = "0.1.0"

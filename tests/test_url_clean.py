@@ -1,0 +1,107 @@
+"""Golden ports of the reference URL-toolkit specs.
+
+Cases from /root/reference/src/kermit/util/tools.spec.coffee:5-43
+(uri.cleanAll and uri.toLocalPath). These run both the pure-pandas
+implementation and the Spark pandas UDF path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kermit_spark.functions.urls import (
+    _clean_one,
+    _normalize_one,
+    _to_local_path_one,
+    clean_url_series,
+    clean_urls,
+)
+
+BASE = "http://kermit.cc/base/"
+
+CLEAN_CASES = [
+    ("javascript:alert(0);", None),
+    ("mailto:hello@kermit.cc", None),
+    ("#inpage-anchor", None),
+    ("/", None),
+    ("", None),
+    (None, None),
+    ("//kermit.cc/other/path/not/under/base", "http://kermit.cc/other/path/not/under/base"),
+    ("/relative/path/to/base", "http://kermit.cc/relative/path/to/base"),
+    ("some/page/under/base/index.html", "http://kermit.cc/base/some/page/under/base/index.html"),
+    (
+        "some/page/under/base/index.html?q=includesQueryWithParams&param=value",
+        "http://kermit.cc/base/some/page/under/base/index.html?q=includesQueryWithParams&param=value",
+    ),
+    # entity decoding (reference tools.coffee:11-16) + dot-segment resolution
+    ("/a/b/../c?x=1&amp;y=2", "http://kermit.cc/a/c?x=1&y=2"),
+    ("../up/path", "http://kermit.cc/up/path"),
+]
+
+LOCAL_PATH_CASES = [
+    ("http://example.co.uk", "/tmp/co.uk/example/index.html"),
+    ("http://example.co.uk/somepage", "/tmp/co.uk/example/somepage/index.html"),
+    ("https://medialize.github.io/URI.js/docs.html#accessors-tld", "/tmp/io/github/medialize/URI.js/docs.html"),
+    ("http://github.com/some/other/../directory/help.html", "/tmp/com/github/some/directory/help.html"),
+    (
+        "https://raw.githubusercontent.com/moll/js-must/master/lib/es6.js",
+        "/tmp/com/githubusercontent/raw/moll/js-must/master/lib/es6.js",
+    ),
+    (
+        "https://github.com/moll/js-must/blob/v0.13.0-beta2/lib/index.js",
+        "/tmp/com/github/moll/js-must/blob/v0.13.0-beta2/lib/index.js",
+    ),
+    ("https://en.wikipedia.org/wiki/Web_scraping", "/tmp/org/wikipedia/en/wiki/Web_scraping/index.html"),
+    (
+        "http://upload.wikimedia.org/wikipedia/commons/thumb/b/bd/Ambox_globe_content.svg/48px-Ambox_globe_content.svg.png",
+        "/tmp/org/wikimedia/upload/wikipedia/commons/thumb/b/bd/Ambox_globe_content.svg/48px-Ambox_globe_content.svg.png",
+    ),
+    (
+        "http://en.wikipedia.org/wiki/index.php?title=Web_scraping&amp;action=edit&amp;section=1",
+        "/tmp/org/wikipedia/en/wiki/index[title=Web_scraping&action=edit&section=1].php",
+    ),
+    ("http://en.wikipedia.org/wiki/Talk:Web_scraping", "/tmp/org/wikipedia/en/wiki/Talk:Web_scraping/index.html"),
+    (
+        "http://en.wikipedia.org/wiki/EBay vs. Bidder%27s Edge",
+        "/tmp/org/wikipedia/en/wiki/EBay vs. Bidder's Edge/index.html",
+    ),
+    ("https://en.wikipedia.org/wiki/Nokogiri_(software)", "/tmp/org/wikipedia/en/wiki/Nokogiri_(software)/index.html"),
+    (
+        "https://en.wikipedia.org/wiki/Yahoo!_Query_Language",
+        "/tmp/org/wikipedia/en/wiki/Yahoo!_Query_Language/index.html",
+    ),
+]
+
+
+@pytest.mark.parametrize("href,expected", CLEAN_CASES)
+def test_clean_golden(href, expected):
+    assert _clean_one(BASE, href) == expected
+
+
+@pytest.mark.parametrize("url,expected", LOCAL_PATH_CASES)
+def test_to_local_path_golden(url, expected):
+    assert _to_local_path_one("/tmp", url) == expected
+
+
+def test_clean_series_vectorized():
+    hrefs = pd.Series([c[0] for c in CLEAN_CASES])
+    bases = pd.Series([BASE] * len(hrefs))
+    got = clean_url_series(bases, hrefs)
+    assert list(got) == [c[1] for c in CLEAN_CASES]
+
+
+def test_normalize_idempotent_and_defaults():
+    assert _normalize_one("HTTP://Example.COM:80/a/./b/../c") == "http://example.com/a/c"
+    u = "https://example.com/a%20b?q=1"
+    assert _normalize_one(_normalize_one(u)) == _normalize_one(u)
+
+
+def test_clean_udf_on_spark(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(BASE, c[0]) for c in CLEAN_CASES], ["base", "href"]
+    )
+    out = df.select(clean_urls(F.col("base"), F.col("href")).alias("clean")).collect()
+    assert [r.clean for r in out] == [c[1] for c in CLEAN_CASES]
