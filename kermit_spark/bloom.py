@@ -1,0 +1,189 @@
+"""Partitioned Bloom-filter URL-seen set.
+
+Replaces the reference's O(1) dedup-on-insert (nedb unique index on ``url``,
+/root/reference/src/kermit/QueueSystem.coffee:162,194-201) with the structure
+the north rule names: a **partitioned Bloom filter keyed on canonicalized URL
+hashes**, one bitset per host-salt partition, persisted as binary blobs in the
+``url_seen`` table.
+
+Role at 10^10-frontier scale (SURVEY §4.2): the Bloom set is a *shuffle
+reduction prefilter*, never membership truth. Discovered links that the
+partition's filter rejects are **definitely new** (no false negatives) and
+skip the exact anti-join entirely; only the "maybe seen" remainder — a few
+percent at fpp≈1% — is shuffled into the anti-join against the frontier
+partition. Exactness always comes from the anti-join, so a false positive can
+never silently drop a URL and diverge the URL-seen set from the reference
+closure (the hard correctness constraint flagged in SURVEY §7).
+
+Implementation: numpy bitsets inside Arrow-batched ``applyInPandas`` /
+``cogroup`` (no per-row Python, per input_hint). Double hashing
+(h1 + i*h2 mod m, Kirsch–Mitzenmacher) derives k probe positions from the
+64-bit url_hash without rehashing strings.
+
+A cuckoo-filter variant would support deletions (UrlStore.reschedule removes
+nothing in the reference either — reschedule flips status, the URL stays
+*seen* — so Bloom's no-delete property matches the actual semantics; see
+QueueSystem.coffee:189-191).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [
+        StructField("p", IntegerType(), False),
+        StructField("filter", BinaryType(), True),
+        StructField("n_items", LongType(), False),
+        StructField("m_bits", LongType(), False),
+        StructField("k_hashes", IntegerType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    """m sized for the *expected per-partition* URL count: bits_per_key=10,
+    k=7 gives fpp ≈ 0.8%."""
+
+    m_bits: int = 1 << 20
+    k_hashes: int = 7
+
+    @staticmethod
+    def for_capacity(n_keys_per_partition: int, bits_per_key: int = 10) -> "BloomSpec":
+        m = max(1 << 10, int(n_keys_per_partition * bits_per_key))
+        return BloomSpec(m_bits=m, k_hashes=7)
+
+
+def _probe_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) probe bit positions via double hashing on the uint64 key."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    # odd multiplier keeps h2 well distributed; force h2 odd so strides cover
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(17)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """True where ALL k probes are set (maybe-seen)."""
+    probes = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probes.all(axis=1)
+
+
+def build_bloom(frontier: DataFrame, spec: BloomSpec) -> DataFrame:
+    """Build one filter blob per partition from frontier (p, url_hash).
+
+    One Arrow batch group per partition; the bitset is built vectorized and
+    shipped back as a single binary cell.
+    """
+    m, k = spec.m_bits, spec.k_hashes
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m >> 3, dtype=np.uint8)
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(h):
+            _set_bits(bits, _probe_positions(h, m, k))
+        return pd.DataFrame(
+            {
+                "p": [int(pdf["p"].iloc[0])],
+                "filter": [bits.tobytes()],
+                "n_items": [len(h)],
+                "m_bits": [m],
+                "k_hashes": [k],
+            }
+        )
+
+    return (
+        frontier.select("p", "url_hash")
+        .groupBy("p")
+        .applyInPandas(make, BLOOM_SCHEMA)
+    )
+
+
+def merge_bloom(existing: DataFrame, new_rows: DataFrame, spec: BloomSpec) -> DataFrame:
+    """OR new url_hashes into per-partition blobs (incremental wave update —
+    rebuilding from the full frontier every wave would be O(frontier)).
+
+    ``existing``: BLOOM_SCHEMA rows; ``new_rows``: (p, url_hash).
+    Partitions present only on one side pass through / are created.
+    """
+    m, k = spec.m_bits, spec.k_hashes
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            bits = np.frombuffer(left["filter"].iloc[0], dtype=np.uint8).copy()
+            n = int(left["n_items"].iloc[0])
+        else:
+            bits = np.zeros(m >> 3, dtype=np.uint8)
+            n = 0
+        h = right["url_hash"].to_numpy(dtype=np.int64) if len(right) else np.empty(0, np.int64)
+        if len(h):
+            _set_bits(bits, _probe_positions(h, m, k))
+        return pd.DataFrame(
+            {
+                "p": [int(key[0])],
+                "filter": [bits.tobytes()],
+                "n_items": [n + len(h)],
+                "m_bits": [m],
+                "k_hashes": [k],
+            }
+        )
+
+    return (
+        existing.groupBy("p")
+        .cogroup(new_rows.select("p", "url_hash").groupBy("p"))
+        .applyInPandas(merge, BLOOM_SCHEMA)
+    )
+
+
+def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Tag candidates with ``maybe_seen``: False ⇒ definitely not in the
+    frontier (skip the anti-join); True ⇒ must be checked exactly.
+
+    Cogroup by partition so each Arrow group pairs the candidate batch with
+    exactly one (or zero) filter blob — the blob is never replicated per row.
+    """
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    )
+
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def test(key, cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        if not len(blob) or blob["filter"].iloc[0] is None:
+            cand = cand.copy()
+            cand["maybe_seen"] = False
+            return cand
+        bits = np.frombuffer(blob["filter"].iloc[0], dtype=np.uint8)
+        m = int(blob["m_bits"].iloc[0])
+        k = int(blob["k_hashes"].iloc[0])
+        h = cand["url_hash"].to_numpy(dtype=np.int64)
+        cand = cand.copy()
+        cand["maybe_seen"] = _test_bits(bits, _probe_positions(h, m, k))
+        return cand
+
+    return (
+        candidates.groupBy("p")
+        .cogroup(bloom.groupBy("p"))
+        .applyInPandas(test, out_schema)
+    )

@@ -1,0 +1,227 @@
+"""Snapshot-versioned parquet table catalog — the sandbox stand-in for Iceberg.
+
+The north rule mandates Iceberg tables with resumable checkpoints. This
+container has no Iceberg runtime jars, so we implement the minimal subset the
+crawl engine needs, with the same *shape* as Iceberg's metadata design so the
+production swap is mechanical (``MERGE INTO`` / snapshot ids / partition-pruned
+rewrites):
+
+  * a table is a directory of partition buckets ``p=K`` (K = host-salt bucket,
+    north_rule "explicit host-hash salting");
+  * each commit writes ONLY the changed partitions under a new version dir
+    ``p=K/v{N}/part-*.parquet`` — copy-on-write at *partition* granularity,
+    exactly what Iceberg's partition-level overwrite does. Untouched
+    partitions are never rewritten or rescanned, so per-wave commit cost is
+    O(touched hosts), not O(frontier) — the property that keeps a 10^10-row
+    frontier writable;
+  * a JSON snapshot log (``_meta.json``) maps snapshot_id -> {partition ->
+    version}; the file is swapped atomically (tmp + rename) so a killed run
+    resumes from the last complete wave (Crawler resume semantics,
+    /root/reference/src/kermit/QueueSystem.coffee:17-34 restore + spec
+    QueueSystem.spec.coffee:45-54);
+  * reads list the per-partition current paths from the manifest (an Iceberg
+    manifest-list analog) and hand Spark an explicit file set with
+    ``basePath`` so the partition column is recovered — a scan of snapshot S
+    never sees in-flight writes (snapshot isolation).
+
+At 100 TB this module is replaced by ``spark.read.format("iceberg")`` +
+``MERGE INTO``; every caller goes through the three functions below so that
+swap touches one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "p"
+
+
+@dataclass
+class TableMeta:
+    current_snapshot: int
+    # snapshot_id (str key for JSON) -> {partition(str) -> version int}
+    snapshots: dict = field(default_factory=dict)
+    # free-form per-snapshot properties (wave number, counts) — lineage hook
+    properties: dict = field(default_factory=dict)
+
+
+class SnapshotCatalog:
+    """Filesystem catalog rooted at ``root``; one subdirectory per table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_meta.json")
+
+    def _load_meta(self, table: str) -> TableMeta | None:
+        path = self._meta_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            raw = json.load(f)
+        return TableMeta(raw["current_snapshot"], raw["snapshots"], raw.get("properties", {}))
+
+    def _store_meta(self, table: str, meta: TableMeta) -> None:
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        payload = {
+            "current_snapshot": meta.current_snapshot,
+            "snapshots": meta.snapshots,
+            "properties": meta.properties,
+        }
+        fd, tmp = tempfile.mkstemp(dir=tdir, prefix="_meta", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._meta_path(table))  # atomic commit point
+
+    def exists(self, table: str) -> bool:
+        return self._load_meta(table) is not None
+
+    def current_snapshot(self, table: str) -> int:
+        meta = self._load_meta(table)
+        return -1 if meta is None else meta.current_snapshot
+
+    def snapshot_property(self, table: str, snapshot: int | None = None) -> dict:
+        meta = self._load_meta(table)
+        if meta is None:
+            return {}
+        sid = meta.current_snapshot if snapshot is None else snapshot
+        return meta.properties.get(str(sid), {})
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        """Read a snapshot (default: current). Returns an empty-schema error if
+        the table does not exist — callers create tables explicitly."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist in {self.root}")
+        sid = meta.current_snapshot if snapshot is None else snapshot
+        partmap = meta.snapshots[str(sid)]
+        base = os.path.join(self.root, table)
+        paths = [
+            os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
+            for part, ver in sorted(partmap.items(), key=lambda kv: int(kv[0]))
+        ]
+        if not paths:
+            # empty table: replay schema from the schema stamp written at create
+            schema_json = meta.properties.get("_schema")
+            return self.spark.createDataFrame([], schema_json)
+        df = self.spark.read.option("basePath", base).parquet(*paths)
+        # the v{N} dir is not key=value so it is invisible to partition
+        # discovery; only PARTITION_COL comes back as a partition column.
+        return df
+
+    # -- write / commit ----------------------------------------------------
+
+    def create(self, table: str, df: DataFrame, num_partitions: int) -> int:
+        """Create table from ``df`` (must already carry PARTITION_COL in
+        [0, num_partitions)). Writes every partition at v0."""
+        base = os.path.join(self.root, table)
+        ver = 0
+        self._write_partitions(table, df, ver)
+        written = self._list_written_partitions(base, ver)
+        partmap = {str(p): ver for p in written}
+        meta = TableMeta(0, {"0": partmap}, {"0": {"ts": time.time()}})
+        # schema stamp (DDL string) so empty snapshots can still be read
+        meta.properties["_schema"] = _schema_ddl(df)
+        self._store_meta(table, meta)
+        return 0
+
+    def overwrite_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        touched: Iterable[int] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Commit a new snapshot replacing ONLY the partitions present in
+        ``df`` (or the explicit ``touched`` set — pass it when a partition
+        becomes empty and must still be replaced). Partitions absent from both
+        keep their previous version — zero IO for untouched hosts."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        new_sid = meta.current_snapshot + 1
+        ver = new_sid
+        self._write_partitions(table, df, ver)
+        base = os.path.join(self.root, table)
+        written = set(self._list_written_partitions(base, ver))
+        touched_set = set(int(t) for t in touched) if touched is not None else written
+        touched_set |= written
+        partmap = dict(meta.snapshots[str(meta.current_snapshot)])
+        for part in touched_set:
+            if part in written:
+                partmap[str(part)] = ver
+            else:
+                # partition emptied: ensure an empty v-dir exists so reads of
+                # this snapshot don't resurrect old rows
+                empty = self.read(table).limit(0).filter(F.lit(False))
+                pdir = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
+                empty.drop(PARTITION_COL).write.mode("overwrite").parquet(pdir)
+                partmap[str(part)] = ver
+        meta.snapshots[str(new_sid)] = partmap
+        meta.current_snapshot = new_sid
+        props = dict(properties or {})
+        props["ts"] = time.time()
+        meta.properties[str(new_sid)] = props
+        self._store_meta(table, meta)
+        return new_sid
+
+    # -- internals ---------------------------------------------------------
+
+    def _write_partitions(self, table: str, df: DataFrame, ver: int) -> None:
+        """Write df under <table>/p=K/v{ver}/ for each partition present.
+
+        Implemented with a single partitionBy write into a staging dir, then a
+        directory rename per partition — one Spark job regardless of the
+        number of touched partitions (a per-partition ``.filter().write``
+        loop would launch P jobs and rescan df P times).
+        """
+        base = os.path.join(self.root, table)
+        staging = os.path.join(base, f"_staging_v{ver}")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(staging)
+        )
+        for entry in os.listdir(staging):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            part = entry.split("=", 1)[1]
+            dest = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(staging, entry), dest)
+        # remove staging remnants (_SUCCESS etc.)
+        for leftover in os.listdir(staging):
+            p = os.path.join(staging, leftover)
+            if os.path.isfile(p):
+                os.remove(p)
+        os.rmdir(staging)
+
+    def _list_written_partitions(self, base: str, ver: int) -> list[int]:
+        parts = []
+        if not os.path.isdir(base):
+            return parts
+        for entry in os.listdir(base):
+            if entry.startswith(f"{PARTITION_COL}="):
+                if os.path.isdir(os.path.join(base, entry, f"v{ver}")):
+                    parts.append(int(entry.split("=", 1)[1]))
+        return sorted(parts)
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)

@@ -1,0 +1,309 @@
+"""The crawl driver — multi-wave fixpoint loop over the frontier.
+
+Spark lifecycle replacement for the reference's event-loop machine
+(SURVEY §3.3): each wave is one batch job
+
+  read frontier snapshot → politeness dequeue (window top-k) → robots gate
+  (on the dequeued batch) → fetch (corpus join / HTTP mapInPandas) → parse
+  spans (pandas UDF) → write documents → discover + clean links → ONE frontier
+  commit (visited/error/robots_blocked MERGE + Bloom-deduped new URLs)
+  → lineage append
+
+Termination is the AutoShutdown predicate (Q11, /root/reference/src/kermit/
+extensions/ext.autoshutdown.coffee:8-36 + Crawler.coffee:189 hasWork): loop
+until a wave selects nothing. Resume (S3, QueueSystem.coffee:17-34): the wave
+counter and all queue state live in catalog snapshots, so a killed run
+restarts from the last committed wave; the documents table is partitioned by
+wave, making a re-run of a half-committed wave an idempotent overwrite.
+
+Scale notes:
+  * robots gating runs on the SELECTED batch (≤ Σ budgets), not the whole
+    frontier — at 10^10 frontier entries a frontier-wide gate would join
+    every scheduled row every wave. Blocked rows get the terminal status
+    ``robots_blocked`` so a host's disallowed URLs cost budget at most once.
+  * all wave mutations land in ONE frontier snapshot commit (see
+    Frontier.commit_wave) — commit cost is the per-wave fixed cost.
+  * per-wave counters ride on already-persisted DataFrames; the only
+    driver-side collect of unbounded data is the distinct-host list of the
+    dequeued batch (bounded by the politeness budget).
+
+Commit ordering per wave: documents → frontier → lineage. A crash between
+any two leaves the frontier still claiming the wave's batch as 'scheduled',
+so the re-run recomputes the identical wave (dequeue is deterministic,
+SURVEY §2.8) and overwrites the same partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import phases
+from .bloom import BloomSpec
+from .catalog import SnapshotCatalog
+from .filters import UrlFilter
+from .frontier import (
+    ERROR,
+    ROBOTS_BLOCKED,
+    SCHEDULED,
+    VISITED,
+    Frontier,
+    Politeness,
+    dequeue,
+)
+from .parse import discover_links, parse_documents
+from .robots import robots_gate, robots_rules_from_fetch
+
+DOCUMENTS_TABLE = "documents"
+ROBOTS_TABLE = "robots"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    num_partitions: int = 32
+    politeness: Politeness = field(default_factory=Politeness)
+    url_filter: UrlFilter = field(default_factory=UrlFilter)
+    max_waves: int = 20
+    global_cap: int | None = None
+    sub_salts: int = 16
+    max_tries: int = 1  # 1 = no retry (reference default: errors are terminal
+    #                     unless ResultVerification reschedules, F10)
+    obey_robots: bool = True
+    user_agent: str = "kermit-spark"
+    bloom: BloomSpec = field(default_factory=BloomSpec)
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    n_selected: int
+    n_blocked: int
+    n_fetched_ok: int
+    n_errors: int
+    n_new_urls: int
+    wall_s: float
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        fetcher,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.fetcher = fetcher
+        self.config = config or CrawlConfig()
+        self.frontier = Frontier(
+            catalog, self.config.num_partitions, self.config.bloom
+        )
+        # driver-side cache of hosts whose robots.txt is already fetched.
+        # Bounded by the number of distinct HOSTS (not URLs); for frontier
+        # scales where even that is too large, drop the cache and fall back
+        # to the anti-join path in _ensure_robots (same semantics).
+        self._robots_hosts: set[str] | None = None
+
+    # -- setup -------------------------------------------------------------
+
+    def seed(self, urls: list[str] | DataFrame) -> None:
+        """S1/S2 entry: seed URLs become the initial scheduled frontier."""
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        filtered = urls.filter(self.config.url_filter.expr(F.col("url")))
+        self.frontier.init(filtered, wave=0)
+
+    @property
+    def last_wave(self) -> int:
+        """Wave of the last committed frontier snapshot (resume point)."""
+        props = self.catalog.snapshot_property("frontier")
+        return int(props.get("wave", -1))
+
+    def has_work(self) -> bool:
+        return self.frontier.has_work()
+
+    # -- robots ------------------------------------------------------------
+
+    def _ensure_robots(self, hosts: list[tuple[int, str]]) -> DataFrame | None:
+        """Fetch+parse robots.txt for (p, host) pairs not yet covered; return
+        the rules table. One fetch per host ever (robots state is durable)."""
+        if self._robots_hosts is None:
+            if self.catalog.exists(ROBOTS_TABLE):
+                self._robots_hosts = {
+                    r["host"] for r in self.catalog.read(ROBOTS_TABLE).select("host").collect()
+                }
+            else:
+                self._robots_hosts = set()
+        missing = [(p, h) for p, h in hosts if h not in self._robots_hosts]
+        if missing:
+            to_fetch = self.spark.createDataFrame(missing, "p int, host string").select(
+                "p",
+                F.xxhash64(F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))).alias("url_hash"),
+                F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+                "host",
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("referer"),
+                F.lit(-1).alias("wave"),
+                F.lit(0).alias("rank"),
+            )
+            fetched = self.fetcher.fetch(to_fetch)
+            new_rules = robots_rules_from_fetch(fetched, self.config.user_agent)
+            if not self.catalog.exists(ROBOTS_TABLE):
+                self.catalog.create(ROBOTS_TABLE, new_rules, self.config.num_partitions)
+            else:
+                have = self.catalog.read(ROBOTS_TABLE)
+                touched = sorted({p for p, _ in missing})
+                merged = have.filter(F.col("p").isin(touched)).unionByName(new_rules)
+                self.catalog.overwrite_partitions(ROBOTS_TABLE, merged, touched)
+            self._robots_hosts.update(h for _, h in missing)
+        if self.catalog.exists(ROBOTS_TABLE):
+            return self.catalog.read(ROBOTS_TABLE)
+        return None
+
+    # -- one wave ----------------------------------------------------------
+
+    def run_wave(self) -> WaveStats:
+        t0 = time.time()
+        wave = self.last_wave + 1
+        cfg = self.config
+
+        # INITIAL→SPOOLED: admission (status + URL filter; F5 second check)
+        eligible = self.frontier.read().filter(
+            (F.col("status") == SCHEDULED) & cfg.url_filter.expr(F.col("url"))
+        )
+
+        # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9)
+        selected = dequeue(
+            eligible,
+            cfg.politeness,
+            sub_salts=cfg.sub_salts,
+            global_cap=cfg.global_cap,
+        ).persist()
+        n_selected = selected.count()
+        if n_selected == 0:
+            selected.unpersist()
+            return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)
+
+        # robots gate (Q12) on the dequeued batch
+        blocked_updates = None
+        n_blocked = 0
+        to_fetch = selected
+        if cfg.obey_robots:
+            hosts = [
+                (r["p"], r["host"]) for r in selected.select("p", "host").distinct().collect()
+            ]
+            rules = self._ensure_robots(hosts)
+            if rules is not None:
+                allowed = robots_gate(selected, rules).persist()
+                n_allowed = allowed.count()
+                n_blocked = n_selected - n_allowed
+                if n_blocked:
+                    blocked_updates = selected.join(
+                        allowed.select("p", "url_hash", "url"),
+                        on=["p", "url_hash", "url"],
+                        how="left_anti",
+                    ).select("p", "url_hash", "url", F.lit(ROBOTS_BLOCKED).alias("new_status"))
+                to_fetch = allowed
+
+        # READY→FETCHING→FETCHED: fetch stage (S5/S8)
+        fetched = self.fetcher.fetch(to_fetch)
+
+        # FETCHED→COMPLETE: parse spans + store documents (X1-X5, S7);
+        # documents table is partitioned by WAVE (append-only write pattern;
+        # idempotent overwrite on wave re-run after a crash)
+        docs = parse_documents(fetched).persist()
+        docs_out = docs.withColumnRenamed("p", "host_p").withColumn("p", F.lit(wave))
+        if self.catalog.exists(DOCUMENTS_TABLE):
+            self.catalog.overwrite_partitions(DOCUMENTS_TABLE, docs_out, [wave])
+        else:
+            self.catalog.create(DOCUMENTS_TABLE, docs_out, cfg.num_partitions)
+
+        status_counts = {
+            r["ok"]: r["count"]
+            for r in docs.groupBy((F.col("status") == 200).alias("ok")).count().collect()
+        }
+        n_ok = int(status_counts.get(True, 0))
+        n_err = int(status_counts.get(False, 0))
+
+        # discovery (X3): spans → cleaned candidate URLs → filter (F5 first
+        # application point); dedup happens inside commit_wave (Q1)
+        candidates = discover_links(docs).filter(cfg.url_filter.expr(F.col("url")))
+
+        # COMPLETE/ERROR/ROBOTS_BLOCKED disposition (Q2-Q4, P3/P7) + new URLs
+        # (Q1) — ONE frontier snapshot commit
+        updates = docs.select(
+            F.col("p"),
+            F.col("url_hash"),
+            F.col("url"),
+            F.when(F.col("status") == 200, F.lit(VISITED)).otherwise(F.lit(ERROR)).alias("new_status"),
+        )
+        if blocked_updates is not None:
+            updates = updates.unionByName(blocked_updates)
+        n_new = self.frontier.commit_wave(
+            updates, candidates, wave=wave, properties={"wave": wave}
+        )
+        if cfg.max_tries > 1:
+            self.frontier.reschedule_errors(cfg.max_tries, wave)
+
+        wall = time.time() - t0
+        self._append_lineage(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
+        docs.unpersist()
+        selected.unpersist()
+        if to_fetch is not selected:
+            to_fetch.unpersist()
+        return WaveStats(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
+
+    def _append_lineage(
+        self, wave: int, n_sel: int, n_blocked: int, n_ok: int, n_err: int, n_new: int, wall: float
+    ) -> None:
+        """A1: per-wave, per-stage metrics ledger (north_rule per-partition
+        lineage; the per-partition split lives in the documents/frontier
+        partition stats). Plain append — observability data, not queue
+        state, so it skips the snapshot machinery."""
+        rows = [
+            (wave, phases.READY, "dequeue", n_sel, wall),
+            (wave, phases.CANCELED, "robots_blocked", n_blocked, wall),
+            (wave, phases.FETCHED, "fetch", n_ok + n_err, wall),
+            (wave, phases.COMPLETE, "store", n_ok, wall),
+            (wave, phases.ERROR, "fetch_error", n_err, wall),
+            (wave, phases.SPOOLED, "discovered_new", n_new, wall),
+        ]
+        df = self.spark.createDataFrame(
+            rows, "wave int, phase string, stage string, n long, wall_s double"
+        )
+        df.coalesce(1).write.mode("append").parquet(self._lineage_path())
+
+    def _lineage_path(self) -> str:
+        return os.path.join(self.catalog.root, "lineage_log")
+
+    # -- the loop ----------------------------------------------------------
+
+    def crawl(self, max_waves: int | None = None) -> list[WaveStats]:
+        """Run waves until one selects nothing (Q11 hasWork analog — a wave
+        that selects zero URLs can never schedule new ones) or the cap hits."""
+        cap = max_waves if max_waves is not None else self.config.max_waves
+        stats: list[WaveStats] = []
+        while len(stats) < cap:
+            s = self.run_wave()
+            if s.n_selected == 0:
+                break
+            stats.append(s)
+        return stats
+
+    # -- outputs -----------------------------------------------------------
+
+    def documents(self) -> DataFrame:
+        return self.catalog.read(DOCUMENTS_TABLE)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self._lineage_path())
+
+    def url_seen_urls(self) -> DataFrame:
+        """The URL-seen set (SURVEY §2.8 contract #3): every URL ever
+        scheduled/processed/visited, by canonical URL."""
+        return self.frontier.read().select("url", "status", "wave", "depth")

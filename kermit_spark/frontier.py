@@ -1,0 +1,354 @@
+"""The URL frontier — a salted, host-partitioned priority queue over the
+snapshot catalog.
+
+Re-expresses the reference's QueueSystem/UrlStore (for parity review):
+  * schedule + unique-index dedup  — /root/reference/src/kermit/QueueSystem.coffee:162,194-201 (Q1)
+  * scheduled→processing CAS       — QueueSystem.coffee:172-184 (Q2)
+  * visited                        — QueueSystem.coffee:205-209 (Q3)
+  * reschedule (retry)             — QueueSystem.coffee:189-191 (Q4)
+  * batched dequeue                — QueueSystem.coffee:214-216 (Q5)
+  * per-pattern rate limits        — extensions/core.queues.coffee:28-34,69-100 (Q9)
+  * per-phase counters             — QueueSystem.coffee:154-157 (A2)
+
+Scale design (SURVEY §4):
+  * partition key ``p = pmod(xxhash64(host), P)`` — all URLs of a host live in
+    one bucket, so per-host politeness needs no extra shuffle and hot-host
+    commits touch one partition;
+  * dequeue is a **two-level top-k** to defuse hot-host skew: a first
+    row_number window over (host, sub_salt) — sub_salt spreads a hot host's
+    millions of rows over S sub-groups — caps each sub-group at the host
+    budget, then a second window over (host) ranks the ≤ S×budget survivors.
+    The second window's per-host input is bounded by S×budget regardless of
+    how hot the host is, so no single task ever sorts a whole hot domain;
+  * ordering is the deterministic contract of SURVEY §2.8:
+    (priority DESC, depth ASC, wave ASC, url_hash ASC) — strictly stronger
+    than the reference's timing-dependent interleaving, same BFS semantics;
+  * dedup = Bloom prefilter (bloom.py) + exact anti-join on
+    (p, url_hash, url) — url in the key so a 64-bit hash collision can never
+    merge two distinct URLs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .bloom import BloomSpec, bloom_prefilter, build_bloom, merge_bloom
+from .catalog import SnapshotCatalog
+from .functions.urls import host_of
+
+FRONTIER_TABLE = "frontier"
+URL_SEEN_TABLE = "url_seen"
+
+# status lifecycle (UrlStore phases, QueueSystem.coffee:194-199 — plus 'error'
+# which the reference models on the item, RequestItem.coffee:295-299)
+SCHEDULED = "scheduled"
+PROCESSING = "processing"
+VISITED = "visited"
+ERROR = "error"
+# terminal: disallowed by robots.txt (north_rule Q12; no reference analog).
+# Terminal rather than re-scheduled so a blocked URL never burns budget twice.
+ROBOTS_BLOCKED = "robots_blocked"
+
+FRONTIER_COLS = [
+    "p", "url_hash", "url", "host", "status",
+    "priority", "depth", "referer", "wave", "tries",
+]
+
+
+def partition_of(host: Column, num_partitions: int) -> Column:
+    return F.pmod(F.xxhash64(host), F.lit(num_partitions)).cast("int")
+
+
+def as_frontier_rows(
+    urls: DataFrame,
+    num_partitions: int,
+    wave: int,
+    status: str = SCHEDULED,
+) -> DataFrame:
+    """Normalize a (url[, host, priority, depth, referer]) DataFrame into full
+    frontier schema. Missing columns get defaults (seed rows: depth 0)."""
+    df = urls
+    if "host" not in df.columns:
+        df = df.withColumn("host", host_of(F.col("url")))
+    for col, default in (
+        ("priority", F.lit(0.0)),
+        ("depth", F.lit(0)),
+        ("referer", F.lit(None).cast("string")),
+        ("tries", F.lit(0)),
+    ):
+        if col not in df.columns:
+            df = df.withColumn(col, default)
+    return df.select(
+        partition_of(F.col("host"), num_partitions).alias("p"),
+        F.xxhash64(F.col("url")).alias("url_hash"),
+        F.col("url"),
+        F.col("host"),
+        F.lit(status).alias("status"),
+        F.col("priority").cast("double"),
+        F.col("depth").cast("int"),
+        F.col("referer").cast("string"),
+        F.lit(wave).cast("int").alias("wave"),
+        F.col("tries").cast("int"),
+    )
+
+
+@dataclass(frozen=True)
+class Limit:
+    """One politeness rule: first matching pattern decides (Q9 semantics,
+    core.queues.coffee:69-100). ``budget`` = rate × wave-duration tokens per
+    host per wave; ``max_concurrent`` caps in-flight fetches, which in wave
+    execution means budget_effective = min(budget, max_concurrent × waves'
+    fetch rounds) — we keep it as a separate cap like the reference."""
+
+    pattern: str  # regex over the HOST (reference matches the URL; host is
+    #               the politeness-relevant part and keeps matching cheap)
+    budget: int
+    max_concurrent: int | None = None
+
+    @property
+    def effective(self) -> int:
+        if self.max_concurrent is None:
+            return self.budget
+        return min(self.budget, self.max_concurrent)
+
+
+@dataclass(frozen=True)
+class Politeness:
+    """Reference defaults: 5 req/s, max 5 concurrent, catch-all pattern
+    (core.queues.coffee:28-34); unmatched hosts are an error
+    (core.queues.coffee:78 throws) — enforce_total() reproduces that."""
+
+    limits: tuple[Limit, ...] = field(default=(Limit(".*", 5, 5),))
+
+    def budget_expr(self, host: Column) -> Column:
+        """First-match budget as a JVM-side CASE over rlike — no UDF."""
+        expr = F.lit(None).cast("int")
+        for lim in reversed(self.limits):
+            expr = F.when(host.rlike(lim.pattern), F.lit(lim.effective)).otherwise(expr)
+        return expr
+
+
+def dequeue_order() -> list[Column]:
+    """The deterministic ordering contract of SURVEY §2.8."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("wave").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+def dequeue(
+    eligible: DataFrame,
+    politeness: Politeness,
+    sub_salts: int = 16,
+    global_cap: int | None = None,
+    enforce_total: bool = True,
+) -> DataFrame:
+    """Select ≤ budget(host) URLs per host, deterministically ordered.
+
+    Two-level top-k (see module docstring). Returns the input columns plus
+    ``rank`` (1-based within host) — (wave, host, rank) is the reproducible
+    crawl order of SURVEY §2.8.
+
+    ``global_cap``: optional cap on total dequeued per wave (maxWaiting analog,
+    Crawler.coffee:260-262), applied deterministically after per-host ranking.
+    """
+    budget = politeness.budget_expr(F.col("host"))
+    df = eligible.withColumn("_budget", budget)
+    # reference: isAllowed throws if no limit matches (core.queues.coffee:78).
+    # A catch-all pattern makes the probe statically unnecessary — skip the
+    # extra job in that (default) case.
+    has_catch_all = any(lim.pattern in (".*", "^.*$", ".*$") for lim in politeness.limits)
+    if enforce_total and not has_catch_all:
+        bad = df.filter(F.col("_budget").isNull()).limit(1).count()
+        if bad:
+            sample = df.filter(F.col("_budget").isNull()).select("host").first()
+            raise ValueError(f"no politeness limit matches host {sample[0]!r}")
+
+    # level 1: spread each host over sub-salt groups, cap each at budget
+    df = df.withColumn(
+        "_sub", F.pmod(F.col("url_hash"), F.lit(sub_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_sub").orderBy(*dequeue_order())
+    df = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("_budget"))
+        .drop("_r1", "_sub")
+    )
+    # level 2: exact per-host rank on the bounded survivor set
+    w2 = Window.partitionBy("host").orderBy(*dequeue_order())
+    df = (
+        df.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("_budget"))
+        .drop("_budget")
+    )
+    if global_cap is not None:
+        # deterministic global selection: hosts are interleaved by rank first
+        # (fairness), ties broken by url_hash
+        wg = Window.orderBy(F.col("rank").asc(), F.col("url_hash").asc())
+        df = (
+            df.withColumn("_g", F.row_number().over(wg))
+            .filter(F.col("_g") <= F.lit(global_cap))
+            .drop("_g")
+        )
+    return df
+
+
+class Frontier:
+    """Catalog-backed frontier operations. All mutations are snapshot commits
+    touching only the partitions that changed."""
+
+    def __init__(
+        self,
+        catalog: SnapshotCatalog,
+        num_partitions: int = 32,
+        bloom_spec: BloomSpec | None = None,
+    ):
+        self.catalog = catalog
+        self.num_partitions = num_partitions
+        self.bloom_spec = bloom_spec or BloomSpec()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init(self, seed_urls: DataFrame, wave: int = 0) -> None:
+        """Create frontier + url_seen from seed URLs (Crawler.crawl S1 entry:
+        seeds go straight to scheduled)."""
+        rows = as_frontier_rows(
+            seed_urls, self.num_partitions, wave=wave
+        ).dropDuplicates(["url_hash", "url"])
+        self.catalog.create(FRONTIER_TABLE, rows, self.num_partitions)
+        bloom = build_bloom(rows, self.bloom_spec)
+        self.catalog.create(URL_SEEN_TABLE, bloom, self.num_partitions)
+
+    def read(self) -> DataFrame:
+        return self.catalog.read(FRONTIER_TABLE)
+
+    def counts(self) -> dict[str, int]:
+        """A2 counters: status -> count (metadata-cheap at small scale; at
+        Iceberg scale this is a partition-stats read)."""
+        rows = self.read().groupBy("status").count().collect()
+        return {r["status"]: r["count"] for r in rows}
+
+    def has_work(self) -> bool:
+        """Q11 AutoShutdown predicate (Crawler.coffee:189 hasWork analog)."""
+        return bool(self.read().filter(F.col("status") == SCHEDULED).limit(1).count())
+
+    # -- mutations ---------------------------------------------------------
+
+    def _dedup_candidates(self, candidates: DataFrame, wave: int) -> DataFrame:
+        """Q1 dedup pipeline (lazy): within-batch dedup → Bloom prefilter →
+        exact anti-join for the maybe-seen remainder. Returns new frontier
+        rows (status=scheduled)."""
+        rows = as_frontier_rows(candidates, self.num_partitions, wave=wave)
+        # within-batch dedup: keep the best row per URL under the dequeue
+        # order so discovery from multiple parents is deterministic
+        wb = Window.partitionBy("url_hash", "url").orderBy(*dequeue_order())
+        rows = rows.withColumn("_rn", F.row_number().over(wb)).filter(F.col("_rn") == 1).drop("_rn")
+
+        bloom = self.catalog.read(URL_SEEN_TABLE)
+        tagged = bloom_prefilter(rows, bloom)
+        definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        survivors = maybe.join(
+            self.read().select("p", "url_hash", "url"),
+            on=["p", "url_hash", "url"],
+            how="left_anti",
+        )
+        return definitely_new.unionByName(survivors)
+
+    def commit_wave(
+        self,
+        updates: DataFrame | None,
+        candidates: DataFrame | None,
+        wave: int,
+        properties: dict | None = None,
+    ) -> int:
+        """ONE snapshot commit applying the whole wave outcome: status MERGE
+        for fetched rows (Q2-Q4) + insert of deduped discovered URLs (Q1).
+
+        Combining both into a single read-merge-write halves the per-wave
+        commit cost (each separate mutation is a full read+join+write of the
+        touched partitions); at 10^10 scale the commit is the dominant
+        fixed cost of a wave, so this matters beyond job-count hygiene.
+
+        ``updates``: (p, url_hash, url, new_status) rows; ``candidates``:
+        (url[, host, priority, depth, referer]) rows. Returns n_new URLs.
+        """
+        new_rows = None
+        if candidates is not None:
+            new_rows = self._dedup_candidates(candidates, wave).persist()
+        if updates is not None:
+            updates = updates.select("p", "url_hash", "url", "new_status").persist()
+
+        touched: set[int] = set()
+        if new_rows is not None:
+            touched |= {r["p"] for r in new_rows.select("p").distinct().collect()}
+        if updates is not None:
+            touched |= {r["p"] for r in updates.select("p").distinct().collect()}
+        if not touched:
+            for df in (new_rows, updates):
+                if df is not None:
+                    df.unpersist()
+            return 0
+
+        tl = sorted(touched)
+        current = self.read().filter(F.col("p").isin(tl))
+        merged = current
+        if updates is not None:
+            merged = (
+                merged.join(updates, on=["p", "url_hash", "url"], how="left")
+                .withColumn(
+                    "tries",
+                    F.when(F.col("new_status") == ERROR, F.col("tries") + 1).otherwise(F.col("tries")),
+                )
+                .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
+                .drop("new_status")
+            )
+        if new_rows is not None:
+            merged = merged.select(*FRONTIER_COLS).unionByName(new_rows.select(*FRONTIER_COLS))
+        self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, merged.select(*FRONTIER_COLS), tl, properties=properties
+        )
+        n_new = 0
+        if new_rows is not None:
+            bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
+            new_bloom = merge_bloom(
+                bloom.filter(F.col("p").isin(tl)),
+                new_rows.select("p", "url_hash"),
+                self.bloom_spec,
+            )
+            self.catalog.overwrite_partitions(URL_SEEN_TABLE, new_bloom, tl)
+            n_new = new_rows.count()
+            new_rows.unpersist()
+        if updates is not None:
+            updates.unpersist()
+        return n_new
+
+    def schedule(self, candidates: DataFrame, wave: int, properties: dict | None = None) -> int:
+        """Q1: insert candidate URLs not already seen (thin wrapper over
+        commit_wave). Returns the number of newly scheduled URLs."""
+        return self.commit_wave(None, candidates, wave, properties)
+
+    def update_status(self, updates: DataFrame, properties: dict | None = None) -> int:
+        """Q2/Q3/Q4: set status (and bump tries for errors) for the given
+        (p, url_hash, url, new_status) rows. MERGE-style: only touched
+        partitions are rewritten."""
+        self.commit_wave(updates, None, wave=0, properties=properties)
+        return self.catalog.current_snapshot(FRONTIER_TABLE)
+
+    def reschedule_errors(self, max_tries: int, wave: int) -> int:
+        """Q4 retry path: error rows with tries < max_tries go back to
+        scheduled (UrlStore.reschedule; ResultVerification F10 reschedules
+        failed URLs the same way)."""
+        retriable = (
+            self.read()
+            .filter((F.col("status") == ERROR) & (F.col("tries") < max_tries))
+            .select("p", "url_hash", "url", F.lit(SCHEDULED).alias("new_status"))
+        )
+        self.update_status(retriable)
+        return self.catalog.current_snapshot(FRONTIER_TABLE)

@@ -1,0 +1,166 @@
+"""Span extraction — fetched bodies → interleaved text + media spans.
+
+Re-expresses (parity review):
+  * HtmlExtractor / HtmlToJson — /root/reference/src/kermit/Extractor.coffee:11-18,
+    extensions/ext.htmlprocessor.coffee:11-32 (X1/X2)
+  * ResourceDiscovery — extensions/ext.discovery.coffee:12-47 (X3): extracts
+    ``link[href]`` (kind=resource) and ``a[href]`` (kind=link) in document
+    order, cleans each against the base URL, schedules survivors with
+    depth+1 and Referer.
+  * span-ordering golden — Extractor.spec.coffee:13-36 (X4).
+
+Output schema is the authoritative input_hint document payload:
+  spans: array<struct<kind:string, text:string, media_ref:string, offset:int>>
+with kind ∈ {text, link, resource, media}; ``offset`` is the 0-based document
+-order position of the span — the per-row invariant vs the reference is
+span-sequence equality over (kind, text, media_ref, order).
+
+The tokenizer runs as an Arrow-batched pandas UDF (one regex pass per body,
+vectorized at the batch level); discovery is then pure DataFrame algebra:
+explode → filter kind → clean (pandas UDF) → dedup against the frontier.
+The reference declares but never implements media extraction
+(ext.discovery.coffee:15-19 TODO flags); we extract <img src> as kind=media —
+a superset, flagged for the parity review.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .functions.urls import clean_urls
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+)
+
+# one combined scanner: anchors (with inner text), link-tags, images —
+# everything else between matches is text content once tags are stripped
+_TOKEN_RE = re.compile(
+    r"<a\s+[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"  # 1: href, 2: anchor text
+    r"|<link\s+[^>]*href=\"([^\"]*)\"[^>]*/?>"  # 3: resource href
+    r"|<img\s+[^>]*src=\"([^\"]*)\"[^>]*/?>",  # 4: media src
+    re.DOTALL | re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_spans_one(body: str | None) -> list[tuple] | None:
+    """Tokenize one document into ordered spans.
+
+    Contract per span kind:
+      text     -> (kind='text', text=run, media_ref=None)
+      link     -> (kind='link', text=anchor_text, media_ref=raw href)
+      resource -> (kind='resource', text=None, media_ref=raw href)
+      media    -> (kind='media', text=None, media_ref=raw src)
+    Hrefs here are RAW (as written in the document); canonicalization happens
+    in the discovery step against the page's base URL, exactly where the
+    reference applies uri.clean (ext.discovery.coffee:34-44).
+    """
+    if body is None:
+        return None
+    spans: list[tuple] = []
+    pos = 0
+
+    def text_between(lo: int, hi: int) -> None:
+        chunk = _TAG_RE.sub(" ", body[lo:hi])
+        chunk = " ".join(chunk.split())
+        if chunk:
+            spans.append(("text", chunk, None, len(spans)))
+
+    for m in _TOKEN_RE.finditer(body):
+        text_between(pos, m.start())
+        if m.group(1) is not None:
+            anchor = " ".join(_TAG_RE.sub(" ", m.group(2)).split())
+            spans.append(("link", anchor or None, m.group(1), len(spans)))
+        elif m.group(3) is not None:
+            spans.append(("resource", None, m.group(3), len(spans)))
+        else:
+            spans.append(("media", None, m.group(4), len(spans)))
+        pos = m.end()
+    text_between(pos, len(body))
+    return spans
+
+
+def _extract_series(body: pd.Series) -> pd.Series:
+    return body.map(extract_spans_one)
+
+
+extract_spans = pandas_udf(_extract_series, SPAN_TYPE)
+
+
+def parse_documents(fetched: DataFrame) -> DataFrame:
+    """Fetched rows → documents rows (input_hint schema + crawl metadata).
+
+    Non-HTML bodies (media fetches) become a single media span pointing at
+    the object itself; 404s produce an empty spans array (the document row
+    still records the failed fetch for lineage).
+    """
+    is_html = F.col("content_type") == "text/html"
+    spans = F.when(is_html, extract_spans(F.col("body"))).otherwise(
+        F.when(
+            F.col("status") == 200,
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.col("url").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ),
+        ).otherwise(F.array().cast(SPAN_TYPE))
+    )
+    return fetched.select(
+        F.format_string("%016x", F.col("url_hash")).alias("doc_id"),
+        F.col("url_hash"),
+        F.col("url"),
+        F.col("host"),
+        F.col("p"),
+        F.col("wave"),
+        F.col("rank"),
+        F.col("depth"),
+        F.col("status"),
+        F.col("content_type"),
+        spans.alias("spans"),
+    )
+
+
+def discover_links(documents: DataFrame) -> DataFrame:
+    """X3: spans → candidate URLs for the next wave.
+
+    explode (ordered) → keep link/resource/media kinds → uri.clean against
+    the base URL → drop nulls → (url, referer, depth+1, priority by kind).
+    Dedup against the frontier happens in Frontier.schedule (Q1).
+    """
+    exploded = documents.select(
+        F.col("url").alias("base_url"),
+        F.col("depth"),
+        F.posexplode_outer("spans").alias("pos", "span"),
+    ).filter(F.col("span.kind").isin("link", "resource", "media"))
+    cleaned = exploded.select(
+        clean_urls(F.col("base_url"), F.col("span.media_ref")).alias("url"),
+        F.col("base_url").alias("referer"),
+        (F.col("depth") + 1).alias("depth"),
+        # resources/media slightly out-prioritized by pages? reference treats
+        # both identically (schedule with same meta); keep priority flat.
+        F.lit(0.0).alias("priority"),
+    )
+    return cleaned.filter(F.col("url").isNotNull())

@@ -1,0 +1,67 @@
+"""Snapshot catalog: create/read/partition-pruned overwrite/snapshot
+isolation/resume — the Iceberg-analog semantics the engine depends on
+(QueueSystem persistence + restore, QueueSystem.spec.coffee:45-54)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.catalog import SnapshotCatalog
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "cat"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "p int, k long, v string")
+
+
+def test_create_and_read_roundtrip(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    got = sorted((r["p"], r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got == [(0, 1, "a"), (1, 2, "b")]
+    assert cat.current_snapshot("t") == 0
+
+
+def test_overwrite_touches_only_given_partitions(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b"), (2, 3, "c")]), 4)
+    cat.overwrite_partitions("t", _df(spark, [(1, 20, "B")]), [1])
+    got = sorted((r["p"], r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got == [(0, 1, "a"), (1, 20, "B"), (2, 3, "c")]
+    # old snapshot still readable (time travel / isolation)
+    old = sorted((r["p"], r["k"]) for r in cat.read("t", snapshot=0).collect())
+    assert old == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_emptying_a_partition_does_not_resurrect_rows(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    empty = _df(spark, []).filter(F.lit(False))
+    cat.overwrite_partitions("t", empty, [1])
+    got = [(r["p"], r["k"]) for r in cat.read("t").collect()]
+    assert got == [(0, 1)]
+
+
+def test_commit_is_atomic_rename(spark, cat, tmp_path):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    # no stray staging dirs after commit
+    tdir = os.path.join(str(tmp_path / "cat"), "t")
+    assert not [d for d in os.listdir(tdir) if d.startswith("_staging")]
+
+
+def test_resume_from_new_catalog_instance(spark, cat, tmp_path):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    cat.overwrite_partitions("t", _df(spark, [(0, 9, "z")]), [0], properties={"wave": 3})
+    # a fresh catalog object (new driver process analog) sees committed state
+    cat2 = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    assert cat2.current_snapshot("t") == 1
+    assert cat2.snapshot_property("t")["wave"] == 3
+    assert [(r["k"], r["v"]) for r in cat2.read("t").collect()] == [(9, "z")]
+
+
+def test_missing_table_raises(cat):
+    with pytest.raises(FileNotFoundError):
+        cat.read("nope")
+    assert not cat.exists("nope")

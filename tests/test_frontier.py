@@ -1,0 +1,173 @@
+"""Port of the queue-system specs (QueueSystem.spec.coffee:10-54) plus the
+politeness/dequeue invariants (SURVEY §2.3 Q1-Q9, §5 port plan):
+  * 100 scheduled URLs -> 100 scheduled rows; re-scheduling dedups (Q1);
+  * scheduled→visited/error transitions (Q2-Q4);
+  * per-host budget never exceeded, deterministic rank (Q5/Q9);
+  * first-matching-limit wins; unmatched host raises (core.queues.coffee:78).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.catalog import SnapshotCatalog
+from kermit_spark.frontier import (
+    ERROR,
+    SCHEDULED,
+    VISITED,
+    Frontier,
+    Limit,
+    Politeness,
+    as_frontier_rows,
+    dequeue,
+)
+
+
+@pytest.fixture
+def frontier(spark, tmp_path):
+    return Frontier(SnapshotCatalog(spark, str(tmp_path / "cat")), num_partitions=4)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_schedule_100_urls(spark, frontier):
+    urls = [f"http://h{i % 5}.test/p/{i}.html" for i in range(100)]
+    frontier.init(_urls(spark, urls))
+    assert frontier.counts() == {SCHEDULED: 100}
+    assert frontier.has_work()
+
+
+def test_reschedule_duplicates_silently_dropped(spark, frontier):
+    frontier.init(_urls(spark, ["http://a.test/1", "http://a.test/2"]))
+    n = frontier.schedule(
+        _urls(spark, ["http://a.test/1", "http://a.test/3", "http://a.test/3"]), wave=1
+    )
+    assert n == 1  # only /3 is new; in-batch dup also collapsed
+    assert frontier.counts() == {SCHEDULED: 3}
+
+
+def test_status_transitions(spark, frontier):
+    frontier.init(_urls(spark, ["http://a.test/1", "http://a.test/2", "http://b.test/1"]))
+    rows = frontier.read().filter(F.col("url") != "http://b.test/1")
+    updates = rows.select(
+        "p", "url_hash", "url",
+        F.when(F.col("url").endswith("1"), F.lit(VISITED)).otherwise(F.lit(ERROR)).alias("new_status"),
+    )
+    frontier.update_status(updates)
+    counts = frontier.counts()
+    assert counts == {SCHEDULED: 1, VISITED: 1, ERROR: 1}
+    # error rows got a tries bump
+    err = frontier.read().filter(F.col("status") == ERROR).first()
+    assert err["tries"] == 1
+
+
+def test_reschedule_errors_retry_path(spark, frontier):
+    frontier.init(_urls(spark, ["http://a.test/1"]))
+    rows = frontier.read()
+    frontier.update_status(
+        rows.select("p", "url_hash", "url", F.lit(ERROR).alias("new_status"))
+    )
+    frontier.reschedule_errors(max_tries=2, wave=1)
+    assert frontier.counts() == {SCHEDULED: 1}
+    # second failure exhausts the budget: stays error
+    rows = frontier.read()
+    frontier.update_status(
+        rows.select("p", "url_hash", "url", F.lit(ERROR).alias("new_status"))
+    )
+    frontier.reschedule_errors(max_tries=2, wave=2)
+    assert frontier.counts() == {ERROR: 1}
+
+
+# -- dequeue / politeness ---------------------------------------------------
+
+
+def _eligible(spark, n_hosts=3, per_host=20):
+    urls = [
+        (f"http://h{h}.test/p/{i}.html",)
+        for h in range(n_hosts)
+        for i in range(per_host)
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    return as_frontier_rows(df, num_partitions=4, wave=0)
+
+
+def test_budget_never_exceeded_per_host(spark):
+    sel = dequeue(_eligible(spark), Politeness((Limit(".*", 5),)))
+    per_host = {r["host"]: r["count"] for r in sel.groupBy("host").count().collect()}
+    assert per_host == {"h0.test": 5, "h1.test": 5, "h2.test": 5}
+    assert sel.agg(F.max("rank")).first()[0] <= 5
+
+
+def test_budget_smaller_than_supply_takes_all(spark):
+    sel = dequeue(_eligible(spark, per_host=3), Politeness((Limit(".*", 100),)))
+    assert sel.count() == 9
+
+
+def test_first_matching_limit_decides(spark):
+    pol = Politeness((Limit(r"h0\..*", 2), Limit(r"h0", 99), Limit(".*", 7)))
+    sel = dequeue(_eligible(spark), pol)
+    per_host = {r["host"]: r["count"] for r in sel.groupBy("host").count().collect()}
+    assert per_host == {"h0.test": 2, "h1.test": 7, "h2.test": 7}
+
+
+def test_unmatched_host_raises(spark):
+    pol = Politeness((Limit(r"onlythis\.test", 5),))
+    with pytest.raises(ValueError, match="no politeness limit"):
+        dequeue(_eligible(spark), pol)
+
+
+def test_max_concurrent_caps_budget(spark):
+    # reference default: 5/s but max 5 concurrent (core.queues.coffee:28-34)
+    sel = dequeue(_eligible(spark), Politeness((Limit(".*", 50, max_concurrent=4),)))
+    per_host = {r["host"]: r["count"] for r in sel.groupBy("host").count().collect()}
+    assert set(per_host.values()) == {4}
+
+
+def test_dequeue_deterministic_and_rank_stable(spark):
+    pol = Politeness((Limit(".*", 6),))
+    a = sorted((r["host"], r["rank"], r["url"]) for r in dequeue(_eligible(spark), pol).collect())
+    b = sorted((r["host"], r["rank"], r["url"]) for r in dequeue(_eligible(spark), pol).collect())
+    assert a == b
+    # ranks are dense 1..budget per host
+    ranks = {}
+    for host, rank, _ in a:
+        ranks.setdefault(host, []).append(rank)
+    assert all(sorted(v) == list(range(1, 7)) for v in ranks.values())
+
+
+def test_priority_orders_before_depth(spark):
+    rows = [
+        ("http://a.test/low", 0.0, 0),
+        ("http://a.test/high", 5.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority double, depth int")
+    elig = as_frontier_rows(df, 4, wave=0)
+    sel = dequeue(elig, Politeness((Limit(".*", 1),)))
+    assert sel.first()["url"] == "http://a.test/high"
+
+
+def test_global_cap(spark):
+    sel = dequeue(
+        _eligible(spark), Politeness((Limit(".*", 10),)), global_cap=12
+    )
+    assert sel.count() == 12
+
+
+def test_two_level_topk_equals_single_window(spark):
+    """The sub-salted two-level selection must pick exactly the same set as a
+    naive single window (it's an optimization, not a semantics change)."""
+    from pyspark.sql.window import Window
+    from kermit_spark.frontier import dequeue_order
+
+    elig = _eligible(spark, n_hosts=4, per_host=37)
+    pol = Politeness((Limit(".*", 9),))
+    fast = {(r["host"], r["rank"], r["url"]) for r in dequeue(elig, pol, sub_salts=8).collect()}
+    w = Window.partitionBy("host").orderBy(*dequeue_order())
+    naive = {
+        (r["host"], r["rank"], r["url"])
+        for r in elig.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 9)
+        .collect()
+    }
+    assert fast == naive
