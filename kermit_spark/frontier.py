@@ -247,7 +247,12 @@ class Frontier:
         rows = as_frontier_rows(candidates, self.num_partitions, wave=wave)
         # within-batch dedup: keep the best row per URL under the dequeue
         # order so discovery from multiple parents is deterministic
-        wb = Window.partitionBy("url_hash", "url").orderBy(*dequeue_order())
+        # referer as final tiebreaker: two discoveries of the same URL at the
+        # same (priority, depth, wave) differ only in referer — without it the
+        # surviving row (and its referer column) would be nondeterministic
+        wb = Window.partitionBy("url_hash", "url").orderBy(
+            *dequeue_order(), F.col("referer").asc_nulls_first()
+        )
         rows = rows.withColumn("_rn", F.row_number().over(wb)).filter(F.col("_rn") == 1).drop("_rn")
 
         bloom = self.catalog.read(URL_SEEN_TABLE)

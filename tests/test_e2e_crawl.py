@@ -1,0 +1,187 @@
+"""E2E golden crawl (Crawler.int.spec.coffee:10-55 analog, SURVEY §5/§7):
+the engine crawl over the synthetic corpus must equal an independent
+pure-Python BFS oracle on
+
+  * the final URL-seen set (SURVEY §2.8 contract #3),
+  * per-URL depth + discovery-wave assignment (contract #1),
+  * per-URL final status incl. robots blocking,
+  * politeness: per-host fetches per wave never exceed the budget,
+  * span-sequence equality (kind, text, media_ref, order) for every
+    document — the input_hint per-row invariant,
+  * crawl order (wave, host, rank) reproducibility (contract: deterministic
+    and identical across runs/resumes).
+
+Plus the resume test (QueueSystem.spec.coffee:45-54 analog): kill after
+wave k, rebuild every object from disk, continue — results identical to an
+uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.catalog import SnapshotCatalog
+from kermit_spark.corpus import CorpusSpec, build_corpus
+from kermit_spark.crawler import Crawler, CrawlConfig
+from kermit_spark.fetch import CorpusFetcher
+from kermit_spark.frontier import Limit, Politeness
+
+from oracle import oracle_crawl
+
+SPEC = CorpusSpec(n_hosts=7, base_pages=30, media_id_space=40)
+BUDGET = 6
+WAVES = 4
+SEEDS = ["http://h0.test/p/0.html", "http://h3.test/p/0.html"]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    df = build_corpus(spark, SPEC).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def corpus_map(corpus_df):
+    return {
+        r["url"]: (r["status"], r["content_type"], r["body"])
+        for r in corpus_df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def url_hashes(spark, corpus_df):
+    rows = corpus_df.select(
+        "url", F.xxhash64("url").alias("h")
+    ).collect()
+    return {r["url"]: r["h"] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, corpus_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    cfg = CrawlConfig(
+        num_partitions=8,
+        politeness=Politeness((Limit(r".*", BUDGET),)),
+        sub_salts=4,
+    )
+    crawler = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    crawler.seed(SEEDS)
+    stats = crawler.crawl(WAVES)
+    return crawler, stats
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus_map, url_hashes):
+    return oracle_crawl(
+        corpus_map, SEEDS, url_hashes, limits=[(".*", BUDGET)], max_waves=WAVES
+    )
+
+
+def test_url_seen_set_matches(engine_result, oracle_result):
+    crawler, _ = engine_result
+    engine_urls = {r["url"] for r in crawler.frontier.read().select("url").collect()}
+    assert engine_urls == set(oracle_result.frontier)
+
+
+def test_depth_wave_status_match(engine_result, oracle_result):
+    crawler, _ = engine_result
+    got = {
+        r["url"]: (r["depth"], r["wave"], r["status"])
+        for r in crawler.frontier.read().collect()
+    }
+    want = {
+        u: (rec["depth"], rec["wave"], rec["status"])
+        for u, rec in oracle_result.frontier.items()
+    }
+    assert got == want
+
+
+def test_politeness_budget_invariant(engine_result):
+    crawler, _ = engine_result
+    docs = crawler.documents()
+    per = (
+        docs.groupBy("p", "host").count().agg(F.max("count")).first()[0]
+    )  # docs partition col p == fetch wave
+    assert per <= BUDGET
+
+
+def test_span_sequences_match(engine_result, oracle_result):
+    crawler, _ = engine_result
+    rows = crawler.documents().select("url", "status", "spans").collect()
+    got = {
+        r["url"]: [tuple(s) for s in (r["spans"] or [])]
+        for r in rows
+    }
+    want = {u: s for u, s in oracle_result.documents.items()}
+    assert set(got) == set(want)
+    mismatches = {u for u in got if got[u] != want[u]}
+    assert not mismatches, f"span mismatch for {sorted(mismatches)[:3]}"
+
+
+def test_crawl_order_matches(engine_result, oracle_result):
+    crawler, _ = engine_result
+    rows = crawler.documents().select("p", "host", "rank", "url").collect()
+    got = {(r["p"], r["host"], r["rank"]): r["url"] for r in rows}
+    assert got == oracle_result.crawl_order
+
+
+def test_robots_actually_blocked(engine_result, oracle_result):
+    """Hosts h2 (h%5==2 → /p/1 prefix) must have blocked rows; blocked URLs
+    never appear in documents."""
+    crawler, _ = engine_result
+    blocked = {
+        r["url"]
+        for r in crawler.frontier.read().filter(F.col("status") == "robots_blocked").collect()
+    }
+    want_blocked = {
+        u for u, rec in oracle_result.frontier.items() if rec["status"] == "robots_blocked"
+    }
+    assert blocked == want_blocked
+    fetched = {r["url"] for r in crawler.documents().select("url").collect()}
+    assert not (blocked & fetched)
+
+
+def test_lineage_ledger_rows(engine_result):
+    crawler, stats = engine_result
+    lin = crawler.lineage()
+    waves = {r["wave"] for r in lin.select("wave").distinct().collect()}
+    assert waves == {s.wave for s in stats}
+    deq = {r["wave"]: r["n"] for r in lin.filter(F.col("stage") == "dequeue").collect()}
+    assert deq == {s.wave: s.n_selected for s in stats}
+
+
+def test_resume_equals_uninterrupted(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
+    """Run 1 wave, drop every driver object, rebuild from disk, finish the
+    crawl — frontier and documents equal the oracle (hence equal an
+    uninterrupted engine run)."""
+    root = str(tmp_path_factory.mktemp("resume"))
+    cfg = CrawlConfig(
+        num_partitions=8, politeness=Politeness((Limit(r".*", BUDGET),)), sub_salts=4
+    )
+    c1 = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    c1.seed(SEEDS)
+    c1.crawl(1)
+    assert c1.last_wave == 0
+    del c1
+
+    c2 = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    assert c2.last_wave == 0  # resume point recovered from snapshot props
+    c2.crawl(WAVES - 1)
+
+    oracle = oracle_crawl(
+        corpus_map, SEEDS, url_hashes, limits=[(".*", BUDGET)], max_waves=WAVES
+    )
+    got = {
+        r["url"]: (r["depth"], r["wave"], r["status"])
+        for r in c2.frontier.read().collect()
+    }
+    want = {
+        u: (rec["depth"], rec["wave"], rec["status"])
+        for u, rec in oracle.frontier.items()
+    }
+    assert got == want
+    rows = c2.documents().select("p", "host", "rank", "url").collect()
+    assert {(r["p"], r["host"], r["rank"]): r["url"] for r in rows} == oracle.crawl_order
