@@ -6,8 +6,12 @@ its text with deterministic links to other docs), seeds the frontier, runs
 crawl waves through the full engine (robots → politeness dequeue → fetch →
 span parse → Bloom-dedup → frontier merge) and returns the crawled documents.
 
-``queries``/``oracle_sql`` expose each operator from SURVEY §2 over the
-driver testdata tables with a DuckDB-checkable ANSI-SQL oracle.
+``queries``/``oracle_sql`` expose the SURVEY §2 operator surface plus the
+training-data pipeline ops (dedup / similarity / text analysis / multimodal
+plumbing) over the driver testdata tables, each with a DuckDB-checkable
+ANSI-SQL oracle where the semantics are SQL-expressible; engine-only
+pipelines (full crawl wave, SimHash pandas UDF, numpy-plane LSH) are
+rows-only entries.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # ---------------------------------------------------------------------------
@@ -53,36 +58,38 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str, n_hosts: int = 8) -
     )
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship crawl on /root/testdata/sf0.001; returns crawled documents
-    with interleaved spans. Driver checks rows > 0 and stable schema."""
+def _run_crawl(spark: SparkSession, sf_dir: str, waves: int, budget: int) -> "object":
     from kermit_spark.catalog import SnapshotCatalog
     from kermit_spark.crawler import Crawler, CrawlConfig
     from kermit_spark.fetch import CorpusFetcher
     from kermit_spark.frontier import Limit, Politeness
 
-    sf_dir = "/root/testdata/sf0.001"
     corpus = _corpus_from_documents(spark, sf_dir).cache()
     root = tempfile.mkdtemp(prefix="kermit_entry_")
     cfg = CrawlConfig(
         num_partitions=8,
-        politeness=Politeness((Limit(r".*", 25),)),
-        max_waves=2,
+        politeness=Politeness((Limit(r".*", budget),)),
+        max_waves=waves,
         obey_robots=True,
     )
     crawler = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
     crawler.seed(["http://d0.test/doc/0.html"])
-    crawler.crawl(2)
+    crawler.crawl(waves)
+    return crawler
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship crawl on /root/testdata/sf0.001; returns crawled documents
+    with interleaved spans. Driver checks rows > 0 and stable schema."""
+    crawler = _run_crawl(spark, "/root/testdata/sf0.001", waves=3, budget=25)
     return crawler.documents().select(
         "doc_id", "url", "host", "status", "content_type", "depth", "rank", "spans"
     )
 
 
 # ---------------------------------------------------------------------------
-# oracle-checked operator queries (each maps to a SURVEY §2 operator)
+# crawl-core operators (SURVEY §2) over URL-shaped testdata
 # ---------------------------------------------------------------------------
-# Every query derives URL-shaped data from the TPC-H-ish tables so DuckDB can
-# run the identical relational semantics. Aliases match the SQL exactly.
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,8 +112,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 URL-seen dedup as exact anti-join: candidate URLs from lineitem
-    (duplicate orderkeys collapse), minus already-seen (orders with
-    o_orderkey % 3 = 0), counted per host."""
+    (duplicate orderkeys collapse), minus already-seen, counted per host."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cand = li.select(
@@ -117,18 +123,11 @@ def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey")
     )
     new = cand.join(seen, "okey", "left_anti")
-    return (
-        new.groupBy("host_id")
-        .agg(F.count("*").alias("n_new"))
-        .orderBy("host_id")
-    )
+    return new.groupBy("host_id").agg(F.count("*").alias("n_new")).orderBy("host_id")
 
 
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5/Q9 deterministic per-host top-k dequeue: budget 3 per host, ordered
-    by (priority DESC, key ASC)."""
-    from pyspark.sql.window import Window
-
+    """Q5/Q9 deterministic per-host top-k dequeue: budget 3 per host."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     elig = orders.select(
         F.pmod(F.col("o_custkey"), F.lit(25)).cast("long").alias("host_id"),
@@ -145,8 +144,7 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 monitoring counters: per-phase counts + duration stats
-    (events.event_type stands in for the phase column)."""
+    """A1/A2 monitoring counters: per-phase counts + duration stats."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(F.col("event_type").alias("phase"))
@@ -160,28 +158,436 @@ def q_phase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 robots prefix gating in relational form: URLs per host, disallow
+    prefix '/o/1' for every host with host_id % 5 == 2."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urls = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(25)).cast("long").alias("host_id"),
+        F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    blocked = (F.pmod(F.col("host_id"), F.lit(5)) == 2) & F.col("path").startswith("/o/1")
+    return (
+        urls.filter(~blocked)
+        .groupBy("host_id")
+        .agg(F.count("*").alias("n_allowed"))
+        .orderBy("host_id")
+    )
+
+
+def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 wave assignment (BFS by link depth) in relational form: node i
+    links to (7i+1)%M and (13i+3)%M; depth = first-discovery wave from seed
+    node 0, capped at 6 waves. Spark: iterative frontier joins (the engine's
+    wave loop); oracle: recursive CTE."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("node") * 7 + 1, F.lit(m)),
+                F.pmod(F.col("node") * 13 + 3, F.lit(m)),
+            )
+        ).alias("dst"),
+    ).distinct()
+    seen = spark.createDataFrame([(0, 0)], "node long, depth int")
+    frontier = seen
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("depth"))
+        )
+        nxt = nxt.persist()
+        if nxt.limit(1).count() == 0:
+            break
+        seen = seen.unionByName(nxt).persist()
+        frontier = nxt
+    return seen.groupBy("depth").agg(
+        F.count("*").alias("n_nodes"), F.min("node").alias("min_node"), F.max("node").alias("max_node")
+    ).orderBy("depth")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup
+# ---------------------------------------------------------------------------
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data op: exact text dedup via content hash — keep the lowest
-    doc_id per md5(text), count collapsed copies."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count("*").alias("n_copies"),
-        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .orderBy("keep_id")
+    )
+
+
+def _docs_with_mutants(docs: DataFrame) -> DataFrame:
+    """Docs ∪ truncated copies (id+100000) — guarantees near-dup pairs so the
+    MinHash/Jaccard queries exercise real collisions."""
+    mut = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 160).alias("text"),
+    ).filter(F.length("text") >= 40)
+    return docs.select("doc_id", "text").unionByName(mut)
+
+
+_SHINGLE_SQL = "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard between each doc and its truncated mutant — exact
+    set-overlap dedup metric over 5-gram shingles."""
+    docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    sh = docs.select("doc_id", F.expr(_SHINGLE_SQL).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 100000).alias("a"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        F.col("a").alias("doc_a"),
+        (F.col("a") + 100000).alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    ).orderBy("doc_a")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 16 md5-min hashes, 4 bands × 4 rows;
+    pairs sharing any band signature. The md5-min family is engine-portable,
+    so DuckDB reproduces the identical signatures and pairs."""
+    docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15), "
+            f"i -> array_min(transform({_SHINGLE_SQL}, s -> md5(concat(cast(i as string), ':', s)))))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b as band, "
+                "concat_ws('|', slice(sig, b * 4 + 1, 4)) as band_sig))"
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    left = bands.select("band", "band_sig", F.col("doc_id").alias("a"))
+    right = bands.select("band", "band_sig", F.col("doc_id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+    return pairs
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.99) among same-label
+    vectors — exact within-group all-pairs (groups are small). The corpus is
+    augmented with shifted twins (every component +0.01, vec_id+100000) so
+    true near-dups exist; random same-label pairs stay far below 0.99."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    twins = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x + F.lit(0.01)).alias("v"),
+    )
+    v = base.unionByName(twins)
+    a = v.select(F.col("label").alias("l"), F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("label").alias("l"), F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, "l").filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 4)
+    return (
+        pairs.select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+        .orderBy("a", "b")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (engine-only: vectorized numpy UDF — no SQL
+    oracle; rows-only check)."""
+    from kermit_spark.ops.dedup import simhash_candidates
+
+    docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash_candidates(
+        docs.withColumnRenamed("doc_id", "id"), max_hamming=8
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 8 —
+    rank at 6 decimals, ties by neighbor id; scores reported at 4 decimals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot / (nq * nc), 6).alias("score6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "rnk", "neighbor_id", F.round(F.col("score6"), 4).alias("score"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (engine-only: numpy-seeded hyperplanes; rows-only)."""
+    from kermit_spark.ops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("id") < 8)
+    return lsh_topk(emb, queries, k=5, num_planes=6).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+_LANGS = {
+    "en": "the|and|of|to|is|that",
+    "de": "der|die|und|ist|nicht|das",
+    "fr": "le|la|et|les|des|est",
+    "es": "el|que|los|una|es|perro",
+}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-marker counts (argmax, fixed tie order)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(rf"(?i)\b({pat})\b"))
+        for lang, pat in _LANGS.items()
+    }
+    best, best_n = F.lit("und"), F.lit(0)
+    for lang in reversed(list(_LANGS)):
+        cond = scores[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, scores[lang]).otherwise(best_n)
+    return docs.select(
+        "doc_id",
+        best.alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANGS],
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: token/alpha/punct/stopword ratios + composite score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.regexp_count(t, F.lit(r"[A-Za-z0-9]+"))
+    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_stop = F.regexp_count(t, F.lit(r"(?i)\b(the|and|of|to|is|that)\b"))
+    # portable half-up rounding: floor(x*1e4 + 0.5)/1e4 is bit-identical in
+    # any IEEE-double engine, unlike round() (HALF_UP vs banker's rounding)
+    pr = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    alpha_ratio = pr(n_alpha / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = pr(n_stop / F.greatest(n_tokens, F.lit(1)))
+    score = pr(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.3)
+        + alpha_ratio * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars2"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        pr(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("q_score"),
+    ).orderBy("doc_id")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex word tokens + BPE-ish chars/4 estimate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+")).alias("word_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est"),
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable document fingerprint: 4 smallest md5(8-gram) digests."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))"
+    )
+    fp = F.concat_ws("", F.slice(F.array_sort(F.array_distinct(sh)), 1, 4))
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# stream-analog ops over events
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization in batch form: a session breaks after a 30-min
+    gap per user; report per-session event counts and bounds."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select("user_id", F.col("ts").cast("timestamp").cast("double").alias("ts_s"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("ts_s"), 3).alias("t_start"),
+            F.round(F.max("ts_s"), 3).alias("t_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event type (watermark-style
+    windowed agg in its batch form)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600) * 3600).cast("long")
+    return (
+        ev.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: 3 frames every 10th index per media object
+    (media ids derived from part names)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    media = part.select(F.md5(F.col("p_name")).alias("media_id"))
+    return (
+        media.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.lit(20), F.lit(10))).alias("frame_no"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.concat(F.col("media_id"), F.lit("#f"), F.col("frame_no").cast("string")).alias("frame_ref"),
+        )
+        .orderBy("media_id", "frame_no")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image decode over binary columns (engine-only mapInPandas;
+    rows-only check)."""
+    from kermit_spark.ops.media import decode_image_features
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    media = part.select(
+        F.md5(F.col("p_name")).alias("media_id"),
+        F.md5(F.col("p_name")).alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("content_type"),
+        F.encode(F.col("p_name"), "utf-8").alias("data"),
+        F.length(F.col("p_name")).cast("long").alias("n_bytes"),
+    )
+    return decode_image_features(media).orderBy("media_id")
+
+
+def q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl engine end-to-end (rows-only: snapshots + pandas UDFs +
+    window dequeue are not one SQL statement). Correctness is covered by the
+    pytest golden suite against an independent oracle."""
+    crawler = _run_crawl(spark, sf_dir, waves=2, budget=20)
+    return (
+        crawler.documents()
+        .select("doc_id", "url", "host", "status", "depth", "rank", F.size("spans").alias("n_spans"))
+        .orderBy("url")
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # crawl core
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
         "phase_counts": q_phase_counts,
+        "robots_gate": q_robots_gate,
+        "wave_bfs": q_wave_bfs,
+        "crawl_wave": q_crawl_wave,
+        # dedup family
         "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        # similarity
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # text analysis
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        # stream analogs
+        "events_sessionize": q_events_sessionize,
+        "events_windowed": q_events_windowed,
+        # multimodal
+        "media_frame_plan": q_media_frame_plan,
+        "media_features": q_media_features,
     }
+
+
+_SHINGLE_DUCK = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+_MUTANTS_DUCK = """
+        docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, substring(text, 1, 160) AS text
+            FROM documents WHERE length(substring(text, 1, 160)) >= 40
+        )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -198,9 +604,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT l_orderkey AS okey, (l_orderkey % 20) AS host_id
                 FROM lineitem
             ),
-            seen AS (
-                SELECT o_orderkey AS okey FROM orders WHERE o_orderkey % 3 = 0
-            )
+            seen AS (SELECT o_orderkey AS okey FROM orders WHERE o_orderkey % 3 = 0)
             SELECT host_id, count(*) AS n_new
             FROM cand WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.okey = cand.okey)
             GROUP BY host_id ORDER BY host_id
@@ -216,13 +620,183 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phase_counts": """
             SELECT event_type AS phase, count(*) AS n,
-                   round(min(value), 4) AS min_v,
-                   round(max(value), 4) AS max_v,
+                   round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
                    round(avg(value), 4) AS avg_v
             FROM events GROUP BY event_type ORDER BY phase
+        """,
+        "robots_gate": """
+            SELECT host_id, count(*) AS n_allowed FROM (
+                SELECT (o_custkey % 25) AS host_id,
+                       '/o/' || o_orderkey AS path
+                FROM orders
+            ) WHERE NOT ((host_id % 5 = 2) AND starts_with(path, '/o/1'))
+            GROUP BY host_id ORDER BY host_id
+        """,
+        "wave_bfs": """
+            WITH RECURSIVE
+            m AS (SELECT count(*) AS n FROM customer),
+            edges AS (
+                SELECT c_custkey AS src, (c_custkey * 7 + 1) % (SELECT n FROM m) AS dst FROM customer
+                UNION
+                SELECT c_custkey AS src, (c_custkey * 13 + 3) % (SELECT n FROM m) AS dst FROM customer
+            ),
+            bfs(node, depth) AS (
+                SELECT 0::BIGINT AS node, 0 AS depth
+                UNION ALL
+                SELECT e.dst AS node, bfs.depth + 1
+                FROM bfs JOIN edges e ON e.src = bfs.node
+                WHERE bfs.depth < 6
+            ),
+            first_seen AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+            SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+            FROM first_seen WHERE depth <= 6 GROUP BY depth ORDER BY depth
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY keep_id
         """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_MUTANTS_DUCK},
+            sh AS (SELECT doc_id, {_SHINGLE_DUCK} AS s FROM docs)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+            ORDER BY doc_a
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_MUTANTS_DUCK},
+            sig AS (
+                SELECT doc_id,
+                       list_transform(generate_series(0, 15),
+                           i -> list_min(list_transform({_SHINGLE_DUCK},
+                                s -> md5(i::VARCHAR || ':' || s)))) AS sig
+                FROM docs
+            ),
+            bands AS (
+                SELECT doc_id, b AS band,
+                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
+                FROM sig, unnest(generate_series(0, 3)) AS t(b)
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+            ORDER BY a, b
+        """,
+        "embedding_near_dup": """
+            WITH v AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, label,
+                       list_transform(embedding::DOUBLE[], x -> x + 0.01) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+            ORDER BY a, b
+        """,
+        "ann_cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score6
+                FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, score6,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score6 DESC, neighbor_id ASC) AS rnk
+                FROM scored
+            )
+            SELECT query_id, rnk, neighbor_id, round(score6, 4) AS score
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+        """,
+        "text_langid": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS score_en,
+                       len(regexp_extract_all(text, '(?i)\b(der|die|und|ist|nicht|das)\b')) AS score_de,
+                       len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est)\b')) AS score_fr,
+                       len(regexp_extract_all(text, '(?i)\b(el|que|los|una|es|perro)\b')) AS score_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 THEN 'und'
+                     WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                     WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                     WHEN score_fr >= score_es THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_pred,
+                   score_en, score_de, score_fr, score_es
+            FROM s ORDER BY doc_id
+        """,
+        "text_quality": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars2,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, n_chars2, n_tokens,
+                   floor((n_alpha::DOUBLE / greatest(n_chars2, 1)) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+                   floor((n_punct::DOUBLE / greatest(n_chars2, 1)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                   floor((n_stop::DOUBLE / greatest(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   floor((least(n_tokens / 100.0, 1.0) * 0.3
+                          + (floor((n_alpha::DOUBLE / greatest(n_chars2, 1)) * 10000.0 + 0.5) / 10000.0) * 0.4
+                          + least((floor((n_stop::DOUBLE / greatest(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0) * 5.0, 1.0) * 0.3)
+                         * 10000.0 + 0.5) / 10000.0 AS q_score
+            FROM f ORDER BY doc_id
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+                   ceil(length(text) / 4.0)::BIGINT AS bpe_est
+            FROM documents ORDER BY doc_id
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   array_to_string(
+                       (list_sort(list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 7, 1)),
+                           i -> md5(substring(text, i, 8))))))[1:4], '') AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch(ts) AS ts_s, event_id FROM events
+            ),
+            flagged AS (
+                SELECT user_id, ts_s, event_id,
+                       CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts_s,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(min(ts_s), 3) AS t_start, round(max(ts_s), 3) AS t_end
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "events_windowed": """
+            SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "media_frame_plan": """
+            SELECT media_id, frame_no, media_id || '#f' || frame_no AS frame_ref
+            FROM (SELECT md5(p_name) AS media_id FROM part),
+                 unnest(generate_series(0, 20, 10)) AS t(frame_no)
+            ORDER BY media_id, frame_no
+        """,
+        # rows-only (engine-only pipelines): crawl_wave, dedup_simhash,
+        # ann_lsh_topk, media_features — intentionally omitted.
     }

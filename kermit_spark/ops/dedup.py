@@ -1,0 +1,292 @@
+"""Document deduplication — exact and near-duplicate, Spark-first.
+
+Five strategies, ordered by cost, all over a (id, text) DataFrame:
+
+  exact_dedup          hash-groupBy on the full content (one shuffle on the
+                       16-byte digest, never on the text itself)
+  shingle / minhash    character-shingle sets → MinHash signatures → LSH
+  + lsh_candidates     banding → candidate pairs from bucket self-join —
+                       the only shuffle keys are (band, band_signature);
+                       no O(n²) comparison ever materializes
+  ngram_jaccard_pairs  exact Jaccard verification for candidate pairs
+  simhash              64-bit SimHash per doc (vectorized numpy UDF) +
+                       hamming-distance candidate pairs via band buckets
+  embedding_near_dup   cosine near-duplicates over an embedding column,
+                       bucketed by random-hyperplane LSH sign bits
+
+Scale notes (100 TB corpus):
+  * shingling/MinHash is pure JVM (transform/sequence/substring/md5 inside
+    whole-stage codegen) — the text column never crosses to Python;
+  * LSH self-join shuffles only (band_id, band_sig) pairs; hot buckets (very
+    common boilerplate) are capped with a per-bucket limit to bound the
+    pair explosion, mirroring the hot-host salting story in the frontier;
+  * MinHash here uses min-over-md5-hex-strings as the hash family: portable
+    (identical in any engine with md5 — used by the DuckDB oracles) and
+    unbiased for Jaccard estimation since md5 is uniform on strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact content hash; report collapsed count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH (JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as an array (JVM transform/sequence —
+    one pass, no Python)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({_sql(text)}) - {k - 1}, 1)), "
+            f"i -> substring({_sql(text)}, i, {k}))"
+        )
+    )
+
+
+def _sql(col: Column | str) -> str:
+    if isinstance(col, str):
+        return col
+    # Column -> SQL fragment; only used for simple column refs
+    return col._jc.toString()
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, min over shingles of md5(i || ':' || s).
+
+    min-of-md5-hex is a valid MinHash family (uniform over strings) and is
+    bit-identical across engines — the portability property the correctness
+    oracles rely on.
+    """
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform({shingle_col}, s -> md5(concat(cast(i as string), ':', s)))))"
+    )
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    return df.withColumn("shingles", shingles(F.col(text_col), k)).withColumn(
+        "minhash", minhash_signature("shingles", num_hashes)
+    )
+
+
+def lsh_candidates(
+    with_sig: DataFrame,
+    id_col: str = "id",
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b).
+
+    ``max_bucket`` caps pathological buckets (boilerplate text): a bucket of
+    B docs yields B² pairs — at corpus scale one mega-bucket would dominate
+    the stage. Capped buckets keep the deterministically-first members
+    (ordered by id), which preserves dedup transitivity for the kept set.
+    """
+    bands = with_sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}), "
+                f"b -> concat_ws('|', slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_sig"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_sig").orderBy("_id")
+    bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket
+    )
+    left = bands.select("band", "band_sig", F.col("_id").alias("a"))
+    right = bands.select("band", "band_sig", F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, on=["band", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame, with_shingles: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| / |A∪B| over shingle sets."""
+    sh = with_shingles.select(F.col(id_col).alias("_jid"), "shingles")
+    a = sh.withColumnRenamed("_jid", "a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed("_jid", "b").withColumnRenamed("shingles", "sh_b")
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "a", "b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH candidates → exact
+    Jaccard verify → pairs over threshold."""
+    sigs = add_minhash(df.select(id_col, text_col), text_col, k, num_hashes).persist()
+    pairs = lsh_candidates(sigs, id_col, num_bands, num_hashes // num_bands)
+    verified = ngram_jaccard(pairs, sigs, id_col)
+    out = verified.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized numpy)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens: per token a stable 64-bit hash
+    (blake2b-8byte), bit-votes summed, sign → bit. Vectorized per batch."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in set(str(t).lower().split()):
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            ))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += np.where(bits == 1, 1, -1)
+        sim = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= 1 << b
+        out[i] = np.int64(np.uint64(sim).astype(np.int64))
+    return pd.Series(out)
+
+
+simhash = pandas_udf(_simhash_batch, LongType())
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys (any
+    pair within hamming ≤ 3 shares at least one exact band — pigeonhole), then
+    verify hamming distance on bucket-join candidates."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        "_id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band", "key"),
+    )
+    left = bands.select("band", "key", F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    right = bands.select("band", "key", F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity between two array<float/double> columns — JVM
+    higher-order functions, no UDF."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-duplicates: random-hyperplane LSH bits bucket the vectors
+    (near-identical vectors share all sign bits with high probability), then
+    exact cosine verification within buckets.
+
+    Hyperplanes are deterministic: plane p's component j = uniform(-1,1)
+    derived from blake2-free arithmetic hash of (p, j) — same planes on any
+    cluster/run.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _deterministic_planes(num_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    # sign bit per plane: dot(vec, plane) via JVM higher-order fns — the
+    # planes are literal arrays (broadcast with the plan, no side channel)
+    bits = []
+    for p in range(num_planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = F.aggregate(
+            F.zip_with(v, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    bucket = sum(bits[1:], bits[0]).alias("bucket")
+
+    tagged = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), bucket)
+    left = tagged.select("bucket", F.col("_id").alias("a"), F.col("_v").alias("va"))
+    right = tagged.select("bucket", F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    cos = cosine_expr("va", "vb")
+    return pairs.select("a", "b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _deterministic_planes(num_planes: int, dim: int) -> np.ndarray:
+    """Seeded hyperplanes — pure function of (plane, component)."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((num_planes, dim))

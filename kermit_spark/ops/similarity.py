@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths with the same output contract (query_id, rnk, neighbor_id, score):
+
+  brute_force_topk   exact: queries × corpus cosine, per-query window top-k.
+                     The QUERY side is broadcast (queries ≪ corpus); the
+                     corpus is scanned once, never shuffled — at 100 TB the
+                     only movement is the per-partition partial top-k.
+  lsh_topk           approximate: random-hyperplane sign-bucket both sides
+                     with multi-probe (flip each bit once → num_planes + 1
+                     probes per query), cosine only within colliding
+                     buckets. Trades recall for a corpus-scan-sized join
+                     against a tiny fraction of candidates.
+
+Scores are rounded so results are reproducible across engines/architectures
+(float reduction order); rank ties break by neighbor id — fully deterministic
+output, same contract the frontier dequeue follows (SURVEY §2.8 spirit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _deterministic_planes, cosine_expr
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "score")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self-matches by id
+    are excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "cv"), round_digits).alias("score"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed once by sign bits; queries probe
+    their own bucket plus each 1-bit-flip neighbor bucket."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _deterministic_planes(num_planes, dim)
+
+    def bucket_expr(v):
+        bits = []
+        for p in range(num_planes):
+            plane_lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+            d = F.aggregate(
+                F.zip_with(v, plane_lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+        return sum(bits[1:], bits[0])
+
+    cv = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("cvec"), bucket_expr(cv).alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), cv.alias("qvec"), bucket_expr(cv).alias("qbucket")
+    )
+    # multi-probe: own bucket + flip each bit once
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(2 ** p)) for p in range(num_planes)],
+    )
+    q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qvec", "cvec"), round_digits).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _topk_per_query(scored, k)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
+    """Fraction of exact top-k pairs the approximate index recovered."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    return hits / total if total else 1.0

@@ -1,0 +1,86 @@
+"""Dedup operator family: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.ops.dedup import (
+    add_minhash,
+    embedding_near_dups,
+    exact_dedup,
+    lsh_candidates,
+    minhash_near_dups,
+    ngram_jaccard,
+    simhash,
+    simhash_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark shuffle partitions and bloom filters"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # ids 1,2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    sigs = add_minhash(docs, "text", k=5)
+    pairs = spark.createDataFrame([(1, 3)], "a long, b long")
+    got = ngram_jaccard(pairs, sigs, "id").first()
+    # python oracle
+    def sh(t):
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+    a, b = sh(BASE), sh(BASE.replace("lazy", "sleepy"))
+    want = round(len(a & b) / len(a | b), 6)
+    assert got["jaccard"] == pytest.approx(want, abs=1e-6)
+
+
+def test_minhash_near_dups_finds_near_and_exact(docs):
+    out = {(r["a"], r["b"]): r["jaccard"] for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.5 < out[(1, 3)] < 1.0
+    assert all(4 not in pair and 5 not in pair for pair in out)
+
+
+def test_lsh_candidates_no_self_or_reversed_pairs(docs):
+    sigs = add_minhash(docs, "text")
+    pairs = lsh_candidates(sigs, "id").collect()
+    assert all(r["a"] < r["b"] for r in pairs)
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    one = docs.filter("id = 1").select(simhash(F.col("text")).alias("s")).first()["s"]
+    two = docs.filter("id = 2").select(simhash(F.col("text")).alias("s")).first()["s"]
+    assert one == two
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_candidates(docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 6
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    base = [1.0, 0.2, -0.3, 0.8, 0.1, -0.5, 0.4, 0.9]
+    near = [x + 0.01 for x in base]
+    ortho = [-0.9, 0.5, 0.7, -0.2, 0.3, 0.8, -0.6, 0.1]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "id long, embedding array<double>"
+    )
+    out = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_dups(emb, threshold=0.95).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 3) not in out and (2, 3) not in out

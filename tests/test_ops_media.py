@@ -1,0 +1,72 @@
+"""Multimodal plumbing: media table lift, stubbed decode (deterministic
+fake), resize planning, frame sampling — the Spark-side machinery is real
+even though codecs are stubbed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.ops.media import (
+    decode_image_features,
+    frame_sample,
+    media_table_from_documents,
+    resize_plan,
+)
+
+SPANS_DDL = (
+    "doc_id string, url string, content_type string, status int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (
+            "d1", "http://a.test/p.html", "text/html", 200,
+            [
+                ("text", "hello", None, 0),
+                ("media", None, "http://a.test/img/1.png", 1),
+                ("media", None, "http://a.test/img/2.png", 2),
+            ],
+        ),
+        ("d2", "http://a.test/q.html", "text/html", 200, [("text", "x", None, 0)]),
+    ]
+    return spark.createDataFrame(rows, SPANS_DDL)
+
+
+def test_media_table_lift(docs):
+    media = media_table_from_documents(docs)
+    rows = media.collect()
+    assert len(rows) == 2  # only media spans of d1
+    assert all(r["doc_id"] == "d1" for r in rows)
+    assert all(r["data"] is not None and r["n_bytes"] > 0 for r in rows)
+    assert len({r["media_id"] for r in rows}) == 2
+
+
+def test_decode_features_deterministic_fake(docs):
+    media = media_table_from_documents(docs)
+    a = sorted((r["media_id"], r["width"], r["height"], r["mean_luma"]) for r in decode_image_features(media).collect())
+    b = sorted((r["media_id"], r["width"], r["height"], r["mean_luma"]) for r in decode_image_features(media).collect())
+    assert a == b
+    for _, w, h, luma in a:
+        assert 64 <= w < 320 and 64 <= h < 320
+        assert 0.0 <= luma <= 1.0
+    # stub clearly marked: decode_ok False without codecs
+    assert all(r["decode_ok"] is False for r in decode_image_features(media).collect())
+
+
+def test_resize_plan_bounds(docs):
+    media = media_table_from_documents(docs)
+    for r in resize_plan(media, max_side=100).collect():
+        assert max(r["out_width"], r["out_height"]) <= 100
+        assert 0 < r["scale"] <= 1.0
+
+
+def test_frame_sample(docs):
+    media = media_table_from_documents(docs)
+    rows = frame_sample(media, every_n=10, max_frames=3).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+    assert all("#f" in r["frame_ref"] for r in rows)

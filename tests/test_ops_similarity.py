@@ -1,0 +1,77 @@
+"""Similarity search: exact brute-force top-k vs a numpy oracle; LSH ANN
+recall + contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.ops.similarity import brute_force_topk, lsh_topk, recall_at_k
+
+N, DIM, K = 60, 16, 5
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    # three clusters so LSH has structure to find
+    centers = rng.standard_normal((3, DIM)) * 3
+    vecs = np.vstack([
+        centers[i % 3] + rng.standard_normal(DIM) * 0.4 for i in range(N)
+    ])
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "id long, embedding array<double>").cache()
+
+
+def _numpy_topk(vectors, qids, k):
+    norms = np.linalg.norm(vectors, axis=1)
+    out = {}
+    for q in qids:
+        scores = vectors @ vectors[q] / (norms * norms[q])
+        scores = np.round(scores, 4)
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-scores[i], i)
+        )
+        out[q] = [(rank + 1, i, scores[i]) for rank, i in enumerate(order[:k])]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb, vectors):
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("id").isin(qids))
+    got = {}
+    for r in brute_force_topk(emb, queries, k=K).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["neighbor_id"], r["score"]))
+    want = _numpy_topk(vectors, qids, K)
+    for q in qids:
+        got[q].sort()
+        assert [(rk, nid) for rk, nid, _ in got[q]] == [(rk, nid) for rk, nid, _ in want[q]]
+        for (_, _, s_got), (_, _, s_want) in zip(got[q], want[q]):
+            assert s_got == pytest.approx(s_want, abs=2e-4)
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    queries = emb.filter(F.col("id") < 10)
+    exact = brute_force_topk(emb, queries, k=K)
+    approx = lsh_topk(emb, queries, k=K, num_planes=6)
+    r = recall_at_k(exact, approx)
+    assert r >= 0.5, f"LSH recall too low: {r}"
+
+
+def test_topk_contract(spark, emb):
+    queries = emb.filter(F.col("id") < 3)
+    out = brute_force_topk(emb, queries, k=K).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rnk"] for r in rows)
+        assert ranks == list(range(1, K + 1))
+        assert all(r["neighbor_id"] != q for r in rows)
+        ordered = sorted(rows, key=lambda r: r["rnk"])
+        scores = [r["score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,87 @@
+"""Text analysis: language-ID heuristic, quality features, token counts,
+fingerprints (portable min-shingle + winnowing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.ops.text import (
+    analyze_documents,
+    bpe_token_estimate,
+    detect_language,
+    min_shingle_fingerprint,
+    quality_features,
+    token_count,
+    winnow_fingerprint,
+)
+
+SENTS = [
+    (1, "the cat and the dog went to the house of friends", "en"),
+    (2, "der Hund und die Katze sind nicht in das Haus gegangen", "de"),
+    (3, "le chat et la souris sont dans les jardins est bien", "fr"),
+    (4, "el perro y la gata que viven con los vecinos es una historia", "es"),
+    (5, "zzz qqq xxx", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, t, _ in SENTS], "id long, text string")
+
+
+def test_language_id(docs):
+    got = {
+        r["id"]: r["lang"]
+        for r in docs.select("id", detect_language(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {i: lang for i, _, lang in SENTS}
+
+
+def test_token_counts(docs):
+    row = docs.filter("id = 1").select(
+        token_count(F.col("text")).alias("n"),
+        bpe_token_estimate(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["n"] == 11
+    assert row["bpe"] == -(-len(SENTS[0][1]) // 4)
+
+
+def test_quality_features_bounds(docs):
+    out = quality_features(docs).collect()
+    for r in out:
+        assert 0.0 <= r["q_alpha_ratio"] <= 1.0
+        assert 0.0 <= r["q_score"] <= 1.0
+    byid = {r["id"]: r for r in out}
+    # real sentences outscore junk
+    assert byid[1]["q_score"] > byid[5]["q_score"]
+
+
+def test_min_shingle_fingerprint_stable_and_discriminative(docs):
+    fp = docs.select("id", min_shingle_fingerprint(F.col("text")).alias("f"))
+    a = {r["id"]: r["f"] for r in fp.collect()}
+    b = {r["id"]: r["f"] for r in fp.collect()}
+    assert a == b  # deterministic
+    assert len(set(a.values())) == len(a)  # distinct docs -> distinct prints
+
+
+def test_winnow_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz" * 3), (2, "abcdefghijklmnopqrstuvwxyz" * 3), (3, "short")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["f"] for r in df.select("id", winnow_fingerprint(F.col("text")).alias("f")).collect()}
+    assert rows[1] == rows[2] and len(rows[1]) > 0  # deterministic
+    assert rows[3] == []  # below k-gram size
+    # identical prefix/suffix share most fingerprints (locality)
+    df2 = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz" * 3 + " tail change")], "id long, text string"
+    )
+    f2 = df2.select(winnow_fingerprint(F.col("text")).alias("f")).first()["f"]
+    shared = set(rows[1]) & set(f2)
+    assert len(shared) / len(set(rows[1])) > 0.7
+
+
+def test_analyze_documents_surface(docs):
+    out = analyze_documents(docs)
+    cols = set(out.columns)
+    assert {"lang_pred", "bpe_tokens", "fingerprint", "q_score"} <= cols
+    assert out.count() == len(SENTS)
