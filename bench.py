@@ -32,6 +32,10 @@ import tempfile
 import time
 
 
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -84,7 +88,9 @@ def bench_crawl(spark, sf: float, waves: int = 3) -> dict:
             sub_salts=16,
         )
         crawler = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
-        seeds = [f"http://h{h}.test/p/0.html" for h in range(min(4, spec.n_hosts))]
+        # one seed per host: the measurement covers steady-state wave
+        # throughput, not single-seed BFS ramp-up
+        seeds = [f"http://h{h}.test/p/0.html" for h in range(spec.n_hosts)]
         crawler.seed(seeds)
         t0 = time.time()
         stats = crawler.crawl(waves)
@@ -149,6 +155,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         df = fn(spark, sf_dir)
         n = df.count()
         out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+        _log(f"query {name}: {out[name]['sec']}s ({n} rows)")
     return out
 
 
@@ -158,9 +165,13 @@ def run_default() -> dict:
     sf = _sf_of(sf_dir)
     spark = _build_spark(cpus, shuffle_partitions=32)
     t0 = time.time()
+    _log("crawl_waves start")
     crawl = bench_crawl(spark, sf)
+    _log(f"crawl_waves done {crawl['sec']:.1f}s; frontier_dedup start")
     dedup = bench_frontier_dedup(spark, sf)
+    _log(f"frontier_dedup done {dedup['sec']:.1f}s; queries start")
     queries = bench_queries(spark, sf_dir)
+    _log("queries done")
     total = time.time() - t0
     qsec = {f"q_{k}": v["sec"] for k, v in queries.items()}
     qsec["crawl_waves"] = round(crawl["sec"], 3)

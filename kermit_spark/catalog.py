@@ -194,7 +194,13 @@ class SnapshotCatalog:
         base = os.path.join(self.root, table)
         staging = os.path.join(base, f"_staging_v{ver}")
         (
-            df.write.mode("overwrite")
+            # align data with the directory layout before the partitioned
+            # write: without this every task holds a writer for every
+            # partition dir (tasks × partitions small files + writer memory);
+            # with it each partition's rows land in one task → one file per
+            # partition. AQE may coalesce the exchange — still aligned.
+            df.repartition(F.col(PARTITION_COL))
+            .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(staging)
         )

@@ -81,38 +81,29 @@ def host_name(host_id) -> F.Column:
     return F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test"))
 
 
-def _pages_skeleton(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
-    """One row per (host_id, page_id), built from spark.range — the Zipf page
-    allocation is a host_id-indexed CASE expression (n_hosts is small; page
-    counts are data-parallel)."""
-    # rows: for each host, pages_for_host(h) pages. Use range over total and
-    # map rank -> (host, page) via precomputed offsets (broadcast-small).
-    offsets = []
-    acc = 0
-    for h in range(spec.n_hosts):
-        offsets.append((h, acc, spec.pages_for_host(h)))
-        acc += spec.pages_for_host(h)
-    total = acc
-    rows = spark.range(0, total, 1)
-    # host lookup: CASE WHEN id < off+cnt ... ; n_hosts <= a few hundred keeps
-    # the expression tree small; at larger host counts this would be a
-    # broadcast-joined offsets table instead.
-    # CASE chain must test the LARGEST offset first (WHEN branches are
-    # evaluated in order) — descending h, appended with .when()
-    hs = list(reversed(offsets))
-    host_expr = F.when(F.col("id") >= F.lit(hs[0][1]), F.lit(hs[0][0]))
-    for h, off, cnt in hs[1:]:
-        host_expr = host_expr.when(F.col("id") >= F.lit(off), F.lit(h))
-    host_expr = host_expr.otherwise(F.lit(0))
-    df = rows.select(
-        host_expr.cast("long").alias("host_id"),
-        F.col("id").alias("gid"),
+def _pages_per_host_expr(spec: CorpusSpec, host_id) -> F.Column:
+    """pages_for_host as pure arithmetic: max(1, base // (h+1)) — keeps the
+    expression tree O(1) regardless of host count (an n_hosts-deep CASE chain
+    here made whole-stage codegen compile for minutes at bench scale)."""
+    return F.greatest(
+        F.floor(F.lit(spec.base_pages) / (host_id + F.lit(1))).cast("long"),
+        F.lit(1).cast("long"),
     )
-    # page_id within host
-    off_expr = F.lit(0)
-    for h, off, cnt in reversed(offsets):
-        off_expr = F.when(F.col("host_id") == F.lit(h), F.lit(off)).otherwise(off_expr)
-    return df.select("host_id", (F.col("gid") - off_expr).alias("page_id"))
+
+
+def _pages_skeleton(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
+    """One row per (host_id, page_id): hosts × explode(sequence(0, pages-1)).
+    Repartitioned after the explode so the hot host's pages don't all sit in
+    one task (the generator has the same skew its consumers must handle)."""
+    hosts = spark.range(0, spec.n_hosts).select(
+        F.col("id").alias("host_id"),
+        _pages_per_host_expr(spec, F.col("id")).alias("n_pages"),
+    )
+    pages = hosts.select(
+        "host_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_pages") - 1)).alias("page_id"),
+    )
+    return pages.repartition(max(spark.sparkContext.defaultParallelism, 8))
 
 
 def _link_target_cols(spec: CorpusSpec, slot: int):
@@ -125,10 +116,7 @@ def _link_target_cols(spec: CorpusSpec, slot: int):
     tgt_host = F.when(
         sel < F.lit(spec.intra_host_eighths), h
     ).otherwise(F.pmod(_mix(seed, h, p, F.lit(slot), F.lit("xh")), F.lit(spec.n_hosts)))
-    # pages_for_host(tgt_host) as expression
-    pages_expr = F.lit(1)
-    for hh in reversed(range(spec.n_hosts)):
-        pages_expr = F.when(tgt_host == F.lit(hh), F.lit(spec.pages_for_host(hh))).otherwise(pages_expr)
+    pages_expr = _pages_per_host_expr(spec, tgt_host)
     tgt_page = F.pmod(_mix(seed, h, p, F.lit(slot), F.lit("pg")), pages_expr)
     return tgt_host, tgt_page
 

@@ -246,14 +246,24 @@ class Frontier:
         rows (status=scheduled)."""
         rows = as_frontier_rows(candidates, self.num_partitions, wave=wave)
         # within-batch dedup: keep the best row per URL under the dequeue
-        # order so discovery from multiple parents is deterministic
-        # referer as final tiebreaker: two discoveries of the same URL at the
-        # same (priority, depth, wave) differ only in referer — without it the
-        # surviving row (and its referer column) would be nondeterministic
-        wb = Window.partitionBy("url_hash", "url").orderBy(
-            *dequeue_order(), F.col("referer").asc_nulls_first()
+        # order so discovery from multiple parents is deterministic — as a
+        # min_by hash aggregation (partial map-side combine, no sort; a
+        # row_number window here cost a full sort shuffle). referer is the
+        # final tiebreaker: two discoveries of the same URL at the same
+        # (priority, depth, wave) differ only in referer, and without it the
+        # surviving row would be nondeterministic. Struct comparison is
+        # lexicographic with nulls first, matching asc_nulls_first.
+        order_key = F.struct(
+            (-F.col("priority")).alias("k1"),
+            F.col("depth").alias("k2"),
+            F.col("wave").alias("k3"),
+            F.col("referer").alias("k4"),
         )
-        rows = rows.withColumn("_rn", F.row_number().over(wb)).filter(F.col("_rn") == 1).drop("_rn")
+        rows = (
+            rows.groupBy("p", "url_hash", "url")
+            .agg(F.min_by(F.struct(*FRONTIER_COLS), order_key).alias("_r"))
+            .select("_r.*")
+        )
 
         bloom = self.catalog.read(URL_SEEN_TABLE)
         tagged = bloom_prefilter(rows, bloom)

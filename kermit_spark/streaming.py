@@ -1,0 +1,98 @@
+"""Structured Streaming surface — continuous variants of the batch wave ops.
+
+The reference's "streaming" is Node byte-streams (SURVEY §2.9: no watermarks,
+no stateful dataflow), and the engine's core loop is deliberately batch waves
+(SURVEY §7 architecture choice). This module covers the places where a
+production deployment genuinely benefits from Structured Streaming:
+
+  stream_schedule_urls   continuous frontier ingest: a file-source stream of
+                         newline-delimited URL lists (e.g. sitemap dumps,
+                         external seed feeds) is canonicalized and merged
+                         into the frontier through the SAME dedup path the
+                         batch waves use (foreachBatch → Frontier.schedule) —
+                         micro-batch = mini-wave, so politeness/dedup
+                         semantics stay identical and exactly-once comes from
+                         the snapshot commit + checkpoint pair.
+  fetch_metrics_stream   windowed fetch-health aggregation with a watermark:
+                         per (window, host) fetch counts / error rates over a
+                         stream of fetch-result events, tolerating late data.
+
+Both run on any streaming source with the right schema; tests drive them with
+the file source + ``processAllAvailable`` (no network, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .frontier import Frontier
+
+URL_FEED_SCHEMA = "url string"
+FETCH_EVENT_SCHEMA = "ts timestamp, url string, host string, status int, bytes long"
+
+
+def stream_schedule_urls(
+    spark: SparkSession,
+    frontier: Frontier,
+    feed_dir: str,
+    checkpoint_dir: str,
+    wave: int = 0,
+):
+    """Continuously merge a URL feed directory into the frontier.
+
+    Each micro-batch goes through ``Frontier.schedule`` — Bloom prefilter,
+    exact anti-join, partition-pruned snapshot commit — so a URL seen by any
+    prior wave or batch is dropped exactly like in batch mode. The streaming
+    checkpoint records the source offsets; replaying a failed micro-batch
+    re-runs an idempotent dedup-merge (duplicates are dropped), giving
+    effectively-once frontier inserts.
+    """
+    feed = (
+        spark.readStream.schema(URL_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .text(feed_dir)  # schema names the single text column 'url'
+        .filter(F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frontier.schedule(batch_df, wave=wave, properties={"stream_batch": batch_id})
+
+    return (
+        feed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fetch_metrics_stream(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window fetch metrics per host.
+
+    ``events`` is a streaming DataFrame with FETCH_EVENT_SCHEMA. Late events
+    within the watermark still land in their window; older ones are dropped —
+    the state store stays bounded no matter how long the crawl runs.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_errors"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetches",
+            "n_errors",
+            "total_bytes",
+        )
+    )
