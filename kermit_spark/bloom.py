@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -154,12 +155,61 @@ def merge_bloom(existing: DataFrame, new_rows: DataFrame, spec: BloomSpec) -> Da
     )
 
 
+def bloom_prefilter_broadcast(
+    candidates: DataFrame, bloom: DataFrame, max_broadcast_bytes: int = 512 << 20
+) -> DataFrame | None:
+    """Shuffle-free Bloom probe: collect the per-partition blobs (P × m/8
+    bytes — 32 MB at P=256/m=2^20, far under the cap), broadcast them, and
+    tag candidates map-side with a scalar pandas UDF. The candidate rows
+    never move — the cogroup variant repartitions the whole batch by ``p``
+    just to meet its blob, one full shuffle of every discovered link.
+
+    Returns None when the blob set exceeds ``max_broadcast_bytes`` (very
+    large P × m deployments) — callers fall back to the cogroup path, which
+    ships each blob once per partition instead of once per executor.
+    """
+    rows = bloom.select("p", "filter", "m_bits", "k_hashes").collect()
+    total = sum(len(r["filter"]) for r in rows if r["filter"] is not None)
+    if total > max_broadcast_bytes:
+        return None
+    blobs = {
+        int(r["p"]): (
+            np.frombuffer(r["filter"], dtype=np.uint8),
+            int(r["m_bits"]),
+            int(r["k_hashes"]),
+        )
+        for r in rows
+        if r["filter"] is not None
+    }
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(blobs)
+
+    def probe(p: pd.Series, h: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(p), dtype=bool)
+        pv = p.to_numpy(dtype=np.int64)
+        hv = h.to_numpy(dtype=np.int64)
+        for part in np.unique(pv):
+            entry = table.get(int(part))
+            if entry is None:
+                continue  # no blob -> definitely new (False)
+            bits, m, k = entry
+            mask = pv == part
+            out[mask] = _test_bits(bits, _probe_positions(hv[mask], m, k))
+        return pd.Series(out)
+
+    probe_udf = pandas_udf(probe, BooleanType())
+    return candidates.withColumn("maybe_seen", probe_udf(F.col("p"), F.col("url_hash")))
+
+
 def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     """Tag candidates with ``maybe_seen``: False ⇒ definitely not in the
     frontier (skip the anti-join); True ⇒ must be checked exactly.
 
     Cogroup by partition so each Arrow group pairs the candidate batch with
     exactly one (or zero) filter blob — the blob is never replicated per row.
+    (Fallback path for blob sets too large to broadcast; see
+    bloom_prefilter_broadcast.)
     """
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]

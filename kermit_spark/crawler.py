@@ -184,7 +184,9 @@ class Crawler:
             sub_salts=cfg.sub_salts,
             global_cap=cfg.global_cap,
         ).persist()
-        n_selected = selected.count()
+        # one action materializes the batch AND yields host list + count
+        per_host = selected.groupBy("p", "host").count().collect()
+        n_selected = sum(r["count"] for r in per_host)
         if n_selected == 0:
             selected.unpersist()
             return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)
@@ -194,9 +196,7 @@ class Crawler:
         n_blocked = 0
         to_fetch = selected
         if cfg.obey_robots:
-            hosts = [
-                (r["p"], r["host"]) for r in selected.select("p", "host").distinct().collect()
-            ]
+            hosts = [(r["p"], r["host"]) for r in per_host]
             rules = self._ensure_robots(hosts)
             if rules is not None:
                 allowed = robots_gate(selected, rules).persist()

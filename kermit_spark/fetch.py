@@ -58,18 +58,35 @@ class CorpusFetcher:
         self.broadcast_threshold_rows = broadcast_threshold_rows
 
     def fetch(self, selected: DataFrame) -> DataFrame:
+        """The wave batch is the small side (≤ Σ budgets); the corpus must be
+        streamed, never shuffled or broadcast.
+
+        An outer join can only broadcast its non-preserved side, which here
+        would be the corpus — so a single right-outer join cannot avoid
+        shuffling it (Spark ignores a broadcast hint on the preserved side).
+        Split instead: inner broadcast-hash join (corpus streamed once,
+        batch broadcast) for hits, plus a small-vs-small anti-join producing
+        the 404 rows for URLs absent from the corpus (dead links)."""
         left = selected.select(*SELECT_COLS)
-        right = self.corpus
-        # the wave batch is the small side (≤ Σ budgets); broadcast IT, not
-        # the corpus — Spark picks this up from AQE stats, but we keep the
-        # hint explicit since the asymmetry is structural, not statistical
-        joined = right.join(F.broadcast(left), left.url == right._c_url, "right")
-        return joined.select(
+        hits = self.corpus.join(
+            F.broadcast(left), left.url == self.corpus._c_url, "inner"
+        ).select(
             *SELECT_COLS,
-            F.coalesce(F.col("_c_status"), F.lit(404)).cast("int").alias("status"),
-            F.coalesce(F.col("_c_ct"), F.lit("text/plain")).alias("content_type"),
+            F.col("_c_status").cast("int").alias("status"),
+            F.col("_c_ct").alias("content_type"),
             F.col("_c_body").alias("body"),
         )
+        misses = left.join(
+            F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
+            left.url == F.col("_hit_url"),
+            "left_anti",
+        ).select(
+            *SELECT_COLS,
+            F.lit(404).alias("status"),
+            F.lit("text/plain").alias("content_type"),
+            F.lit(None).cast("string").alias("body"),
+        )
+        return hits.unionByName(misses)
 
 
 class HttpFetcher:

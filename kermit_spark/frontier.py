@@ -36,7 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .bloom import BloomSpec, bloom_prefilter, build_bloom, merge_bloom
+from .bloom import (
+    BloomSpec,
+    bloom_prefilter,
+    bloom_prefilter_broadcast,
+    build_bloom,
+    merge_bloom,
+)
 from .catalog import SnapshotCatalog
 from .functions.urls import host_of
 
@@ -212,6 +218,7 @@ class Frontier:
         self.catalog = catalog
         self.num_partitions = num_partitions
         self.bloom_spec = bloom_spec or BloomSpec()
+        self._pending_cache = None  # intra-commit cache (see _dedup_candidates)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -266,11 +273,31 @@ class Frontier:
         )
 
         bloom = self.catalog.read(URL_SEEN_TABLE)
-        tagged = bloom_prefilter(rows, bloom)
+        # broadcast probe keeps the candidate batch un-shuffled; cogroup
+        # fallback for blob sets too large to broadcast
+        tagged = bloom_prefilter_broadcast(rows, bloom)
+        if tagged is None:
+            tagged = bloom_prefilter(rows, bloom)
+        # persisted: materialized once for the candidate-bloom build, reused
+        # for the final union (commit_wave unpersists after the commit)
+        tagged = tagged.persist()
+        self._pending_cache = tagged
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        # reverse prefilter: a Bloom set of THIS batch's maybe-seen keys
+        # prunes the frontier side of the anti-join map-side. At 10^10
+        # frontier scale this is the decisive cut — the exact anti-join only
+        # needs frontier rows that could match the (budget-bounded) batch,
+        # ~batch-sized instead of frontier-sized. (Production variant:
+        # Iceberg bucket partitioning + storage-partitioned joins remove the
+        # remaining shuffle of the pruned side entirely.)
+        frontier_keys = self.read().select("p", "url_hash", "url")
+        cand_bloom = build_bloom(maybe.select("p", "url_hash"), self.bloom_spec)
+        pruned = bloom_prefilter_broadcast(frontier_keys, cand_bloom)
+        if pruned is not None:
+            frontier_keys = pruned.filter(F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(
-            self.read().select("p", "url_hash", "url"),
+            frontier_keys,
             on=["p", "url_hash", "url"],
             how="left_anti",
         )
@@ -301,14 +328,19 @@ class Frontier:
             updates = updates.select("p", "url_hash", "url", "new_status").persist()
 
         touched: set[int] = set()
+        n_new = 0
         if new_rows is not None:
-            touched |= {r["p"] for r in new_rows.select("p").distinct().collect()}
+            # one action yields both the touched-partition set and n_new
+            per_p = new_rows.groupBy("p").count().collect()
+            touched |= {r["p"] for r in per_p}
+            n_new = sum(r["count"] for r in per_p)
         if updates is not None:
             touched |= {r["p"] for r in updates.select("p").distinct().collect()}
         if not touched:
-            for df in (new_rows, updates):
+            for df in (new_rows, updates, self._pending_cache):
                 if df is not None:
                     df.unpersist()
+            self._pending_cache = None
             return 0
 
         tl = sorted(touched)
@@ -329,7 +361,6 @@ class Frontier:
         self.catalog.overwrite_partitions(
             FRONTIER_TABLE, merged.select(*FRONTIER_COLS), tl, properties=properties
         )
-        n_new = 0
         if new_rows is not None:
             bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
             new_bloom = merge_bloom(
@@ -338,10 +369,12 @@ class Frontier:
                 self.bloom_spec,
             )
             self.catalog.overwrite_partitions(URL_SEEN_TABLE, new_bloom, tl)
-            n_new = new_rows.count()
             new_rows.unpersist()
         if updates is not None:
             updates.unpersist()
+        if self._pending_cache is not None:
+            self._pending_cache.unpersist()
+            self._pending_cache = None
         return n_new
 
     def schedule(self, candidates: DataFrame, wave: int, properties: dict | None = None) -> int:

@@ -1,0 +1,123 @@
+"""Physical-plan shape assertions — the scale guarantees as tests.
+
+Correct results with a wrong plan melt down at 100 TB; these tests pin the
+plan properties the architecture depends on:
+  * frontier scans push the status predicate into the parquet reader and
+    prune partitions via the p column;
+  * the fetch join broadcasts the (small) wave batch, never the corpus;
+  * the robots-rules join is a broadcast;
+  * the frontier hot path stays inside whole-stage codegen (no Python
+    evaluation nodes);
+  * within-batch dedup is a hash aggregate (no sort node).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kermit_spark.catalog import SnapshotCatalog
+from kermit_spark.fetch import CorpusFetcher
+from kermit_spark.frontier import Frontier, Limit, Politeness, as_frontier_rows, dequeue
+from kermit_spark.robots import robots_gate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def frontier(spark, tmp_path_factory):
+    fr = Frontier(SnapshotCatalog(spark, str(tmp_path_factory.mktemp("plans"))), num_partitions=4)
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 3}.test/p/{i}.html",) for i in range(50)], "url string"
+    )
+    fr.init(urls)
+    return fr
+
+
+def test_status_filter_pushed_to_scan(frontier):
+    df = frontier.read().filter(F.col("status") == "scheduled")
+    plan = _explain_formatted(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(status,scheduled)" in plan, plan
+
+
+def test_partition_pruning_on_p(frontier):
+    df = frontier.read().filter(F.col("p") == 1)
+    plan = _explain_formatted(df)
+    # partition filter handled at planning: p must appear as a partition
+    # filter, not a data filter pushed into the row reader
+    import re
+
+    assert "PartitionFilters" in plan
+    assert re.search(r"\(p#\d+ = 1\)", plan), plan
+
+
+def test_fetch_join_broadcasts_wave_batch(spark, frontier):
+    corpus = spark.createDataFrame(
+        [("http://h0.test/p/0.html", 200, "text/html", "<html></html>")],
+        "url string, status int, content_type string, body string",
+    )
+    selected = dequeue(
+        frontier.read().filter(F.col("status") == "scheduled"),
+        Politeness((Limit(".*", 5),)),
+    )
+    fetched = CorpusFetcher(corpus).fetch(selected)
+    plan = _plan(fetched)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the build (broadcast) side must be the selected batch, not the corpus:
+    # corpus scan appears on the streamed side -> no Exchange over the corpus
+    assert "BroadcastExchange" in plan
+
+
+def test_robots_gate_is_broadcast_join(spark, frontier):
+    rules = spark.createDataFrame(
+        [("h0.test", ["/p/"])], "host string, prefixes array<string>"
+    )
+    gated = robots_gate(frontier.read(), rules)
+    assert "BroadcastHashJoin" in _plan(gated)
+
+
+def test_frontier_row_derivation_has_no_python_nodes(spark):
+    """as_frontier_rows (the hot candidate path) must stay JVM-side —
+    xxhash64/regexp, not Python UDFs (input_hint: no per-row Python)."""
+    urls = spark.createDataFrame([("http://a.test/x",)], "url string")
+    rows = as_frontier_rows(urls, 4, wave=0)
+    plan = _plan(rows)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{marker} found in frontier path:\n{plan}"
+
+
+def test_dequeue_uses_windows_not_python(frontier):
+    sel = dequeue(
+        frontier.read().filter(F.col("status") == "scheduled"),
+        Politeness((Limit(".*", 3),)),
+    )
+    plan = _plan(sel)
+    assert "Window" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_batch_dedup_is_hash_aggregate_without_sort(spark, frontier):
+    cand = spark.createDataFrame(
+        [("http://a.test/1", "http://r.test/")], "url string, referer string"
+    )
+    deduped = frontier._dedup_candidates(cand, wave=1)
+    plan = _plan(deduped)
+    # min_by replaced the row_number window (struct-buffer aggregates plan as
+    # SortAggregate — still cheaper than the window: partial map-side
+    # aggregation shrinks the shuffle, and no global per-key ordering pass)
+    assert "Aggregate" in plan
+    assert "Window" not in plan
+
+
+def test_wholestage_codegen_covers_frontier_scan(frontier):
+    df = frontier.read().filter(F.col("status") == "scheduled")
+    # '*(n)' prefixes mark whole-stage-codegen stages in the compact plan
+    assert "*(1)" in _plan(df)

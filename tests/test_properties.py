@@ -1,0 +1,76 @@
+"""Hypothesis property tests over the pure-python kernels (SURVEY §5 port
+plan goes beyond the reference here — it has no property-based testing).
+
+Driver-side pure functions only (no SparkSession per example — that would be
+minutes per property): URL cleaning, normalization idempotency, robots
+parsing, span extraction well-formedness, Bloom no-false-negatives.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kermit_spark.bloom import BloomSpec, _probe_positions, _set_bits, _test_bits
+from kermit_spark.functions.urls import _clean_one, _normalize_one
+from kermit_spark.parse import extract_spans_one
+from kermit_spark.robots import parse_robots_body
+
+url_path_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="/-._~"),
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(url_path_chars)
+def test_normalize_idempotent(path):
+    u = f"http://example.com/{path}"
+    once = _normalize_one(u)
+    assert _normalize_one(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(url_path_chars)
+def test_clean_output_absolute_or_none(href):
+    out = _clean_one("http://base.test/dir/page.html", href)
+    if out is not None:
+        assert out.startswith("http"), out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_clean_never_raises_on_garbage(href):
+    _clean_one("http://base.test/", href)  # must not raise
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_robots_parser_never_raises_and_returns_prefixes(body):
+    out = parse_robots_body(body)
+    assert all(isinstance(p, str) and p for p in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300))
+def test_spans_wellformed_on_arbitrary_text(body):
+    spans = extract_spans_one(body)
+    assert spans is not None
+    # offsets dense and ordered; kinds from the closed set; text spans carry
+    # text, ref spans carry media_ref (the input_hint span contract)
+    assert [s[3] for s in spans] == list(range(len(spans)))
+    for kind, text, ref, _ in spans:
+        assert kind in ("text", "link", "resource", "media")
+        if kind == "text":
+            assert text and ref is None
+        else:
+            assert ref is not None
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=500, unique=True))
+def test_bloom_never_false_negative(keys):
+    spec = BloomSpec(m_bits=1 << 14, k_hashes=7)
+    bits = np.zeros(spec.m_bits >> 3, dtype=np.uint8)
+    arr = np.array(keys, dtype=np.int64)
+    _set_bits(bits, _probe_positions(arr, spec.m_bits, spec.k_hashes))
+    assert _test_bits(bits, _probe_positions(arr, spec.m_bits, spec.k_hashes)).all()
