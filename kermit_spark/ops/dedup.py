@@ -202,11 +202,17 @@ simhash = pandas_udf(_simhash_batch, LongType())
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int = 100,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys (any
     pair within hamming ≤ 3 shares at least one exact band — pigeonhole), then
-    verify hamming distance on bucket-join candidates."""
+    verify hamming distance on bucket-join candidates.
+
+    ``max_bucket`` caps each (band, key) bucket — near-identical boilerplate
+    collapses to one simhash value and a B-doc bucket otherwise yields B²
+    pairs (observed: 1.8M pairs from 10k docs without the cap). Capped
+    buckets keep the lowest ids, preserving a canonical representative."""
     sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("sh"))
     bands = sh.select(
         "_id", "sh",
@@ -217,6 +223,12 @@ def simhash_candidates(
             ])
         ).alias("band", "key"),
     )
+    from pyspark.sql.window import Window
+
+    wcap = Window.partitionBy("band", "key").orderBy("_id")
+    bands = bands.withColumn("_rn", F.row_number().over(wcap)).filter(
+        F.col("_rn") <= max_bucket
+    ).drop("_rn")
     left = bands.select("band", "key", F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
     right = bands.select("band", "key", F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
     pairs = (
