@@ -13,3 +13,25 @@ point at the behavior being re-expressed, for parity review only.
 """
 
 __version__ = "0.1.0"
+
+from .catalog import SnapshotCatalog  # noqa: E402,F401
+from .corpus import CorpusSpec, build_corpus  # noqa: E402,F401
+from .crawler import (  # noqa: E402,F401
+    CrawlConfig,
+    Crawler,
+    ResultVerification,
+    WaveStats,
+)
+from .fetch import CorpusFetcher, HttpFetcher  # noqa: E402,F401
+from .filters import MimeTypes, UrlFilter, by_pattern  # noqa: E402,F401
+from .frontier import Frontier, Limit, Politeness  # noqa: E402,F401
+from .session import build_session  # noqa: E402,F401
+
+__all__ = [
+    "SnapshotCatalog", "CorpusSpec", "build_corpus",
+    "CrawlConfig", "Crawler", "ResultVerification", "WaveStats",
+    "CorpusFetcher", "HttpFetcher",
+    "MimeTypes", "UrlFilter", "by_pattern",
+    "Frontier", "Limit", "Politeness",
+    "build_session",
+]

@@ -63,6 +63,34 @@ ROBOTS_TABLE = "robots"
 
 
 @dataclass(frozen=True)
+class ResultVerification:
+    """F10 (ext.resultverifyer.coffee:11-35): content predicates over fetched
+    bodies. A row matching any ``good`` pattern passes outright; otherwise a
+    row matching any ``bad`` pattern is a verification failure: its URL goes
+    back to 'scheduled' (UrlStore.reschedule, QueueSystem.coffee:189-191) and
+    the crawl loop STOPS after the wave — bad content means something is
+    systematically wrong (blocked, captcha'd, mangled) and an operator must
+    intervene before budget is burned.
+
+    Verification runs BEFORE link discovery: links extracted from bad
+    content are not trusted into the frontier."""
+
+    good: tuple[str, ...] = ()
+    bad: tuple[str, ...] = ()
+
+    def bad_expr(self) -> F.Column | None:
+        if not self.bad:
+            return None
+        bad = None
+        for pat in self.bad:
+            e = F.col("body").rlike(pat)
+            bad = e if bad is None else (bad | e)
+        for pat in self.good:
+            bad = bad & ~F.col("body").rlike(pat)
+        return bad & F.col("body").isNotNull()
+
+
+@dataclass(frozen=True)
 class CrawlConfig:
     num_partitions: int = 32
     politeness: Politeness = field(default_factory=Politeness)
@@ -75,6 +103,7 @@ class CrawlConfig:
     obey_robots: bool = True
     user_agent: str = "kermit-spark"
     bloom: BloomSpec = field(default_factory=BloomSpec)
+    verification: ResultVerification | None = None
 
 
 @dataclass
@@ -86,6 +115,8 @@ class WaveStats:
     n_errors: int
     n_new_urls: int
     wall_s: float
+    n_verify_failed: int = 0
+    stop_requested: bool = False
 
 
 class Crawler:
@@ -213,6 +244,23 @@ class Crawler:
         # READY→FETCHING→FETCHED: fetch stage (S5/S8)
         fetched = self.fetcher.fetch(to_fetch)
 
+        # result verification (F10) — before discovery, so links from bad
+        # content never enter the frontier
+        verify_updates = None
+        n_verify_failed = 0
+        if cfg.verification is not None:
+            bad_expr = cfg.verification.bad_expr()
+            if bad_expr is not None:
+                fetched = fetched.withColumn("_verify_bad", bad_expr).persist()
+                bad_rows = fetched.filter(F.col("_verify_bad"))
+                n_verify_failed = bad_rows.count()
+                if n_verify_failed:
+                    verify_updates = bad_rows.select(
+                        "p", "url_hash", "url", F.lit(SCHEDULED).alias("new_status")
+                    )
+                    fetched = fetched.filter(~F.coalesce(F.col("_verify_bad"), F.lit(False)))
+                fetched = fetched.drop("_verify_bad")
+
         # FETCHED→COMPLETE: parse spans + store documents (X1-X5, S7);
         # documents table is partitioned by WAVE (append-only write pattern;
         # idempotent overwrite on wave re-run after a crash)
@@ -244,6 +292,8 @@ class Crawler:
         )
         if blocked_updates is not None:
             updates = updates.unionByName(blocked_updates)
+        if verify_updates is not None:
+            updates = updates.unionByName(verify_updates)
         n_new = self.frontier.commit_wave(
             updates, candidates, wave=wave, properties={"wave": wave}
         )
@@ -256,7 +306,11 @@ class Crawler:
         selected.unpersist()
         if to_fetch is not selected:
             to_fetch.unpersist()
-        return WaveStats(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
+        return WaveStats(
+            wave, n_selected, n_blocked, n_ok, n_err, n_new, wall,
+            n_verify_failed=n_verify_failed,
+            stop_requested=n_verify_failed > 0,
+        )
 
     def _append_lineage(
         self, wave: int, n_sel: int, n_blocked: int, n_ok: int, n_err: int, n_new: int, wall: float
@@ -293,6 +347,9 @@ class Crawler:
             if s.n_selected == 0:
                 break
             stats.append(s)
+            if s.stop_requested:
+                # F10: verification failure stops the crawler
+                break
         return stats
 
     # -- outputs -----------------------------------------------------------
