@@ -22,11 +22,11 @@ CorpusFetcher — the test/bench path: a join against the corpus table.
   never job failures).
 
 HttpFetcher — the production path: Arrow-batched ``mapInPandas`` where each
-  Python worker drains its batch with a bounded thread pool of keep-alive
-  HTTP connections (agent-pool analog, core.streaming.coffee:19-31). Network
-  is unavailable in this sandbox, so this class is import-gated and excluded
-  from tests; the Spark-side plumbing (schema, batching, partition layout) is
-  identical to CorpusFetcher's output contract.
+  Python worker drains its batch with a bounded thread pool of HTTP
+  connections (agent-pool analog, core.streaming.coffee:19-31).
+  Integration-tested against a localhost fixture server
+  (tests/test_http_fetcher.py — the Crawler.int.spec analog over real HTTP,
+  robots.txt included); outbound internet is unavailable in this sandbox.
 """
 
 from __future__ import annotations
@@ -90,8 +90,8 @@ class CorpusFetcher:
 
 
 class HttpFetcher:
-    """Live-HTTP fetcher over mapInPandas (UNTESTED here: no network in the
-    sandbox; kept import-safe and stdlib-only)."""
+    """Live-HTTP fetcher over mapInPandas (stdlib urllib; tested end-to-end
+    against a localhost fixture server in tests/test_http_fetcher.py)."""
 
     def __init__(self, timeout_s: float = 10.0, max_pool: int = 15, user_agent: str = "kermit-spark/0.1"):
         # max_pool mirrors the reference agent pool maxSockets=15

@@ -39,9 +39,11 @@ def url_hash(url: Column | str) -> Column:
 
 
 def host_of(url: Column | str) -> Column:
-    """Lower-cased authority host (no port/userinfo), JVM-side regex."""
+    """Lower-cased authority (host incl. any explicit port, no userinfo),
+    JVM-side regex. The port stays: politeness budgets and robots state are
+    per-authority — two services on one host are distinct crawl targets."""
     c = F.col(url) if isinstance(url, str) else url
-    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)", 1)
     return F.lower(host)
 
 
