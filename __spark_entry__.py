@@ -790,9 +790,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
             ),
             sess AS (
+                -- ::BIGINT: DuckDB's sum() yields HUGEINT (-> float64 in
+                -- pandas) while Spark's running sum over int is int64; the
+                -- values are identical, only the dtype differed (r1 finding)
                 SELECT user_id, ts_s,
                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -210,6 +211,13 @@ class SnapshotCatalog:
             part = entry.split("=", 1)[1]
             dest = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
             os.makedirs(os.path.dirname(dest), exist_ok=True)
+            # A run killed mid-commit (after some renames, before the
+            # _meta.json swap) leaves orphan v{ver} dirs that are NOT
+            # referenced by any snapshot — the re-run recomputes the same
+            # version and must be able to overwrite them, otherwise
+            # os.replace fails with ENOTEMPTY and resume breaks.
+            if os.path.exists(dest):
+                shutil.rmtree(dest, ignore_errors=True)
             os.replace(os.path.join(staging, entry), dest)
         # remove staging remnants (_SUCCESS etc.)
         for leftover in os.listdir(staging):

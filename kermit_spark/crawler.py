@@ -247,11 +247,13 @@ class Crawler:
         # result verification (F10) — before discovery, so links from bad
         # content never enter the frontier
         verify_updates = None
+        verify_cache = None  # hold the persisted DF so it can be unpersisted
         n_verify_failed = 0
         if cfg.verification is not None:
             bad_expr = cfg.verification.bad_expr()
             if bad_expr is not None:
-                fetched = fetched.withColumn("_verify_bad", bad_expr).persist()
+                verify_cache = fetched.withColumn("_verify_bad", bad_expr).persist()
+                fetched = verify_cache
                 bad_rows = fetched.filter(F.col("_verify_bad"))
                 n_verify_failed = bad_rows.count()
                 if n_verify_failed:
@@ -304,6 +306,8 @@ class Crawler:
         self._append_lineage(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
         docs.unpersist()
         selected.unpersist()
+        if verify_cache is not None:
+            verify_cache.unpersist()
         if to_fetch is not selected:
             to_fetch.unpersist()
         return WaveStats(

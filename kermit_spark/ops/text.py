@@ -18,12 +18,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-# small, discriminative stopword sets (word-boundary regexes below)
+# small, discriminative stopword sets (word-boundary regexes below).
+# THE canonical marker constant: __spark_entry__ queries and their DuckDB
+# oracles derive their regexes from this dict — keep the sets disjoint
+# enough to be discriminative (no marker appears in two languages).
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that"],
     "de": ["der", "die", "und", "ist", "nicht", "das"],
     "fr": ["le", "la", "et", "les", "des", "est"],
-    "es": ["el", "la", "que", "los", "una", "es"],
+    "es": ["el", "que", "los", "una", "es", "perro"],
 }
 
 
@@ -38,12 +41,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def detect_language(text: Column) -> Column:
     """argmax over marker counts; 'und' (undetermined) when all zero.
-    Ties break in fixed lang order (en, de, fr, es) — deterministic."""
+    Ties break in fixed lang order (en, de, fr, es) — deterministic:
+    iterating forward with a strict '>' means a later language only
+    displaces the incumbent when strictly higher, so the earliest
+    language keeps ties."""
     scores = lang_scores(text)
-    langs = list(LANG_MARKERS)
     best = F.lit("und")
     best_n = F.lit(0)
-    for lang in reversed(langs):  # reversed so earlier langs win ties
+    for lang in LANG_MARKERS:
         s = scores[lang]
         cond = s > best_n
         best = F.when(cond, F.lit(lang)).otherwise(best)
@@ -61,6 +66,15 @@ def bpe_token_estimate(text: Column) -> Column:
     return F.ceil(F.length(text) / F.lit(4.0)).cast("long")
 
 
+def round_half_up(x: Column, digits: int = 4) -> Column:
+    """Portable HALF_UP rounding: floor(x * 10^d + 0.5) / 10^d is
+    bit-identical in any IEEE-double engine, unlike round() (HALF_UP in
+    Spark vs banker's rounding elsewhere) — the property the DuckDB
+    correctness oracles rely on."""
+    scale = F.lit(float(10 ** digits))
+    return F.floor(x * scale + F.lit(0.5)) / scale
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + a composite score in [0, 1]:
     favors texts with healthy word length, some stopwords, low symbol
@@ -71,15 +85,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
     n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
     n_stop = _marker_count(t, LANG_MARKERS["en"])
-    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    mean_word_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
-    score = F.round(
+    alpha_ratio = round_half_up(n_alpha / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = round_half_up(n_stop / F.greatest(n_tokens, F.lit(1)))
+    punct_ratio = round_half_up(n_punct / F.greatest(n_chars, F.lit(1)))
+    mean_word_len = round_half_up(n_alpha / F.greatest(n_tokens, F.lit(1)))
+    score = round_half_up(
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.3)
         + alpha_ratio * F.lit(0.4)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3),
-        4,
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
     )
     return df.select(
         "*",

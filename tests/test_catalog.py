@@ -61,6 +61,21 @@ def test_resume_from_new_catalog_instance(spark, cat, tmp_path):
     assert [(r["k"], r["v"]) for r in cat2.read("t").collect()] == [(9, "z")]
 
 
+def test_rerun_after_kill_mid_commit_is_idempotent(spark, cat, tmp_path):
+    """A run killed between per-partition renames and the _meta.json swap
+    leaves orphan v{N} dirs; the re-run recomputes the same snapshot version
+    and must overwrite them (crash-resume contract)."""
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    # simulate the torn commit: v1 dir exists for p=1 but meta still says v0
+    orphan = os.path.join(str(tmp_path / "cat"), "t", "p=1", "v1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("torn")
+    cat.overwrite_partitions("t", _df(spark, [(1, 20, "B")]), [1])
+    got = sorted((r["p"], r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got == [(0, 1, "a"), (1, 20, "B")]
+
+
 def test_missing_table_raises(cat):
     with pytest.raises(FileNotFoundError):
         cat.read("nope")

@@ -36,6 +36,22 @@ def test_language_id(docs):
     assert got == {i: lang for i, _, lang in SENTS}
 
 
+def test_language_id_tie_breaks_in_fixed_order(spark):
+    """Equal nonzero scores resolve to the earliest language in
+    (en, de, fr, es) — the documented contract and what the DuckDB oracle's
+    'score_en >= ...' CASE produces."""
+    df = spark.createDataFrame(
+        [
+            (1, "the der"),       # en 1 vs de 1 -> en
+            (2, "der le"),        # de 1 vs fr 1 -> de
+            (3, "le el"),         # fr 1 vs es... 'el' es-marker -> fr wins tie
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", detect_language(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
 def test_token_counts(docs):
     row = docs.filter("id = 1").select(
         token_count(F.col("text")).alias("n"),
