@@ -328,8 +328,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (engine-only: vectorized numpy UDF — no SQL
-    oracle; rows-only check)."""
+    """SimHash near-dup pairs through the library pipeline (pure-JVM simhash
+    with the portable md5 bit family, 4×16-bit banding, capped buckets,
+    hamming verify) — fully oracle-checked: DuckDB reproduces the identical
+    bits from md5 hex digits."""
     from kermit_spark.ops.dedup import simhash_candidates
 
     docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -696,6 +698,51 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
             ORDER BY a, b
         """,
+        "dedup_simhash": f"""
+            WITH {_MUTANTS_DUCK},
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+                FROM docs
+            ),
+            th AS (SELECT doc_id, substring(md5(t), 1, 16) AS h FROM tok),
+            votes AS (
+                SELECT doc_id, bb.b AS b,
+                       sum(2 * (((strpos('0123456789abcdef', substring(h, 1 + bb.b // 4, 1)) - 1)
+                                 >> (3 - bb.b % 4)) & 1) - 1) AS v
+                FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                GROUP BY doc_id, bb.b
+            ),
+            sim AS (
+                SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bits
+                FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, kk.k AS k, substring(bits, 1 + kk.k * 16, 16) AS key
+                FROM sim, (SELECT unnest(generate_series(0, 3)) AS k) kk
+            ),
+            capped AS (
+                SELECT doc_id, k, key FROM (
+                    SELECT doc_id, k, key,
+                           row_number() OVER (PARTITION BY k, key ORDER BY doc_id) AS rn
+                    FROM bands
+                ) WHERE rn <= 100
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM capped l JOIN capped r
+                  ON l.k = r.k AND l.key = r.key AND l.doc_id < r.doc_id
+            )
+            SELECT c.a, c.b,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> CASE WHEN substring(sa.bits, i, 1) = substring(sb.bits, i, 1)
+                                  THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+            FROM cand c
+            JOIN sim sa ON sa.doc_id = c.a
+            JOIN sim sb ON sb.doc_id = c.b
+            WHERE hamming <= 8
+            ORDER BY a, b
+        """,
         "embedding_near_dup": """
             WITH v AS (
                 SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -813,6 +860,6 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0, 20, 10)) AS t(frame_no)
             ORDER BY media_id, frame_no
         """,
-        # rows-only (engine-only pipelines): crawl_wave, dedup_simhash,
-        # ann_lsh_topk, media_features — intentionally omitted.
+        # rows-only (engine-only pipelines): crawl_wave, ann_lsh_topk,
+        # media_features — intentionally omitted.
     }

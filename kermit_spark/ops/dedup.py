@@ -9,8 +9,9 @@ Five strategies, ordered by cost, all over a (id, text) DataFrame:
                        the only shuffle keys are (band, band_signature);
                        no O(n²) comparison ever materializes
   ngram_jaccard_pairs  exact Jaccard verification for candidate pairs
-  simhash              64-bit SimHash per doc (vectorized numpy UDF) +
-                       hamming-distance candidate pairs via band buckets
+  simhash              64-bit SimHash per doc (pure JVM higher-order fns,
+                       portable md5 bit family) + hamming-distance candidate
+                       pairs via band buckets
   embedding_near_dup   cosine near-duplicates over an embedding column,
                        bucketed by random-hyperplane LSH sign bits
 
@@ -28,11 +29,8 @@ Scale notes (100 TB corpus):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 
 # ---------------------------------------------------------------------------
@@ -170,35 +168,44 @@ def minhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized numpy)
+# SimHash (pure JVM, portable md5-derived bit family)
 # ---------------------------------------------------------------------------
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens: per token a stable 64-bit hash
-    (blake2b-8byte), bit-votes summed, sign → bit. Vectorized per batch."""
-    import hashlib
+def simhash(text: Column) -> Column:
+    """64-bit SimHash over distinct word tokens — one JVM expression, zero
+    shuffle, no Python anywhere (replaces a per-row/per-token pandas loop).
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in set(str(t).lower().split()):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            ))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes += np.where(bits == 1, 1, -1)
-        sim = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sim |= 1 << b
-        out[i] = np.int64(np.uint64(sim).astype(np.int64))
-    return pd.Series(out)
+    Token hash family: the first 16 hex chars of md5(token), read as 64 bits
+    MSB-first. Bit b of a token = bit (3 - b%4) of hex digit b//4. Per bit,
+    distinct tokens vote +1/-1; the document bit is 1 iff the vote sum is
+    positive. The family is bit-identical in any engine with md5 + string
+    ops, so a DuckDB oracle reproduces the exact simhash (same trick as the
+    md5-min MinHash family above).
 
-
-simhash = pandas_udf(_simhash_batch, LongType())
+    Null text → null simhash; a text with zero [a-z0-9] tokens → 0.
+    """
+    t = _sql(text)
+    tokens = f"array_distinct(regexp_extract_all(lower({t}), '[a-z0-9]+', 0))"
+    hexes = f"transform({tokens}, tok -> substring(md5(tok), 1, 16))"
+    bit = (
+        "shiftright(cast(conv(substring(h, 1 + cast(b / 4 as int), 1), 16, 10) as int),"
+        " 3 - b % 4) & 1"
+    )
+    votes = (
+        f"aggregate({hexes}, array_repeat(0, 64), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, 63), b -> 2 * ({bit}) - 1), "
+        f"(x, y) -> x + y))"
+    )
+    # MSB-first: vote index 0 -> bit 63 of the long (sign bit; arithmetic sum
+    # of distinct powers of two is carry-free, so the two's-complement value
+    # comes out exactly)
+    sim = (
+        f"aggregate(zip_with({votes}, sequence(63, 0, -1), "
+        f"(v, sh) -> if(v > 0, shiftleft(cast(1 as bigint), sh), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return F.expr(sim)
 
 
 def simhash_candidates(
@@ -218,7 +225,9 @@ def simhash_candidates(
         "_id", "sh",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                # band k = bits [16k, 16k+16) MSB-first — matches the oracle's
+                # substring(bitstring, 1 + k*16, 16)
+                F.shiftrightunsigned(F.col("sh"), 48 - b * 16).bitwiseAND(F.lit(0xFFFF))
                 for b in range(4)
             ])
         ).alias("band", "key"),
