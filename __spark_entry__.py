@@ -8,10 +8,13 @@ span parse → Bloom-dedup → frontier merge) and returns the crawled documents
 
 ``queries``/``oracle_sql`` expose the SURVEY §2 operator surface plus the
 training-data pipeline ops (dedup / similarity / text analysis / multimodal
-plumbing) over the driver testdata tables, each with a DuckDB-checkable
-ANSI-SQL oracle where the semantics are SQL-expressible; engine-only
-pipelines (full crawl wave, SimHash pandas UDF, numpy-plane LSH) are
-rows-only entries.
+plumbing) over the driver testdata tables. Every oracle-checked query CALLS
+THE kermit_spark LIBRARY (frontier.dequeue, Frontier.schedule, robots_gate,
+ops.dedup/*, ops.text/*, ops.media.frame_sample, streaming batch ops,
+metrics) with parameters whose semantics a DuckDB ANSI-SQL oracle can state
+independently — the correctness gate certifies the engine code, not inline
+re-implementations. Engine-only pipelines (full crawl wave, numpy-plane
+LSH, stubbed media decode) are rows-only entries.
 """
 
 from __future__ import annotations
@@ -93,83 +96,120 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6/F8 canonicalization contract in portable form: lowercase scheme+
-    host, strip fragment, drop default port (the pandas-UDF path covers the
-    full RFC semantics; golden-tested in tests/test_url_clean.py)."""
+    """F6/F8 canonicalization through the REAL library UDF: synthetic
+    messy URLs (uppercase scheme/host, explicit default port) run through
+    kermit_spark.functions.urls.normalize_urls (the Arrow-batched RFC 3986
+    normalizer every frontier URL passes through); the oracle states the
+    expected lowercase/port-stripped form in plain SQL."""
+    from kermit_spark.functions.urls import normalize_urls
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     raw = F.concat(
         F.lit("HTTP://H"), F.pmod(F.col("o_custkey"), F.lit(50)).cast("string"),
-        F.lit(".TEST:80/o/"), F.col("o_orderkey").cast("string"), F.lit("#frag"),
+        F.lit(".TEST:80/o/"), F.col("o_orderkey").cast("string"),
     )
-    url = F.regexp_replace(raw, r"#.*$", "")
-    url = F.regexp_replace(url, r":80/", "/")
     return (
-        orders.select(F.col("o_orderkey").alias("okey"), F.lower(url).alias("canon_url"))
+        orders.select(F.col("o_orderkey").alias("okey"), normalize_urls(raw).alias("canon_url"))
         .orderBy("okey")
         .limit(1000)
     )
 
 
 def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 URL-seen dedup as exact anti-join: candidate URLs from lineitem
-    (duplicate orderkeys collapse), minus already-seen, counted per host."""
+    """Q1 URL-seen dedup through the REAL frontier: init a snapshot-backed
+    frontier with the already-seen URLs, then Frontier.schedule the candidate
+    batch (within-batch min_by dedup → Bloom prefilter → reverse-pruned exact
+    anti-join → partitioned commit); the newly scheduled wave-1 rows are
+    counted per host. Oracle: the same set algebra in SQL."""
+    import tempfile
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import Frontier
+
+    def url_of(okey):
+        return F.concat(
+            F.lit("http://h"), F.pmod(okey, F.lit(20)).cast("string"),
+            F.lit(".test/o/"), okey.cast("string"),
+        )
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cand = li.select(
-        F.pmod(F.col("l_orderkey"), F.lit(20)).cast("long").alias("host_id"),
-        F.col("l_orderkey").alias("okey"),
-    ).dropDuplicates(["okey"])
     seen = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0).select(
-        F.col("o_orderkey").alias("okey")
+        url_of(F.col("o_orderkey")).alias("url")
     )
-    new = cand.join(seen, "okey", "left_anti")
-    return new.groupBy("host_id").agg(F.count("*").alias("n_new")).orderBy("host_id")
+    cand = li.select(url_of(F.col("l_orderkey")).alias("url"))
+    fr = Frontier(
+        SnapshotCatalog(spark, tempfile.mkdtemp(prefix="kermit_corr_")), num_partitions=8
+    )
+    fr.init(seen)
+    fr.schedule(cand, wave=1)
+    return (
+        fr.read()
+        .filter(F.col("wave") == 1)
+        .select(F.regexp_extract("host", r"h(\d+)", 1).cast("long").alias("host_id"))
+        .groupBy("host_id")
+        .agg(F.count("*").alias("n_new"))
+        .orderBy("host_id")
+    )
 
 
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5/Q9 deterministic per-host top-k dequeue: budget 3 per host."""
+    """Q5/Q9 politeness dequeue through the REAL two-level top-k
+    (frontier.dequeue): budget 3 per host, deterministic (priority DESC,
+    url_hash ASC) order — the oracle is a plain ranking window."""
+    from kermit_spark.frontier import Limit, Politeness, dequeue
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host_id = F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")
     elig = orders.select(
-        F.pmod(F.col("o_custkey"), F.lit(25)).cast("long").alias("host_id"),
+        host_id.alias("host_id"),
+        F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test")).alias("host"),
+        F.col("o_orderkey").alias("url_hash"),  # deterministic tiebreak key
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("wave"),
     )
-    w = Window.partitionBy("host_id").orderBy(F.col("priority").desc(), F.col("okey").asc())
+    selected = dequeue(elig, Politeness((Limit(".*", 3),)))
     return (
-        elig.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("host_id", "rnk", "okey", "priority")
+        selected.select("host_id", F.col("rank").alias("rnk"), "okey", "priority")
         .orderBy("host_id", "rnk")
     )
 
 
 def q_phase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 monitoring counters: per-phase counts + duration stats."""
+    """A1/A2 monitoring counters through kermit_spark.metrics.phase_stats:
+    per-phase counts + duration stats."""
+    from kermit_spark.metrics import phase_stats
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy(F.col("event_type").alias("phase"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("value"), 4).alias("min_v"),
-            F.round(F.max("value"), 4).alias("max_v"),
-            F.round(F.avg("value"), 4).alias("avg_v"),
-        )
-        .orderBy("phase")
-    )
+    return phase_stats(ev, phase_col="event_type", value_col="value").orderBy("phase")
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 robots prefix gating in relational form: URLs per host, disallow
-    prefix '/o/1' for every host with host_id % 5 == 2."""
+    """Q12 robots prefix gating through the REAL robots_gate (broadcast
+    rules join + JVM exists/startswith over parse_url PATH): disallow prefix
+    '/o/1' for every host with host_id % 5 == 2."""
+    from kermit_spark.robots import robots_gate
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host_id = F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")
     urls = orders.select(
-        F.pmod(F.col("o_custkey"), F.lit(25)).cast("long").alias("host_id"),
-        F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("path"),
-        F.col("o_orderkey").alias("okey"),
+        host_id.alias("host_id"),
+        F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("http://h"), host_id.cast("string"), F.lit(".test/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
     )
-    blocked = (F.pmod(F.col("host_id"), F.lit(5)) == 2) & F.col("path").startswith("/o/1")
+    rules = spark.range(25).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.when(F.pmod(F.col("id"), F.lit(5)) == 2, F.array(F.lit("/o/1")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("prefixes"),
+    )
     return (
-        urls.filter(~blocked)
+        robots_gate(urls, rules)
         .groupBy("host_id")
         .agg(F.count("*").alias("n_allowed"))
         .orderBy("host_id")
@@ -177,10 +217,13 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 wave assignment (BFS by link depth) in relational form: node i
-    links to (7i+1)%M and (13i+3)%M; depth = first-discovery wave from seed
-    node 0, capped at 6 waves. Spark: iterative frontier joins (the engine's
-    wave loop); oracle: recursive CTE."""
+    """§2.8 wave assignment (BFS by link depth) through the REAL library
+    operator (kermit_spark.ops.graph.bfs_depths — the engine's wave fixpoint
+    with fetching stripped out): node i links to (7i+1)%M and (13i+3)%M;
+    depth = first-discovery wave from seed node 0, capped at 6 waves.
+    Oracle: recursive CTE."""
+    from kermit_spark.ops.graph import bfs_depths
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     m = cust.count()
     nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
@@ -192,25 +235,9 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(F.col("node") * 13 + 3, F.lit(m)),
             )
         ).alias("dst"),
-    ).distinct().persist()
-    seen = spark.createDataFrame([(0, 0)], "node long, depth int").localCheckpoint()
-    frontier = seen
-    for depth in range(1, 7):
-        # localCheckpoint truncates the lineage each iteration — without it
-        # the plan (and re-analysis cost) doubles per wave
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(seen.select("node"), "node", "left_anti")
-            .select("node", F.lit(depth).alias("depth"))
-            .localCheckpoint()
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        seen = seen.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    edges.unpersist()
+    ).distinct()
+    seeds = spark.createDataFrame([(0,)], "node long")
+    seen = bfs_depths(edges, seeds, max_depth=6)
     return seen.groupBy("depth").agg(
         F.count("*").alias("n_nodes"), F.min("node").alias("min_node"), F.max("node").alias("max_node")
     ).orderBy("depth")
@@ -222,10 +249,14 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup through the REAL library op (hash-groupBy on the 16-byte
+    digest, text never shuffled)."""
+    from kermit_spark.ops.dedup import exact_dedup
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        docs.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        exact_dedup(docs, id_col="doc_id", text_col="text")
+        .select(F.col("content_hash").alias("h"), "keep_id", "n_copies")
         .orderBy("keep_id")
     )
 
@@ -240,64 +271,38 @@ def _docs_with_mutants(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(mut)
 
 
-_SHINGLE_SQL = "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-
-
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard between each doc and its truncated mutant — exact
-    set-overlap dedup metric over 5-gram shingles."""
+    """n-gram Jaccard between each doc and its truncated mutant through the
+    REAL library ops (shingles + ngram_jaccard pair verification)."""
+    from kermit_spark.ops.dedup import ngram_jaccard, shingles
+
     docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    sh = docs.select("doc_id", F.expr(_SHINGLE_SQL).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select((F.col("doc_id") - 100000).alias("a"), F.col("sh").alias("sh_b"))
-    j = a.join(b, "a")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return j.select(
-        F.col("a").alias("doc_a"),
-        (F.col("a") + 100000).alias("doc_b"),
-        F.round(inter / union, 6).alias("jaccard"),
-    ).orderBy("doc_a")
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(F.col("text"), k=5).alias("shingles"))
+    pairs = docs.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("a"), F.col("doc_id").alias("b")
+    )
+    return (
+        ngram_jaccard(pairs, sh, "id")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard")
+        .orderBy("doc_a")
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: 16 md5-min hashes, 4 bands × 4 rows;
-    pairs sharing any band signature. The md5-min family is engine-portable,
-    so DuckDB reproduces the identical signatures and pairs."""
+    """MinHash+LSH candidate pairs through the REAL library pipeline
+    (add_minhash with stride-4 shingle sampling + lsh_candidates banding with
+    the capped-bucket rule): 8 md5-min hashes, 2 bands × 4 rows. The md5-min
+    family is engine-portable, so DuckDB reproduces the identical signatures,
+    bands, cap, and pairs."""
+    from kermit_spark.ops.dedup import add_minhash, lsh_candidates
+
     docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    # stride-4 shingle sampling: minhash cost is O(|shingles| x num_hashes)
-    # md5 calls; sampling every 4th position keeps the Jaccard estimate
-    # (uniform sample of the shingle set) at a quarter of the hash work
-    sampled = (
-        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1), 4), "
-        "i -> substring(text, i, 5)))"
+    sigs = add_minhash(
+        docs.withColumnRenamed("doc_id", "id"), "text", k=5, num_hashes=8, stride=4
     )
-    sig = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, 7), "
-            f"i -> array_min(transform({sampled}, s -> md5(concat(cast(i as string), ':', s)))))"
-        ).alias("sig"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 1), b -> struct(b as band, "
-                "concat_ws('|', slice(sig, b * 4 + 1, 4)) as band_sig))"
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    left = bands.select("band", "band_sig", F.col("doc_id").alias("a"))
-    right = bands.select("band", "band_sig", F.col("doc_id").alias("b"))
-    pairs = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .orderBy("a", "b")
-    )
-    return pairs
+    return lsh_candidates(
+        sigs, "id", num_bands=2, rows_per_band=4, max_bucket=50
+    ).orderBy("a", "b")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,81 +390,63 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data ops: text analysis
 # ---------------------------------------------------------------------------
 
-_LANGS = {
-    "en": "the|and|of|to|is|that",
-    "de": "der|die|und|ist|nicht|das",
-    "fr": "le|la|et|les|des|est",
-    "es": "el|que|los|una|es|perro",
-}
-
-
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID by stopword-marker counts (argmax, fixed tie order)."""
+    """Language-ID through the REAL library heuristic (lang_scores +
+    detect_language over the canonical LANG_MARKERS constant; the oracle
+    regexes are generated from the same constant)."""
+    from kermit_spark.ops.text import LANG_MARKERS, detect_language, lang_scores
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scores = {
-        lang: F.regexp_count(F.col("text"), F.lit(rf"(?i)\b({pat})\b"))
-        for lang, pat in _LANGS.items()
-    }
-    best, best_n = F.lit("und"), F.lit(0)
-    for lang in reversed(list(_LANGS)):
-        cond = scores[lang] > best_n
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_n = F.when(cond, scores[lang]).otherwise(best_n)
+    scores = lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
-        best.alias("lang_pred"),
-        *[scores[lang].alias(f"score_{lang}") for lang in _LANGS],
+        detect_language(F.col("text")).alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
     ).orderBy("doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: token/alpha/punct/stopword ratios + composite score."""
+    """Quality features through the REAL library op (quality_features uses
+    the portable half-up rounding so the DuckDB oracle is bit-identical)."""
+    from kermit_spark.ops.text import quality_features
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_tokens = F.regexp_count(t, F.lit(r"[A-Za-z0-9]+"))
-    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
-    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
-    n_stop = F.regexp_count(t, F.lit(r"(?i)\b(the|and|of|to|is|that)\b"))
-    # portable half-up rounding: floor(x*1e4 + 0.5)/1e4 is bit-identical in
-    # any IEEE-double engine, unlike round() (HALF_UP vs banker's rounding)
-    pr = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
-    alpha_ratio = pr(n_alpha / F.greatest(n_chars, F.lit(1)))
-    stop_ratio = pr(n_stop / F.greatest(n_tokens, F.lit(1)))
-    score = pr(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.3)
-        + alpha_ratio * F.lit(0.4)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    return (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            F.col("q_chars").alias("n_chars2"),
+            F.col("q_tokens").alias("n_tokens"),
+            F.col("q_alpha_ratio").alias("alpha_ratio"),
+            F.col("q_punct_ratio").alias("punct_ratio"),
+            F.col("q_stop_ratio").alias("stop_ratio"),
+            "q_score",
+        )
+        .orderBy("doc_id")
     )
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars2"),
-        n_tokens.alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        pr(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        score.alias("q_score"),
-    ).orderBy("doc_id")
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: regex word tokens + BPE-ish chars/4 estimate."""
+    """Token counting through the REAL library fns (word regex + chars/4)."""
+    from kermit_spark.ops.text import bpe_token_estimate, token_count
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+")).alias("word_tokens"),
-        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est"),
+        token_count(F.col("text")).alias("word_tokens"),
+        bpe_token_estimate(F.col("text")).alias("bpe_est"),
     ).orderBy("doc_id")
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable document fingerprint: 4 smallest md5(8-gram) digests."""
+    """Portable document fingerprint through the REAL library op (4 smallest
+    md5(8-gram) digests)."""
+    from kermit_spark.ops.text import min_shingle_fingerprint
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))"
-    )
-    fp = F.concat_ws("", F.slice(F.array_sort(F.array_distinct(sh)), 1, 4))
-    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return docs.select(
+        "doc_id", min_shingle_fingerprint(F.col("text"), k=8, n_mins=4).alias("fingerprint")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -468,40 +455,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful sessionization in batch form: a session breaks after a 30-min
-    gap per user; report per-session event counts and bounds."""
+    """Stateful sessionization through the REAL library op
+    (streaming.sessionize_events, batch form of the stateful streaming
+    operator): a session breaks after a 30-min gap per user."""
+    from kermit_spark.streaming import sessionize_events
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    e = ev.select("user_id", F.col("ts").cast("timestamp").cast("double").alias("ts_s"), "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    gap = F.col("ts_s") - F.lag("ts_s").over(w)
-    flagged = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.min("ts_s"), 3).alias("t_start"),
-            F.round(F.max("ts_s"), 3).alias("t_end"),
-        )
-        .orderBy("user_id", "session_id")
-    )
+    return sessionize_events(ev, gap_s=1800).orderBy("user_id", "session_id")
 
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregation per event type (watermark-style
-    windowed agg in its batch form)."""
+    """Tumbling 1-hour window aggregation through the REAL library op
+    (streaming.windowed_event_counts, batch form of the watermarked agg)."""
+    from kermit_spark.streaming import windowed_event_counts
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    bucket = (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600) * 3600).cast("long")
-    return (
-        ev.groupBy(bucket.alias("window_start"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
-        .orderBy("window_start", "event_type")
-    )
+    return windowed_event_counts(ev, window_s=3600).orderBy("window_start", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -510,20 +479,16 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan: 3 frames every 10th index per media object
+    """Video frame-sampling plan through the REAL library op
+    (ops.media.frame_sample): 3 frames every 10th index per media object
     (media ids derived from part names)."""
+    from kermit_spark.ops.media import frame_sample
+
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     media = part.select(F.md5(F.col("p_name")).alias("media_id"))
     return (
-        media.select(
-            "media_id",
-            F.explode(F.sequence(F.lit(0), F.lit(20), F.lit(10))).alias("frame_no"),
-        )
-        .select(
-            "media_id",
-            "frame_no",
-            F.concat(F.col("media_id"), F.lit("#f"), F.col("frame_no").cast("string")).alias("frame_ref"),
-        )
+        frame_sample(media, every_n=10, max_frames=3)
+        .select("media_id", "frame_no", "frame_ref")
         .orderBy("media_id", "frame_no")
     )
 
@@ -592,6 +557,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SHINGLE_DUCK = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
 
+def _langid_score_sql() -> str:
+    """Score columns for the text_langid oracle, generated from the SAME
+    LANG_MARKERS constant the library query uses — one source of truth."""
+    from kermit_spark.ops.text import LANG_MARKERS
+
+    return ",\n                       ".join(
+        "len(regexp_extract_all(text, '(?i)\\b(" + "|".join(ws) + ")\\b')) AS score_" + lang
+        for lang, ws in LANG_MARKERS.items()
+    )
+
+
 _MUTANTS_DUCK = """
         docs AS (
             SELECT doc_id, text FROM documents
@@ -606,9 +582,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "url_canonicalize": """
             SELECT o_orderkey AS okey,
-                   lower(regexp_replace(regexp_replace(
-                       'HTTP://H' || (o_custkey % 50) || '.TEST:80/o/' || o_orderkey || '#frag',
-                       '#.*$', ''), ':80/', '/')) AS canon_url
+                   lower(regexp_replace(
+                       'HTTP://H' || (o_custkey % 50) || '.TEST:80/o/' || o_orderkey,
+                       ':80/', '/')) AS canon_url
             FROM orders ORDER BY okey LIMIT 1000
         """,
         "frontier_dedup": """
@@ -692,9 +668,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, b AS band,
                        array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
                 FROM sig, unnest(generate_series(0, 1)) AS t(b)
+            ),
+            -- mirror of the library's max_bucket=50 cap (lowest ids kept)
+            capped AS (
+                SELECT doc_id, band, band_sig FROM (
+                    SELECT doc_id, band, band_sig,
+                           row_number() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+                    FROM bands
+                ) WHERE rn <= 50
             )
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r
+            FROM capped l JOIN capped r
               ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
             ORDER BY a, b
         """,
@@ -775,10 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id,
-                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS score_en,
-                       len(regexp_extract_all(text, '(?i)\b(der|die|und|ist|nicht|das)\b')) AS score_de,
-                       len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est)\b')) AS score_fr,
-                       len(regexp_extract_all(text, '(?i)\b(el|que|los|una|es|perro)\b')) AS score_es
+                       """ + _langid_score_sql() + r"""
                 FROM documents
             )
             SELECT doc_id,

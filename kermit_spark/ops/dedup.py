@@ -51,12 +51,17 @@ def exact_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Da
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column, k: int = 5) -> Column:
+def shingles(text: Column, k: int = 5, stride: int = 1) -> Column:
     """Distinct character k-shingles as an array (JVM transform/sequence —
-    one pass, no Python)."""
+    one pass, no Python).
+
+    ``stride`` > 1 samples every stride-th shingle position — a uniform
+    sample of the shingle set, so the downstream MinHash Jaccard estimate is
+    unbiased at 1/stride of the hash work (the knob that matters at corpus
+    scale, where md5 arithmetic dominates the signature stage)."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({_sql(text)}) - {k - 1}, 1)), "
+            f"transform(sequence(1, greatest(length({_sql(text)}) - {k - 1}, 1), {stride}), "
             f"i -> substring({_sql(text)}, i, {k}))"
         )
     )
@@ -87,8 +92,9 @@ def add_minhash(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 16,
+    stride: int = 1,
 ) -> DataFrame:
-    return df.withColumn("shingles", shingles(F.col(text_col), k)).withColumn(
+    return df.withColumn("shingles", shingles(F.col(text_col), k, stride)).withColumn(
         "minhash", minhash_signature("shingles", num_hashes)
     )
 
@@ -98,7 +104,7 @@ def lsh_candidates(
     id_col: str = "id",
     num_bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int = 50,
+    max_bucket: int | None = 50,
 ) -> DataFrame:
     """Band the signature, bucket-join, emit candidate pairs (a < b).
 
@@ -106,6 +112,7 @@ def lsh_candidates(
     B docs yields B² pairs — at corpus scale one mega-bucket would dominate
     the stage. Capped buckets keep the deterministically-first members
     (ordered by id), which preserves dedup transitivity for the kept set.
+    ``None`` disables the cap (exact candidate set, small corpora only).
     """
     bands = with_sig.select(
         F.col(id_col).alias("_id"),
@@ -116,12 +123,13 @@ def lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
-    from pyspark.sql.window import Window
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy("band", "band_sig").orderBy("_id")
-    bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= max_bucket
-    )
+        w = Window.partitionBy("band", "band_sig").orderBy("_id")
+        bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_bucket
+        )
     left = bands.select("band", "band_sig", F.col("_id").alias("a"))
     right = bands.select("band", "band_sig", F.col("_id").alias("b"))
     pairs = (

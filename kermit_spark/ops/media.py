@@ -41,7 +41,7 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = (
-    "media_id string, frame_idx int, frame_ref string"
+    "media_id string, frame_idx int, frame_no int, frame_ref string"
 )
 
 
@@ -132,5 +132,6 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> Da
     ).select(
         "media_id",
         F.col("frame_idx").cast("int"),
+        F.col("frame_no").cast("int"),
         F.concat(F.col("media_id"), F.lit("#f"), F.col("frame_no").cast("string")).alias("frame_ref"),
     )

@@ -19,6 +19,10 @@ production deployment genuinely benefits from Structured Streaming:
 
 Both run on any streaming source with the right schema; tests drive them with
 the file source + ``processAllAvailable`` (no network, deterministic).
+
+``sessionize_events`` / ``windowed_event_counts`` are the batch forms of the
+stateful/windowed ops (same semantics, lag-window state instead of a state
+store) — shared by the driver-contract queries and oracle-checked there.
 """
 
 from __future__ import annotations
@@ -65,6 +69,68 @@ def stream_schedule_urls(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 3,
+) -> DataFrame:
+    """Gap-based sessionization, batch form of the stateful streaming op
+    (applyInPandasWithState would carry the same per-user last-seen state;
+    in batch the state is a lag window). A session breaks after ``gap_s``
+    seconds of per-user inactivity.
+
+    Output: (user_id, session_id, n_events, t_start, t_end) — session_id is
+    the running count of session breaks per user (int64).
+
+    Scale shape: one shuffle on user_id; both windows and the final groupBy
+    share that partitioning, so Catalyst plans a single exchange.
+    """
+    from pyspark.sql.window import Window
+
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+        F.col(id_col).alias("event_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("ts_s"), digits).alias("t_start"),
+        F.round(F.max("ts_s"), digits).alias("t_end"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_s: int = 3600,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    digits: int = 4,
+) -> DataFrame:
+    """Tumbling-window aggregation per event type — the batch form of the
+    watermarked streaming agg in ``fetch_metrics_stream`` (same bucketing
+    arithmetic; the watermark only bounds state, not results)."""
+    bucket = (
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / window_s) * window_s
+    ).cast("long")
+    return events.groupBy(bucket.alias("window_start"), F.col(type_col).alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(value_col), digits).alias("sum_v"),
     )
 
 
