@@ -510,6 +510,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media).orderBy("media_id")
 
 
+def q_headers_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/A5 Histogrammer through the REAL library aggregate
+    (metrics.headers_histogram): synthetic per-response header maps (the
+    shape the fetchers emit) → per-(header, value) frequency counts."""
+    from kermit_spark.metrics import headers_histogram
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ct = F.element_at(
+        F.array(F.lit("text/html"), F.lit("text/css"), F.lit("image/png")),
+        (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int"),
+    )
+    srv = F.concat(F.lit("srv-"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string"))
+    responses = orders.select(
+        F.create_map(F.lit("content-type"), ct, F.lit("server"), srv).alias("headers")
+    )
+    return headers_histogram(responses).orderBy("header", "value")
+
+
 def q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl engine end-to-end (rows-only: snapshots + pandas UDFs +
     window dequeue are not one SQL statement). Correctness is covered by the
@@ -549,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
+        # monitoring
+        "headers_histogram": q_headers_histogram,
         # multimodal
         "media_frame_plan": q_media_frame_plan,
         "media_features": q_media_features,
@@ -834,6 +854,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_v
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "headers_histogram": """
+            WITH h AS (
+                SELECT 'content-type' AS header,
+                       CASE o_orderkey % 3 WHEN 0 THEN 'text/html'
+                                           WHEN 1 THEN 'text/css'
+                                           ELSE 'image/png' END AS value
+                FROM orders
+                UNION ALL
+                SELECT 'server' AS header, 'srv-' || (o_orderkey % 4) AS value
+                FROM orders
+            )
+            SELECT header, value, count(*) AS n
+            FROM h GROUP BY header, value ORDER BY header, value
         """,
         "media_frame_plan": """
             SELECT media_id, frame_no, media_id || '#f' || frame_no AS frame_ref

@@ -34,11 +34,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions.urls import content_type_fallback
+
 SELECT_COLS = ["p", "url_hash", "url", "host", "depth", "referer", "wave", "rank"]
 
+# headers: lowercase-keyed response-header map (Pipeline.coffee:43-44 records
+# status+headers per response; Histogrammer S12/A5 aggregates them)
 FETCH_RESULT_DDL = (
     "p int, url_hash long, url string, host string, depth int, referer string, "
-    "wave int, rank int, status int, content_type string, body string"
+    "wave int, rank int, status int, content_type string, body string, "
+    "headers map<string,string>"
 )
 
 
@@ -75,6 +80,10 @@ class CorpusFetcher:
             F.col("_c_status").cast("int").alias("status"),
             F.col("_c_ct").alias("content_type"),
             F.col("_c_body").alias("body"),
+            F.create_map(
+                F.lit("content-type"), F.col("_c_ct"),
+                F.lit("content-length"), F.length("_c_body").cast("string"),
+            ).alias("headers"),
         )
         misses = left.join(
             F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
@@ -85,46 +94,116 @@ class CorpusFetcher:
             F.lit(404).alias("status"),
             F.lit("text/plain").alias("content_type"),
             F.lit(None).cast("string").alias("body"),
+            F.create_map(F.lit("content-type"), F.lit("text/plain")).alias("headers"),
         )
         return hits.unionByName(misses)
 
 
 class HttpFetcher:
     """Live-HTTP fetcher over mapInPandas (stdlib urllib; tested end-to-end
-    against a localhost fixture server in tests/test_http_fetcher.py)."""
+    against a localhost fixture server in tests/test_http_fetcher.py).
 
-    def __init__(self, timeout_s: float = 10.0, max_pool: int = 15, user_agent: str = "kermit-spark/0.1"):
+    Session fidelity vs the reference:
+      * UA pool (``user_agents``) — core.users.coffee:76-80 builds a 20-agent
+        pool; its UserAgentFor hashCode quirk always picks agent[0]
+        (polyfill.coffee:22-26 folds in NaN → 0), which is the default here
+        too. ``hash_agent_choice=True`` is the fixed variant: stable
+        crc32(referer or url) % n pick.
+      * Cookie jar per worker partition (``use_cookies``) —
+        core.users.coffee:6-31 parses set-cookie and replays the jar on
+        subsequent requests; one CookieJar per Arrow batch stream plays the
+        same per-session role.
+      * Referer header from the carried ``referer`` column
+        (core.streaming.coffee:47-64 sends it on every request).
+      * 4xx/5xx responses keep their REAL status, headers and body —
+        the reference imports the response for any status and reserves the
+        error path for transport failures; 599 marks transport errors only.
+      * content-type sanitized by extension when missing/generic
+        (core.streaming.coffee:59) — JVM-side, after the UDF.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        max_pool: int = 15,
+        user_agent: str = "kermit-spark/0.1",
+        user_agents: tuple[str, ...] | None = None,
+        send_referer: bool = True,
+        use_cookies: bool = True,
+        hash_agent_choice: bool = False,
+    ):
         # max_pool mirrors the reference agent pool maxSockets=15
         # (core.streaming.coffee:22-27)
         self.timeout_s = timeout_s
         self.max_pool = max_pool
-        self.user_agent = user_agent
+        self.agents = tuple(user_agents) if user_agents else (user_agent,)
+        self.send_referer = send_referer
+        self.use_cookies = use_cookies
+        self.hash_agent_choice = hash_agent_choice
 
     def fetch(self, selected: DataFrame) -> DataFrame:
-        timeout, pool_size, ua = self.timeout_s, self.max_pool, self.user_agent
+        timeout, pool_size = self.timeout_s, self.max_pool
+        agents = self.agents
+        send_referer, use_cookies = self.send_referer, self.use_cookies
+        hash_choice = self.hash_agent_choice
 
         def run(batches):
             import concurrent.futures as cf
+            import http.cookiejar
+            import urllib.error
             import urllib.request
+            import zlib
 
-            def get(url: str):
-                req = urllib.request.Request(url, headers={"User-Agent": ua})
+            if use_cookies:
+                jar = http.cookiejar.CookieJar()  # thread-safe (internal lock)
+                opener = urllib.request.build_opener(
+                    urllib.request.HTTPCookieProcessor(jar)
+                )
+            else:
+                opener = urllib.request.build_opener()
+
+            def agent_for(url: str, referer) -> str:
+                if len(agents) == 1 or not hash_choice:
+                    return agents[0]  # the reference's hashCode-quirk behavior
+                key = (referer if isinstance(referer, str) and referer else url)
+                return agents[zlib.crc32(key.encode()) % len(agents)]
+
+            def get(url: str, referer):
+                req_headers = {"User-Agent": agent_for(url, referer)}
+                if send_referer and isinstance(referer, str) and referer:
+                    req_headers["Referer"] = referer
+                req = urllib.request.Request(url, headers=req_headers)
                 try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
-                        ct = resp.headers.get("Content-Type", "application/octet-stream")
-                        return resp.status, ct.split(";")[0], resp.read().decode("utf-8", "replace")
+                    with opener.open(req, timeout=timeout) as resp:
+                        hdrs = {k.lower(): v for k, v in resp.headers.items()}
+                        ct = (resp.headers.get("Content-Type") or "").split(";")[0]
+                        return (resp.status, ct or None,
+                                resp.read().decode("utf-8", "replace"), hdrs)
+                except urllib.error.HTTPError as e:
+                    hdrs = {k.lower(): v for k, v in (e.headers or {}).items()}
+                    try:
+                        body = e.read().decode("utf-8", "replace")
+                    except Exception:
+                        body = None
+                    ct = ((e.headers.get("Content-Type") if e.headers else None) or "").split(";")[0]
+                    return e.code, ct or None, body, hdrs
                 except Exception:
-                    return 599, "text/plain", None
+                    # transport failure (DNS, refused, timeout): no HTTP status
+                    return 599, None, None, {}
 
             with cf.ThreadPoolExecutor(max_workers=pool_size) as ex:
                 for pdf in batches:
                     if not len(pdf):
                         continue
-                    results = list(ex.map(get, pdf["url"]))
+                    results = list(ex.map(get, pdf["url"], pdf["referer"]))
                     pdf = pdf.copy()
                     pdf["status"] = [r[0] for r in results]
                     pdf["content_type"] = [r[1] for r in results]
                     pdf["body"] = [r[2] for r in results]
+                    pdf["headers"] = [r[3] for r in results]
                     yield pdf
 
-        return selected.select(*SELECT_COLS).mapInPandas(run, FETCH_RESULT_DDL)
+        out = selected.select(*SELECT_COLS).mapInPandas(run, FETCH_RESULT_DDL)
+        return out.withColumn(
+            "content_type", content_type_fallback(F.col("url"), F.col("content_type"))
+        )

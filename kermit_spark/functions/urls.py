@@ -52,6 +52,25 @@ def host_salt(url_or_host: Column, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(url_or_host), F.lit(num_buckets)).cast("int")
 
 
+def content_type_fallback(url: Column, content_type: Column) -> Column:
+    """Sanitize a missing/generic content-type by URL extension — the
+    reference's per-response mime fallback (core.streaming.coffee:59 +
+    util/mimetypes.coffee:5) as a JVM expression: a literal ext→mime map
+    ships with the plan (broadcast-free) and a regexp pulls the extension.
+    Unknown extensions keep the original value or default to octet-stream."""
+    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]{1,5})(?:[?#]|$)", 1))
+    mapping = F.create_map(*[F.lit(x) for kv in sorted(EXT_MIME.items()) for x in kv])
+    generic = (
+        content_type.isNull()
+        | (content_type == "")
+        | (content_type == "application/octet-stream")
+    )
+    return F.when(
+        generic,
+        F.coalesce(mapping.getItem(ext), content_type, F.lit("application/octet-stream")),
+    ).otherwise(content_type)
+
+
 # ---------------------------------------------------------------------------
 # Pure-pandas implementations (also used by pytest oracles directly)
 # ---------------------------------------------------------------------------
@@ -70,17 +89,45 @@ _SECOND_LEVEL_TLDS = {
     "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
 }
 
-# Known file extensions (subset of the reference's 1223-entry mime map,
-# util/mimetypes.coffee:5) — membership decides index.html appending.
-_KNOWN_EXTS = {
-    "html", "htm", "xhtml", "css", "js", "mjs", "json", "xml", "rss", "atom",
-    "txt", "md", "csv", "tsv", "pdf", "ps", "doc", "docx", "xls", "xlsx",
-    "ppt", "pptx", "png", "jpg", "jpeg", "gif", "svg", "ico", "webp", "bmp",
-    "tif", "tiff", "mp3", "ogg", "wav", "flac", "mp4", "webm", "avi", "mov",
-    "mkv", "woff", "woff2", "ttf", "otf", "eot", "zip", "gz", "tar", "bz2",
-    "7z", "rar", "php", "asp", "aspx", "jsp", "cgi", "pl", "py", "rb", "sh",
-    "swf", "wasm", "map", "yaml", "yml", "ini", "toml",
+# Extension -> mime type (grown toward the reference's 1223-entry map,
+# util/mimetypes.coffee:5). Used by content_type_fallback (the reference
+# sanitizes missing/wrong content-types by extension,
+# extensions/core.streaming.coffee:59) and, via _KNOWN_EXTS membership,
+# by toLocalPath's index.html rule.
+EXT_MIME = {
+    "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
+    "css": "text/css", "js": "text/javascript", "mjs": "text/javascript",
+    "json": "application/json", "xml": "application/xml",
+    "rss": "application/rss+xml", "atom": "application/atom+xml",
+    "txt": "text/plain", "md": "text/markdown", "csv": "text/csv",
+    "tsv": "text/tab-separated-values", "pdf": "application/pdf",
+    "ps": "application/postscript", "doc": "application/msword",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xls": "application/vnd.ms-excel",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "ppt": "application/vnd.ms-powerpoint",
+    "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+    "gif": "image/gif", "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
+    "webp": "image/webp", "bmp": "image/bmp", "tif": "image/tiff", "tiff": "image/tiff",
+    "mp3": "audio/mpeg", "ogg": "audio/ogg", "wav": "audio/wav", "flac": "audio/flac",
+    "mp4": "video/mp4", "webm": "video/webm", "avi": "video/x-msvideo",
+    "mov": "video/quicktime", "mkv": "video/x-matroska",
+    "woff": "font/woff", "woff2": "font/woff2", "ttf": "font/ttf",
+    "otf": "font/otf", "eot": "application/vnd.ms-fontobject",
+    "zip": "application/zip", "gz": "application/gzip", "tar": "application/x-tar",
+    "bz2": "application/x-bzip2", "7z": "application/x-7z-compressed",
+    "rar": "application/vnd.rar", "php": "text/html", "asp": "text/html",
+    "aspx": "text/html", "jsp": "text/html", "cgi": "text/html",
+    "pl": "text/html", "py": "text/x-python", "rb": "text/x-ruby",
+    "sh": "application/x-sh", "swf": "application/x-shockwave-flash",
+    "wasm": "application/wasm", "map": "application/json",
+    "yaml": "application/yaml", "yml": "application/yaml",
+    "ini": "text/plain", "toml": "application/toml",
 }
+
+# Known file extensions — membership decides index.html appending.
+_KNOWN_EXTS = frozenset(EXT_MIME)
 
 
 def _replace_entities(url: str) -> str:

@@ -128,7 +128,7 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast(SPAN_TYPE))
     )
-    return fetched.select(
+    cols = [
         F.format_string("%016x", F.col("url_hash")).alias("doc_id"),
         F.col("url_hash"),
         F.col("url"),
@@ -139,8 +139,13 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
         F.col("depth"),
         F.col("status"),
         F.col("content_type"),
-        spans.alias("spans"),
-    )
+    ]
+    # response headers ride along when the fetcher captured them (S12/A5:
+    # Pipeline.coffee:43-44 records them; Histogrammer aggregates them)
+    if "headers" in fetched.columns:
+        cols.append(F.col("headers"))
+    cols.append(spans.alias("spans"))
+    return fetched.select(*cols)
 
 
 def discover_links(documents: DataFrame) -> DataFrame:

@@ -45,6 +45,103 @@ def site_url(tmp_path_factory):
     srv.shutdown()
 
 
+class _FidelityHandler(http.server.BaseHTTPRequestHandler):
+    """Routes exercising session fidelity: cookie round-trip, Referer/UA
+    echo, missing content-type, real 4xx status with body."""
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, status, body, content_type="text/plain", extra=()):
+        data = body.encode()
+        self.send_response(status)
+        if content_type is not None:
+            self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in extra:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path == "/cookie/set":
+            self._send(200, "cookie set", extra=[("Set-Cookie", "rid=abc123; Path=/")])
+        elif self.path == "/cookie/check":
+            self._send(200, "cookie:" + self.headers.get("Cookie", ""))
+        elif self.path == "/echo":
+            self._send(
+                200,
+                "referer:%s;ua:%s" % (self.headers.get("Referer", ""), self.headers.get("User-Agent", "")),
+            )
+        elif self.path == "/no-ct/style.css":
+            self._send(200, "body{}", content_type=None)
+        elif self.path == "/teapot.html":
+            self._send(418, "short and stout", content_type="text/html")
+        else:
+            self._send(404, "nope")
+
+
+@pytest.fixture(scope="module")
+def fidelity_url():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FidelityHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _selected(spark, rows):
+    """rows: (url, referer) tuples -> a single-partition selected batch
+    (order preserved; max_pool=1 then processes them sequentially)."""
+    data = [(0, i, url, "127.0.0.1", 0, ref, 0, i) for i, (url, ref) in enumerate(rows, 1)]
+    return spark.createDataFrame(
+        data,
+        "p int, url_hash long, url string, host string, depth int, referer string, wave int, rank int",
+    ).coalesce(1)
+
+
+def test_cookie_round_trip_within_worker_session(spark, fidelity_url):
+    """U1: the jar replays a set-cookie on the next request of the same
+    worker session (reference parses+replays cookies, core.users.coffee:6-31)."""
+    sel = _selected(spark, [
+        (f"{fidelity_url}/cookie/set", None),
+        (f"{fidelity_url}/cookie/check", None),
+    ])
+    rows = {r["url"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+    assert "rid=abc123" in rows[f"{fidelity_url}/cookie/check"]["body"]
+    # and the set-cookie header was captured in the response headers map
+    assert "set-cookie" in rows[f"{fidelity_url}/cookie/set"]["headers"]
+
+
+def test_referer_header_and_ua_pool_quirk(spark, fidelity_url):
+    """U1/U2/U3: Referer sent from the carried column; the UA pool defaults
+    to the reference's hashCode-quirk behavior (always agent[0])."""
+    sel = _selected(spark, [(f"{fidelity_url}/echo", "http://parent.test/page.html")])
+    fetcher = HttpFetcher(timeout_s=5, user_agents=("agent-a/1.0", "agent-b/2.0"))
+    body = fetcher.fetch(sel).collect()[0]["body"]
+    assert "referer:http://parent.test/page.html" in body
+    assert "ua:agent-a/1.0" in body  # quirk: always the first agent
+
+
+def test_content_type_fallback_by_extension(spark, fidelity_url):
+    """Missing Content-Type header falls back to the ext→mime map
+    (core.streaming.coffee:59 analog)."""
+    sel = _selected(spark, [(f"{fidelity_url}/no-ct/style.css", None)])
+    row = HttpFetcher(timeout_s=5).fetch(sel).collect()[0]
+    assert row["status"] == 200
+    assert row["content_type"] == "text/css"
+
+
+def test_http_error_statuses_keep_code_headers_body(spark, fidelity_url):
+    """4xx/5xx are real responses (status+headers+body), not 599 transport
+    errors — ResultVerification needs the body of blocked pages."""
+    sel = _selected(spark, [(f"{fidelity_url}/teapot.html", None)])
+    row = HttpFetcher(timeout_s=5).fetch(sel).collect()[0]
+    assert row["status"] == 418
+    assert row["body"] == "short and stout"
+    assert row["content_type"] == "text/html"
+    assert row["headers"]["content-type"].startswith("text/html")
+
+
 def test_http_fetch_batch(spark, site_url):
     selected = spark.createDataFrame(
         [
