@@ -113,9 +113,12 @@ class SnapshotCatalog:
         sid = meta.current_snapshot if snapshot is None else snapshot
         partmap = meta.snapshots[str(sid)]
         base = os.path.join(self.root, table)
+        # a partition maps to one version (overwrite) or a version LIST
+        # (fast-append commits, see merge_write)
         paths = [
-            os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
-            for part, ver in sorted(partmap.items(), key=lambda kv: int(kv[0]))
+            os.path.join(base, f"{PARTITION_COL}={part}", f"v{v}")
+            for part, vers in sorted(partmap.items(), key=lambda kv: int(kv[0]))
+            for v in ([vers] if isinstance(vers, int) else vers)
         ]
         if not paths:
             # empty table: replay schema from the schema stamp written at create
@@ -128,7 +131,9 @@ class SnapshotCatalog:
 
     # -- write / commit ----------------------------------------------------
 
-    def create(self, table: str, df: DataFrame, num_partitions: int) -> int:
+    def create(
+        self, table: str, df: DataFrame, num_partitions: int, properties: dict | None = None
+    ) -> int:
         """Create table from ``df`` (must already carry PARTITION_COL in
         [0, num_partitions)). Writes every partition at v0."""
         base = os.path.join(self.root, table)
@@ -136,7 +141,9 @@ class SnapshotCatalog:
         self._write_partitions(table, df, ver)
         written = self._list_written_partitions(base, ver)
         partmap = {str(p): ver for p in written}
-        meta = TableMeta(0, {"0": partmap}, {"0": {"ts": time.time()}})
+        props0 = dict(properties or {})
+        props0["ts"] = time.time()
+        meta = TableMeta(0, {"0": partmap}, {"0": props0})
         # schema stamp (DDL string) so empty snapshots can still be read
         meta.properties["_schema"] = _schema_ddl(df)
         self._store_meta(table, meta)
@@ -164,16 +171,25 @@ class SnapshotCatalog:
         touched_set = set(int(t) for t in touched) if touched is not None else written
         touched_set |= written
         partmap = dict(meta.snapshots[str(meta.current_snapshot)])
-        for part in touched_set:
-            if part in written:
-                partmap[str(part)] = ver
-            else:
-                # partition emptied: ensure an empty v-dir exists so reads of
-                # this snapshot don't resurrect old rows
-                empty = self.read(table).limit(0).filter(F.lit(False))
+        for part in touched_set & written:
+            partmap[str(part)] = ver
+        emptied = sorted(touched_set - written)
+        if emptied:
+            # partitions emptied: an empty v-dir must exist so reads of this
+            # snapshot don't resurrect old rows. ONE empty write + a file
+            # copy per partition — a Spark write job per empty partition was
+            # a measurable per-commit fixed cost.
+            empty = self.read(table).limit(0).filter(F.lit(False))
+            tmpl = os.path.join(base, f"_empty_v{ver}")
+            empty.drop(PARTITION_COL).coalesce(1).write.mode("overwrite").parquet(tmpl)
+            for part in emptied:
                 pdir = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
-                empty.drop(PARTITION_COL).write.mode("overwrite").parquet(pdir)
+                if os.path.exists(pdir):
+                    shutil.rmtree(pdir, ignore_errors=True)
+                os.makedirs(os.path.dirname(pdir), exist_ok=True)
+                shutil.copytree(tmpl, pdir)
                 partmap[str(part)] = ver
+            shutil.rmtree(tmpl, ignore_errors=True)
         meta.snapshots[str(new_sid)] = partmap
         meta.current_snapshot = new_sid
         props = dict(properties or {})
@@ -181,6 +197,56 @@ class SnapshotCatalog:
         meta.properties[str(new_sid)] = props
         self._store_meta(table, meta)
         return new_sid
+
+    def merge_write(
+        self,
+        table: str,
+        df: DataFrame,
+        replace_parts: Iterable[int],
+        properties: dict | None = None,
+        extra_properties=None,
+    ) -> tuple[int, set[int]]:
+        """Mixed replace/append commit in ONE write job (Iceberg fast-append
+        analog). A partition present in ``df``:
+          * in ``replace_parts`` → its file list is REPLACED (copy-on-write
+            MERGE — the caller wrote existing-rows-merged-with-changes);
+          * otherwise → the new files are APPENDED to its existing list
+            (pure inserts: no old file rewritten, commit cost O(new data)).
+        Partitions absent from ``df`` keep their current files untouched.
+
+        ``extra_properties``: zero-arg callable evaluated AFTER the write job
+        — the hook for harvesting Observation metrics (e.g. row counts that
+        ride on the write) into snapshot properties.
+        Returns (snapshot_id, written partition ids).
+        """
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        new_sid = meta.current_snapshot + 1
+        ver = new_sid
+        self._write_partitions(table, df, ver)
+        base = os.path.join(self.root, table)
+        written = set(self._list_written_partitions(base, ver))
+        replace = {int(p) for p in replace_parts}
+        partmap = {
+            k: (list(v) if isinstance(v, list) else [v])
+            for k, v in meta.snapshots[str(meta.current_snapshot)].items()
+        }
+        for part in written:
+            key = str(part)
+            if part in replace or key not in partmap:
+                partmap[key] = [ver]
+            else:
+                partmap[key] = partmap[key] + [ver]
+        props = dict(properties or {})
+        if extra_properties is not None:
+            props.update(extra_properties())
+        props["ts"] = time.time()
+        meta.snapshots[str(new_sid)] = partmap
+        meta.current_snapshot = new_sid
+        meta.properties[str(new_sid)] = props
+        self._store_meta(table, meta)
+        return new_sid, written
 
     # -- internals ---------------------------------------------------------
 

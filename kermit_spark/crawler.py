@@ -23,9 +23,14 @@ Scale notes:
     ``robots_blocked`` so a host's disallowed URLs cost budget at most once.
   * all wave mutations land in ONE frontier snapshot commit (see
     Frontier.commit_wave) — commit cost is the per-wave fixed cost.
-  * per-wave counters ride on already-persisted DataFrames; the only
-    driver-side collect of unbounded data is the distinct-host list of the
-    dequeued batch (bounded by the politeness budget).
+  * per-wave job budget (the driver-latency floor at small wave sizes):
+    1 dequeue+per-host count, 1 documents write (status counts ride on it
+    via Observation), 1 candidate-partition count, 1 frontier commit,
+    1 bloom commit — robots probes/fetches only when unseen hosts appear,
+    verification counts only when configured, lineage buffered in the
+    driver. Everything else is lazy.
+  * the only driver-side collect of unbounded data is the distinct-host
+    list of the dequeued batch (bounded by the politeness budget).
 
 Commit ordering per wave: documents → frontier → lineage. A crash between
 any two leaves the frontier still claiming the wave's batch as 'scheduled',
@@ -39,7 +44,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import phases
@@ -134,11 +139,17 @@ class Crawler:
         self.frontier = Frontier(
             catalog, self.config.num_partitions, self.config.bloom
         )
-        # driver-side cache of hosts whose robots.txt is already fetched.
-        # Bounded by the number of distinct HOSTS (not URLs); for frontier
-        # scales where even that is too large, drop the cache and fall back
-        # to the anti-join path in _ensure_robots (same semantics).
-        self._robots_hosts: set[str] | None = None
+        # driver-side cache of hosts KNOWN to have robots state. Filled
+        # lazily from the hosts this run actually touches (never a full
+        # robots-table collect — at 10^8 distinct hosts that would be GBs of
+        # driver strings); capped so a pathological run can't grow it
+        # unboundedly. Cache misses fall through to a batch-sized anti-join
+        # probe against the robots table — same semantics, bounded memory.
+        self._robots_hosts: set[str] = set()
+        # lineage rows buffered in the driver, flushed once per crawl()/read
+        # — observability data, not queue state; buffering removes one small
+        # write job per wave from the fixed cost.
+        self._lineage_buffer: list[tuple] = []
 
     # -- setup -------------------------------------------------------------
 
@@ -160,17 +171,28 @@ class Crawler:
 
     # -- robots ------------------------------------------------------------
 
+    _ROBOTS_CACHE_MAX = 2_000_000  # hosts; ~100 MB of driver strings at worst
+
     def _ensure_robots(self, hosts: list[tuple[int, str]]) -> DataFrame | None:
         """Fetch+parse robots.txt for (p, host) pairs not yet covered; return
-        the rules table. One fetch per host ever (robots state is durable)."""
-        if self._robots_hosts is None:
-            if self.catalog.exists(ROBOTS_TABLE):
-                self._robots_hosts = {
-                    r["host"] for r in self.catalog.read(ROBOTS_TABLE).select("host").collect()
-                }
-            else:
-                self._robots_hosts = set()
-        missing = [(p, h) for p, h in hosts if h not in self._robots_hosts]
+        the rules table. One fetch per host ever (robots state is durable).
+
+        Membership is resolved in two steps: the driver cache answers for
+        hosts this run has already touched (steady state: zero Spark jobs);
+        cache misses are anti-joined against the robots table — a
+        batch-sized probe, never a scan-and-collect of all hosts."""
+        unknown = [(p, h) for p, h in hosts if h not in self._robots_hosts]
+        missing = unknown
+        if unknown and self.catalog.exists(ROBOTS_TABLE):
+            probe = self.spark.createDataFrame(unknown, "p int, host string")
+            have = self.catalog.read(ROBOTS_TABLE).select("host")
+            missing = [
+                (r["p"], r["host"])
+                for r in probe.join(have, "host", "left_anti").collect()
+            ]
+            covered = {h for _, h in unknown} - {h for _, h in missing}
+            if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
+                self._robots_hosts.update(covered)
         if missing:
             to_fetch = self.spark.createDataFrame(missing, "p int, host string").select(
                 "p",
@@ -191,7 +213,8 @@ class Crawler:
                 touched = sorted({p for p, _ in missing})
                 merged = have.filter(F.col("p").isin(touched)).unionByName(new_rules)
                 self.catalog.overwrite_partitions(ROBOTS_TABLE, merged, touched)
-            self._robots_hosts.update(h for _, h in missing)
+            if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
+                self._robots_hosts.update(h for _, h in missing)
         if self.catalog.exists(ROBOTS_TABLE):
             return self.catalog.read(ROBOTS_TABLE)
         return None
@@ -218,27 +241,26 @@ class Crawler:
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
         n_selected = sum(r["count"] for r in per_host)
+        batch_parts = sorted({r["p"] for r in per_host})
         if n_selected == 0:
             selected.unpersist()
             return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)
 
-        # robots gate (Q12) on the dequeued batch
+        # robots gate (Q12) on the dequeued batch. No count action here:
+        # n_blocked falls out of the fetch-side observed counts below
+        # (n_selected - rows reaching parse - verify failures).
         blocked_updates = None
-        n_blocked = 0
         to_fetch = selected
         if cfg.obey_robots:
             hosts = [(r["p"], r["host"]) for r in per_host]
             rules = self._ensure_robots(hosts)
             if rules is not None:
                 allowed = robots_gate(selected, rules).persist()
-                n_allowed = allowed.count()
-                n_blocked = n_selected - n_allowed
-                if n_blocked:
-                    blocked_updates = selected.join(
-                        allowed.select("p", "url_hash", "url"),
-                        on=["p", "url_hash", "url"],
-                        how="left_anti",
-                    ).select("p", "url_hash", "url", F.lit(ROBOTS_BLOCKED).alias("new_status"))
+                blocked_updates = selected.join(
+                    allowed.select("p", "url_hash", "url"),
+                    on=["p", "url_hash", "url"],
+                    how="left_anti",
+                ).select("p", "url_hash", "url", F.lit(ROBOTS_BLOCKED).alias("new_status"))
                 to_fetch = allowed
 
         # READY→FETCHING→FETCHED: fetch stage (S5/S8)
@@ -265,20 +287,26 @@ class Crawler:
 
         # FETCHED→COMPLETE: parse spans + store documents (X1-X5, S7);
         # documents table is partitioned by WAVE (append-only write pattern;
-        # idempotent overwrite on wave re-run after a crash)
-        docs = parse_documents(fetched).persist()
+        # idempotent overwrite on wave re-run after a crash). Status counts
+        # ride on the write job via an Observation — no separate count job.
+        obs = Observation()
+        docs = parse_documents(fetched).observe(
+            obs,
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_err"),
+        ).persist()
         docs_out = docs.withColumnRenamed("p", "host_p").withColumn("p", F.lit(wave))
         if self.catalog.exists(DOCUMENTS_TABLE):
             self.catalog.overwrite_partitions(DOCUMENTS_TABLE, docs_out, [wave])
         else:
             self.catalog.create(DOCUMENTS_TABLE, docs_out, cfg.num_partitions)
 
-        status_counts = {
-            r["ok"]: r["count"]
-            for r in docs.groupBy((F.col("status") == 200).alias("ok")).count().collect()
-        }
-        n_ok = int(status_counts.get(True, 0))
-        n_err = int(status_counts.get(False, 0))
+        metrics = obs.get
+        n_ok = int(metrics["n_ok"] or 0)
+        n_err = int(metrics["n_err"] or 0)
+        # every selected row is exactly one of: parsed (ok/err), verification
+        # -failed, or robots-blocked — so blocked needs no count of its own
+        n_blocked = n_selected - n_ok - n_err - n_verify_failed
 
         # discovery (X3): spans → cleaned candidate URLs → filter (F5 first
         # application point); dedup happens inside commit_wave (Q1)
@@ -296,8 +324,11 @@ class Crawler:
             updates = updates.unionByName(blocked_updates)
         if verify_updates is not None:
             updates = updates.unionByName(verify_updates)
+        # updates cover exactly the dequeued batch -> their partitions are
+        # known driver-side already (batch_parts); no distinct+collect job
         n_new = self.frontier.commit_wave(
-            updates, candidates, wave=wave, properties={"wave": wave}
+            updates, candidates, wave=wave, properties={"wave": wave},
+            updates_parts=batch_parts,
         )
         if cfg.max_tries > 1:
             self.frontier.reschedule_errors(cfg.max_tries, wave)
@@ -321,9 +352,11 @@ class Crawler:
     ) -> None:
         """A1: per-wave, per-stage metrics ledger (north_rule per-partition
         lineage; the per-partition split lives in the documents/frontier
-        partition stats). Plain append — observability data, not queue
-        state, so it skips the snapshot machinery."""
-        rows = [
+        partition stats). Buffered in the driver and flushed once per
+        crawl()/read — observability data, not queue state: a crash loses at
+        most the unflushed buffer, never queue correctness, and the per-wave
+        fixed cost drops by one write job."""
+        self._lineage_buffer += [
             (wave, phases.READY, "dequeue", n_sel, wall),
             (wave, phases.CANCELED, "robots_blocked", n_blocked, wall),
             (wave, phases.FETCHED, "fetch", n_ok + n_err, wall),
@@ -331,10 +364,15 @@ class Crawler:
             (wave, phases.ERROR, "fetch_error", n_err, wall),
             (wave, phases.SPOOLED, "discovered_new", n_new, wall),
         ]
+
+    def flush_lineage(self) -> None:
+        if not self._lineage_buffer:
+            return
         df = self.spark.createDataFrame(
-            rows, "wave int, phase string, stage string, n long, wall_s double"
+            self._lineage_buffer, "wave int, phase string, stage string, n long, wall_s double"
         )
         df.coalesce(1).write.mode("append").parquet(self._lineage_path())
+        self._lineage_buffer = []
 
     def _lineage_path(self) -> str:
         return os.path.join(self.catalog.root, "lineage_log")
@@ -346,14 +384,17 @@ class Crawler:
         that selects zero URLs can never schedule new ones) or the cap hits."""
         cap = max_waves if max_waves is not None else self.config.max_waves
         stats: list[WaveStats] = []
-        while len(stats) < cap:
-            s = self.run_wave()
-            if s.n_selected == 0:
-                break
-            stats.append(s)
-            if s.stop_requested:
-                # F10: verification failure stops the crawler
-                break
+        try:
+            while len(stats) < cap:
+                s = self.run_wave()
+                if s.n_selected == 0:
+                    break
+                stats.append(s)
+                if s.stop_requested:
+                    # F10: verification failure stops the crawler
+                    break
+        finally:
+            self.flush_lineage()
         return stats
 
     # -- outputs -----------------------------------------------------------
@@ -362,6 +403,7 @@ class Crawler:
         return self.catalog.read(DOCUMENTS_TABLE)
 
     def lineage(self) -> DataFrame:
+        self.flush_lineage()
         return self.spark.read.parquet(self._lineage_path())
 
     def url_seen_urls(self) -> DataFrame:

@@ -61,6 +61,7 @@ class CorpusFetcher:
             F.col("body").alias("_c_body"),
         )
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        self._last_cache: DataFrame | None = None
 
     def fetch(self, selected: DataFrame) -> DataFrame:
         """The wave batch is the small side (≤ Σ budgets); the corpus must be
@@ -71,7 +72,13 @@ class CorpusFetcher:
         shuffling it (Spark ignores a broadcast hint on the preserved side).
         Split instead: inner broadcast-hash join (corpus streamed once,
         batch broadcast) for hits, plus a small-vs-small anti-join producing
-        the 404 rows for URLs absent from the corpus (dead links)."""
+        the 404 rows for URLs absent from the corpus (dead links).
+
+        ``hits`` is persisted: both the misses anti-join (via its broadcast
+        URL set) and the final union consume it — without the persist the
+        corpus join evaluates in BOTH branches, scanning the corpus twice
+        per wave (r1 plan-audit finding). The cache is batch-sized; the
+        previous wave's cache is dropped on the next call."""
         left = selected.select(*SELECT_COLS)
         hits = self.corpus.join(
             F.broadcast(left), left.url == self.corpus._c_url, "inner"
@@ -84,7 +91,10 @@ class CorpusFetcher:
                 F.lit("content-type"), F.col("_c_ct"),
                 F.lit("content-length"), F.length("_c_body").cast("string"),
             ).alias("headers"),
-        )
+        ).persist()
+        if self._last_cache is not None:
+            self._last_cache.unpersist()
+        self._last_cache = hits
         misses = left.join(
             F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
             left.url == F.col("_hit_url"),

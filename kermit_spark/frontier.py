@@ -30,6 +30,7 @@ Scale design (SURVEY §4):
 
 from __future__ import annotations
 
+from collections.abc import Iterable
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -48,6 +49,13 @@ from .functions.urls import host_of
 
 FRONTIER_TABLE = "frontier"
 URL_SEEN_TABLE = "url_seen"
+
+# Below this many frontier rows the Bloom machinery (blob read + broadcast
+# probe + reverse prefilter: ~4 extra jobs per wave) costs more than the
+# plain exact anti-join it accelerates. The frontier row count is tracked in
+# snapshot properties, so the switch is free; crossing the threshold
+# triggers a one-time blob rebuild (epoch-tracked, see _ensure_bloom_synced).
+BLOOM_MIN_FRONTIER = 1_000_000
 
 # status lifecycle (UrlStore phases, QueueSystem.coffee:194-199 — plus 'error'
 # which the reference models on the item, RequestItem.coffee:295-299)
@@ -195,13 +203,11 @@ def dequeue(
     )
     if global_cap is not None:
         # deterministic global selection: hosts are interleaved by rank first
-        # (fairness), ties broken by url_hash
-        wg = Window.orderBy(F.col("rank").asc(), F.col("url_hash").asc())
-        df = (
-            df.withColumn("_g", F.row_number().over(wg))
-            .filter(F.col("_g") <= F.lit(global_cap))
-            .drop("_g")
-        )
+        # (fairness), ties broken by url_hash. orderBy+limit plans as
+        # TakeOrderedAndProject — per-partition top-k then a bounded merge —
+        # instead of the partitionless row_number window this used to be,
+        # which funneled every dequeued row through one task (r1 finding #5).
+        df = df.orderBy(F.col("rank").asc(), F.col("url_hash").asc()).limit(global_cap)
     return df
 
 
@@ -214,10 +220,12 @@ class Frontier:
         catalog: SnapshotCatalog,
         num_partitions: int = 32,
         bloom_spec: BloomSpec | None = None,
+        bloom_min_frontier: int = BLOOM_MIN_FRONTIER,
     ):
         self.catalog = catalog
         self.num_partitions = num_partitions
         self.bloom_spec = bloom_spec or BloomSpec()
+        self.bloom_min_frontier = bloom_min_frontier
         self._pending_cache = None  # intra-commit cache (see _dedup_candidates)
 
     # -- lifecycle ---------------------------------------------------------
@@ -227,10 +235,51 @@ class Frontier:
         seeds go straight to scheduled)."""
         rows = as_frontier_rows(
             seed_urls, self.num_partitions, wave=wave
-        ).dropDuplicates(["url_hash", "url"])
-        self.catalog.create(FRONTIER_TABLE, rows, self.num_partitions)
-        bloom = build_bloom(rows, self.bloom_spec)
-        self.catalog.create(URL_SEEN_TABLE, bloom, self.num_partitions)
+        ).dropDuplicates(["url_hash", "url"]).persist()
+        n = rows.count()
+        self.catalog.create(
+            FRONTIER_TABLE, rows, self.num_partitions,
+            properties={"n_rows": n, "url_epoch": 0},
+        )
+        if self._use_bloom(n):
+            bloom = build_bloom(rows, self.bloom_spec)
+            self.catalog.create(
+                URL_SEEN_TABLE, bloom, self.num_partitions,
+                properties={"synced_epoch": 0},
+            )
+        else:
+            # small frontier: dedup is a plain anti-join; blobs are built on
+            # demand the first time the frontier crosses the threshold
+            empty = build_bloom(rows.limit(0), self.bloom_spec)
+            self.catalog.create(
+                URL_SEEN_TABLE, empty, self.num_partitions,
+                properties={"synced_epoch": -1},
+            )
+        rows.unpersist()
+
+    def _use_bloom(self, n_rows: int | None) -> bool:
+        # unknown size (legacy table without the stat) -> assume big: the
+        # Bloom path is the safe default at scale
+        return n_rows is None or n_rows >= self.bloom_min_frontier
+
+    def _frontier_stats(self) -> tuple[int | None, int]:
+        props = self.catalog.snapshot_property(FRONTIER_TABLE)
+        n = props.get("n_rows")
+        return (int(n) if n is not None else None), int(props.get("url_epoch", 0))
+
+    def _ensure_bloom_synced(self) -> None:
+        """Rebuild the url_seen blobs from the frontier when they are stale
+        (the sub-threshold regime skips blob maintenance). One O(frontier)
+        aggregation, amortized over every wave that follows."""
+        _, epoch = self._frontier_stats()
+        synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
+        if synced == epoch:
+            return
+        bloom = build_bloom(self.read().select("p", "url_hash"), self.bloom_spec)
+        self.catalog.overwrite_partitions(
+            URL_SEEN_TABLE, bloom, range(self.num_partitions),
+            properties={"synced_epoch": epoch},
+        )
 
     def read(self) -> DataFrame:
         return self.catalog.read(FRONTIER_TABLE)
@@ -247,10 +296,11 @@ class Frontier:
 
     # -- mutations ---------------------------------------------------------
 
-    def _dedup_candidates(self, candidates: DataFrame, wave: int) -> DataFrame:
+    def _dedup_candidates(self, candidates: DataFrame, wave: int, use_bloom: bool = True) -> DataFrame:
         """Q1 dedup pipeline (lazy): within-batch dedup → Bloom prefilter →
         exact anti-join for the maybe-seen remainder. Returns new frontier
-        rows (status=scheduled)."""
+        rows (status=scheduled). ``use_bloom=False`` (sub-threshold frontier)
+        skips the Bloom probes — the exact anti-join alone is cheaper then."""
         rows = as_frontier_rows(candidates, self.num_partitions, wave=wave)
         # within-batch dedup: keep the best row per URL under the dequeue
         # order so discovery from multiple parents is deterministic — as a
@@ -272,6 +322,11 @@ class Frontier:
             .select("_r.*")
         )
 
+        if not use_bloom:
+            frontier_keys = self.read().select("p", "url_hash", "url")
+            return rows.join(frontier_keys, on=["p", "url_hash", "url"], how="left_anti")
+
+        self._ensure_bloom_synced()
         bloom = self.catalog.read(URL_SEEN_TABLE)
         # broadcast probe keeps the candidate batch un-shuffled; cogroup
         # fallback for blob sets too large to broadcast
@@ -309,6 +364,7 @@ class Frontier:
         candidates: DataFrame | None,
         wave: int,
         properties: dict | None = None,
+        updates_parts: Iterable[int] | None = None,
     ) -> int:
         """ONE snapshot commit applying the whole wave outcome: status MERGE
         for fetched rows (Q2-Q4) + insert of deduped discovered URLs (Q1).
@@ -319,36 +375,39 @@ class Frontier:
         fixed cost of a wave, so this matters beyond job-count hygiene.
 
         ``updates``: (p, url_hash, url, new_status) rows; ``candidates``:
-        (url[, host, priority, depth, referer]) rows. Returns n_new URLs.
+        (url[, host, priority, depth, referer]) rows. ``updates_parts``: the
+        partition ids covered by ``updates`` when the caller already knows
+        them (the crawler does — every update targets a partition of the
+        dequeued batch) — passing it skips a distinct+collect job per wave.
+        Returns n_new URLs.
         """
+        from pyspark.sql import Observation
+
+        prev_n, prev_epoch = self._frontier_stats()
+        use_bloom = self._use_bloom(prev_n)
         new_rows = None
         if candidates is not None:
-            new_rows = self._dedup_candidates(candidates, wave).persist()
+            new_rows = self._dedup_candidates(candidates, wave, use_bloom=use_bloom)
+            if use_bloom:
+                # reused below for the blob merge — cache across the two jobs
+                new_rows = new_rows.persist()
         if updates is not None:
-            updates = updates.select("p", "url_hash", "url", "new_status").persist()
+            updates = updates.select("p", "url_hash", "url", "new_status")
 
-        touched: set[int] = set()
-        n_new = 0
-        if new_rows is not None:
-            # one action yields both the touched-partition set and n_new
-            per_p = new_rows.groupBy("p").count().collect()
-            touched |= {r["p"] for r in per_p}
-            n_new = sum(r["count"] for r in per_p)
-        if updates is not None:
-            touched |= {r["p"] for r in updates.select("p").distinct().collect()}
-        if not touched:
-            for df in (new_rows, updates, self._pending_cache):
-                if df is not None:
-                    df.unpersist()
-            self._pending_cache = None
-            return 0
+        # replace-set: partitions whose EXISTING rows change (status merge)
+        if updates is None:
+            replace_parts: set[int] = set()
+        elif updates_parts is not None:
+            replace_parts = {int(p) for p in updates_parts}
+        else:
+            updates = updates.persist()
+            replace_parts = {r["p"] for r in updates.select("p").distinct().collect()}
 
-        tl = sorted(touched)
-        current = self.read().filter(F.col("p").isin(tl))
-        merged = current
-        if updates is not None:
+        pieces = []
+        if replace_parts:
+            current = self.read().filter(F.col("p").isin(sorted(replace_parts)))
             merged = (
-                merged.join(updates, on=["p", "url_hash", "url"], how="left")
+                current.join(updates, on=["p", "url_hash", "url"], how="left")
                 .withColumn(
                     "tries",
                     F.when(F.col("new_status") == ERROR, F.col("tries") + 1).otherwise(F.col("tries")),
@@ -356,26 +415,64 @@ class Frontier:
                 .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
                 .drop("new_status")
             )
+            pieces.append(merged.select(*FRONTIER_COLS))
+        obs = None
         if new_rows is not None:
-            merged = merged.select(*FRONTIER_COLS).unionByName(new_rows.select(*FRONTIER_COLS))
-        self.catalog.overwrite_partitions(
-            FRONTIER_TABLE, merged.select(*FRONTIER_COLS), tl, properties=properties
-        )
-        if new_rows is not None:
-            bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
-            new_bloom = merge_bloom(
-                bloom.filter(F.col("p").isin(tl)),
-                new_rows.select("p", "url_hash"),
-                self.bloom_spec,
+            # n_new rides on the write job via an Observation — no pre-count
+            obs = Observation()
+            pieces.append(
+                new_rows.observe(obs, F.count(F.lit(1)).alias("n_new")).select(*FRONTIER_COLS)
             )
-            self.catalog.overwrite_partitions(URL_SEEN_TABLE, new_bloom, tl)
+        if not pieces:
+            self._drop_pending_cache()
+            return 0
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+
+        def stats_props() -> dict:
+            n = int(obs.get["n_new"]) if obs is not None else 0
+            extra = {"url_epoch": prev_epoch + (1 if n else 0)}
+            if prev_n is not None:
+                extra["n_rows"] = prev_n + n
+            return extra
+
+        # ONE write job: replace the batch partitions (their rows were merged
+        # with status changes), fast-APPEND everywhere discovery landed —
+        # commit cost is O(batch + new data), independent of how many
+        # partitions discovery scattered into
+        _, written = self.catalog.merge_write(
+            FRONTIER_TABLE, out, replace_parts,
+            properties=dict(properties or {}), extra_properties=stats_props,
+        )
+        n_new = int(obs.get["n_new"]) if obs is not None else 0
+        if new_rows is not None:
+            # maintain blobs only while the Bloom path is active AND they were
+            # in sync before this commit; otherwise leave them stale — the
+            # next above-threshold wave rebuilds once (_ensure_bloom_synced)
+            synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
+            if use_bloom and n_new and synced == prev_epoch:
+                tl = sorted(written)
+                bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
+                new_bloom = merge_bloom(
+                    bloom.filter(F.col("p").isin(tl)),
+                    new_rows.select("p", "url_hash"),
+                    self.bloom_spec,
+                )
+                self.catalog.overwrite_partitions(
+                    URL_SEEN_TABLE, new_bloom, tl,
+                    properties={"synced_epoch": prev_epoch + 1},
+                )
             new_rows.unpersist()
         if updates is not None:
             updates.unpersist()
+        self._drop_pending_cache()
+        return n_new
+
+    def _drop_pending_cache(self) -> None:
         if self._pending_cache is not None:
             self._pending_cache.unpersist()
             self._pending_cache = None
-        return n_new
 
     def schedule(self, candidates: DataFrame, wave: int, properties: dict | None = None) -> int:
         """Q1: insert candidate URLs not already seen (thin wrapper over

@@ -79,6 +79,27 @@ def test_reschedule_errors_retry_path(spark, frontier):
     assert frontier.counts() == {ERROR: 1}
 
 
+def test_schedule_dedup_bloom_path_matches_plain(spark, tmp_path):
+    """The sub-threshold plain anti-join and the Bloom-prefiltered path must
+    produce identical frontiers (the threshold is a cost switch, never a
+    semantics switch)."""
+    urls = [f"http://h{i % 5}.test/p/{i}.html" for i in range(50)]
+    cand = [f"http://h{i % 5}.test/p/{i}.html" for i in range(25, 75)]
+    results = []
+    for thr in (0, 10**9):  # 0 forces the Bloom path; 10^9 forces plain
+        fr = Frontier(
+            SnapshotCatalog(spark, str(tmp_path / f"c{thr}")),
+            num_partitions=4,
+            bloom_min_frontier=thr,
+        )
+        fr.init(_urls(spark, urls))
+        n = fr.schedule(_urls(spark, cand), wave=1)
+        rows = sorted((r["url"], r["status"], r["wave"]) for r in fr.read().collect())
+        results.append((n, rows))
+    assert results[0] == results[1]
+    assert results[0][0] == 25
+
+
 # -- dequeue / politeness ---------------------------------------------------
 
 
@@ -152,6 +173,22 @@ def test_global_cap(spark):
         _eligible(spark), Politeness((Limit(".*", 10),)), global_cap=12
     )
     assert sel.count() == 12
+
+
+def test_global_cap_selects_deterministic_prefix(spark):
+    """The cap takes the first rows under (rank, url_hash) — same set the
+    old partitionless window produced, now via TakeOrdered."""
+    elig = _eligible(spark)
+    uncapped = dequeue(elig, Politeness((Limit(".*", 10),)))
+    expect = {
+        (r["url"], r["rank"])
+        for r in sorted(uncapped.collect(), key=lambda r: (r["rank"], r["url_hash"]))[:12]
+    }
+    got = {
+        (r["url"], r["rank"])
+        for r in dequeue(elig, Politeness((Limit(".*", 10),)), global_cap=12).collect()
+    }
+    assert got == expect
 
 
 def test_two_level_topk_equals_single_window(spark):

@@ -104,6 +104,43 @@ def test_dequeue_uses_windows_not_python(frontier):
         assert marker not in plan
 
 
+def test_global_cap_has_no_partitionless_window(spark, frontier):
+    """The global cap must plan as TakeOrdered (per-partition top-k + bounded
+    merge), never a row_number window with no partition key — that funnels
+    every dequeued row through one task."""
+    sel = dequeue(
+        frontier.read().filter(F.col("status") == "scheduled"),
+        Politeness((Limit(".*", 3),)),
+        global_cap=5,
+    )
+    plan = _plan(sel)
+    assert "TakeOrdered" in plan, plan
+    # the only Window specs allowed are the per-host ones
+    import re
+
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "host" in spec, f"partitionless window in dequeue plan:\n{plan}"
+
+
+def test_corpus_fetch_scans_corpus_once(spark, frontier):
+    """The hits/misses split must not evaluate the corpus join twice: hits is
+    persisted, so the union's second branch reads the cache (one corpus scan
+    in the plan, the other side an InMemoryRelation)."""
+    corpus = spark.createDataFrame(
+        [("http://h0.test/p/0.html", 200, "text/html", "<html></html>")],
+        "url string, status int, content_type string, body string",
+    )
+    selected = dequeue(
+        frontier.read().filter(F.col("status") == "scheduled"),
+        Politeness((Limit(".*", 5),)),
+    )
+    fetched = CorpusFetcher(corpus).fetch(selected)
+    plan = _plan(fetched)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    # corpus appears as a scan exactly once (the cached-hits branch hides it)
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") >= 1
+
+
 def test_batch_dedup_is_hash_aggregate_without_sort(spark, frontier):
     cand = spark.createDataFrame(
         [("http://a.test/1", "http://r.test/")], "url string, referer string"
