@@ -494,8 +494,12 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed image decode over binary columns (engine-only mapInPandas;
-    rows-only check)."""
+    """Image-feature extraction through the REAL library mapInPandas op
+    (ops.media.decode_image_features). The codec layer is the documented
+    deterministic stub (no PIL in this sandbox) — but the stub derives its
+    features from md5 of the bytes, so a DuckDB oracle recomputes them
+    exactly: the Arrow plumbing (schema, batching, column flow) is what this
+    row certifies."""
     from kermit_spark.ops.media import decode_image_features
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -875,6 +879,32 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0, 20, 10)) AS t(frame_no)
             ORDER BY media_id, frame_no
         """,
-        # rows-only (engine-only pipelines): crawl_wave, ann_lsh_topk,
-        # media_features — intentionally omitted.
+        "media_features": """
+            WITH m AS (
+                SELECT md5(p_name) AS media_id, md5(p_name) AS doc_id,
+                       'image' AS kind, 'image/png' AS content_type,
+                       length(p_name)::BIGINT AS n_bytes, md5(p_name) AS h
+                FROM part
+            ),
+            hd AS (
+                SELECT *,
+                       (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS b0,
+                       (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS b1,
+                       (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) AS v16
+                FROM m
+            )
+            SELECT media_id, doc_id, kind, content_type, n_bytes,
+                   CAST(64 + b0 AS INTEGER) AS width,
+                   CAST(64 + b1 AS INTEGER) AS height,
+                   floor(v16 / 65535.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+                   false AS decode_ok
+            FROM hd ORDER BY media_id
+        """,
+        # rows-only (engine-only pipelines): crawl_wave, ann_lsh_topk —
+        # intentionally omitted.
     }

@@ -58,6 +58,7 @@ from .frontier import (
     VISITED,
     Frontier,
     Politeness,
+    RandomizedDelay,
     dequeue,
 )
 from .parse import discover_links, parse_documents
@@ -109,6 +110,8 @@ class CrawlConfig:
     user_agent: str = "kermit-spark"
     bloom: BloomSpec = field(default_factory=BloomSpec)
     verification: ResultVerification | None = None
+    # Q10: defer a deterministic pseudo-random fraction of due URLs per wave
+    delay: RandomizedDelay | None = None
 
 
 @dataclass
@@ -230,6 +233,10 @@ class Crawler:
         eligible = self.frontier.read().filter(
             (F.col("status") == SCHEDULED) & cfg.url_filter.expr(F.col("url"))
         )
+        if cfg.delay is not None:
+            # Q10 RandomizedDelay: deferred rows stay 'scheduled' and are
+            # reconsidered next wave with a fresh coin
+            eligible = eligible.filter(~cfg.delay.defer_expr(wave))
 
         # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9)
         selected = dequeue(
@@ -241,6 +248,21 @@ class Crawler:
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
         n_selected = sum(r["count"] for r in per_host)
+        if n_selected == 0 and cfg.delay is not None:
+            # every remaining URL drew the defer coin (the coin is a pure
+            # function of (url, wave), so re-running this wave can't change
+            # it) — fall back to the undelayed selection so deferral never
+            # stalls the crawl; genuinely-empty frontiers still terminate
+            selected.unpersist()
+            undelayed = self.frontier.read().filter(
+                (F.col("status") == SCHEDULED) & cfg.url_filter.expr(F.col("url"))
+            )
+            selected = dequeue(
+                undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
+                global_cap=cfg.global_cap,
+            ).persist()
+            per_host = selected.groupBy("p", "host").count().collect()
+            n_selected = sum(r["count"] for r in per_host)
         batch_parts = sorted({r["p"] for r in per_host})
         if n_selected == 0:
             selected.unpersist()

@@ -146,6 +146,27 @@ class Politeness:
         return expr
 
 
+@dataclass(frozen=True)
+class RandomizedDelay:
+    """Q10 anti-bot jitter, wave-batch analog (reference:
+    ext.RandomizedDelay.coffee:8-41 delays in-flight fetches with
+    probability ``ratio``). In wave execution, deferral IS delay: each wave
+    a pseudo-random ``ratio`` of due URLs is pushed to a later wave. The
+    coin is xxhash64(url_hash, wave, seed) — deterministic per (URL, wave),
+    so the selection is identical across runs, resumes and cluster sizes
+    (no nondeterministic UDFs on the frontier path, SURVEY §7)."""
+
+    ratio: float = 0.1
+    seed: int = 0
+
+    def defer_expr(self, wave: int) -> Column:
+        coin = F.pmod(
+            F.xxhash64(F.col("url_hash"), F.lit(wave), F.lit(self.seed)),
+            F.lit(10000),
+        )
+        return coin < F.lit(int(self.ratio * 10000))
+
+
 def dequeue_order() -> list[Column]:
     """The deterministic ordering contract of SURVEY §2.8."""
     return [

@@ -16,6 +16,7 @@ media table.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,11 +69,17 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 def _fake_image_features(data: bytes) -> tuple[int, int, float]:
     """DETERMINISTIC FAKE (codec stub): width/height/luma derived from a
     digest of the bytes — stable across runs/machines, clearly not a real
-    decode. Replaced by PIL when _HAVE_CODECS."""
-    d = hashlib.blake2b(data or b"", digest_size=8).digest()
+    decode. Replaced by PIL when _HAVE_CODECS.
+
+    md5 (not blake2b) so the derivation is reproducible in ANY engine with
+    md5 + string ops — the driver correctness oracle recomputes it in SQL:
+      width  = 64 + byte0, height = 64 + byte1,
+      luma   = floor(bytes2..3 / 65535 * 1e6 + 0.5) / 1e6 (portable half-up).
+    """
+    d = hashlib.md5(data or b"").digest()
     width = 64 + d[0]
     height = 64 + d[1]
-    luma = round(int.from_bytes(d[2:4], "big") / 65535.0, 6)
+    luma = math.floor(int.from_bytes(d[2:4], "big") / 65535.0 * 1e6 + 0.5) / 1e6
     return width, height, luma
 
 

@@ -153,6 +153,35 @@ def test_lineage_ledger_rows(engine_result):
     assert deq == {s.wave: s.n_selected for s in stats}
 
 
+def test_randomized_delay_reaches_same_closure(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
+    """Q10: deferral postpones fetches but never loses URLs — run the
+    delayed crawl to exhaustion and it visits exactly the reachable closure
+    the (undelayed) oracle computes; nothing is left scheduled."""
+    from kermit_spark.frontier import RandomizedDelay
+
+    root = str(tmp_path_factory.mktemp("delay"))
+    cfg = CrawlConfig(
+        num_partitions=8,
+        politeness=Politeness((Limit(r".*", BUDGET),)),
+        sub_salts=4,
+        delay=RandomizedDelay(ratio=0.4, seed=3),
+        max_waves=40,
+    )
+    delayed = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    delayed.seed(SEEDS)
+    delayed.crawl()  # to exhaustion (wave selects nothing, even undelayed)
+
+    oracle = oracle_crawl(
+        corpus_map, SEEDS, url_hashes, limits=[(".*", BUDGET)], max_waves=40
+    )
+    got = {
+        r["url"] for r in delayed.frontier.read().filter(F.col("status") == "visited").collect()
+    }
+    want = {u for u, rec in oracle.frontier.items() if rec["status"] == "visited"}
+    assert got == want
+    assert not delayed.has_work()
+
+
 def test_resume_equals_uninterrupted(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
     """Run 1 wave, drop every driver object, rebuild from disk, finish the
     crawl — frontier and documents equal the oracle (hence equal an

@@ -79,6 +79,22 @@ def test_reschedule_errors_retry_path(spark, frontier):
     assert frontier.counts() == {ERROR: 1}
 
 
+def test_randomized_delay_deterministic_fraction(spark):
+    """Q10: the defer coin is a pure function of (url, wave, seed) — the
+    same rows defer on every evaluation, roughly ratio of them, and a
+    different wave flips different coins."""
+    from kermit_spark.frontier import RandomizedDelay
+
+    elig = _eligible(spark, n_hosts=5, per_host=200)
+    d = RandomizedDelay(ratio=0.3, seed=7)
+    a = {r["url"] for r in elig.filter(d.defer_expr(1)).collect()}
+    b = {r["url"] for r in elig.filter(d.defer_expr(1)).collect()}
+    assert a == b  # deterministic
+    assert 0.2 < len(a) / 1000 < 0.4  # ~ratio
+    c = {r["url"] for r in elig.filter(d.defer_expr(2)).collect()}
+    assert c != a  # fresh coin per wave
+
+
 def test_schedule_dedup_bloom_path_matches_plain(spark, tmp_path):
     """The sub-threshold plain anti-join and the Bloom-prefiltered path must
     produce identical frontiers (the threshold is a cost switch, never a
