@@ -306,30 +306,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.99) among same-label
-    vectors — exact within-group all-pairs (groups are small). The corpus is
-    augmented with shifted twins (every component +0.01, vec_id+100000) so
-    true near-dups exist; random same-label pairs stay far below 0.99."""
+    """Embedding-cosine near-dup pairs (threshold 0.99) through the REAL
+    library op (ops.dedup.embedding_near_dups: md5-derived hyperplane sign
+    buckets + exact in-bucket cosine verification — the 100 TB path, not an
+    all-pairs join). The corpus is augmented with shifted twins (every
+    component +0.01, vec_id+100000) so true near-dups exist; the DuckDB
+    oracle reproduces the identical planes, buckets and scores."""
+    from kermit_spark.ops.dedup import embedding_near_dups
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     twins = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        "label",
         F.transform("v", lambda x: x + F.lit(0.01)).alias("v"),
     )
-    v = base.unionByName(twins)
-    a = v.select(F.col("label").alias("l"), F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = v.select(F.col("label").alias("l"), F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    pairs = a.join(b, "l").filter(F.col("a") < F.col("b"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = F.round(dot / (na * nb), 4)
-    return (
-        pairs.select("a", "b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.99)
-        .orderBy("a", "b")
-    )
+    vecs = base.unionByName(twins)
+    return embedding_near_dups(
+        vecs, id_col="vec_id", vec_col="v", threshold=0.99, num_planes=8
+    ).orderBy("a", "b")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +370,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (engine-only: numpy-seeded hyperplanes; rows-only)."""
+    """LSH-bucketed multi-probe ANN through the REAL library op
+    (ops.similarity.lsh_topk). The hyperplanes are md5-derived (engine-
+    portable doubles), so a DuckDB oracle reproduces the exact buckets,
+    probes, candidate sets and scores — full parity for the approximate
+    index, not just a rows-only check."""
     from kermit_spark.ops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -581,6 +579,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SHINGLE_DUCK = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
 
+_LSH_FOLD = "(acc, x) -> acc + x"
+
+
+def _lsh_bucket_ctes(num_planes: int) -> str:
+    """planes/dots/bucket CTEs reproducing the md5-derived hyperplane
+    sign-buckets of ops.dedup._deterministic_planes in DuckDB. Every float op
+    mirrors the Spark left fold exactly: list_reduce(+) associates ((a+b)+c)
+    like F.aggregate with a 0.0 init (0.0 + a == a in IEEE), so the buckets
+    are bit-identical. Expects a ``vec(vec_id, v)`` CTE upstream."""
+
+    def hex8(md5_expr: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substring({md5_expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        ) + ")"
+
+    plane_w = (
+        "(" + hex8("md5(pp.p || ':' || (j - 1))") + " / 4294967296.0) * 2.0 - 1.0"
+    )
+    return f"""planes AS (
+            SELECT pp.p AS p,
+                   list_transform(
+                       generate_series(1, (SELECT len(v) FROM vec LIMIT 1)),
+                       j -> ({plane_w})) AS wv
+            FROM (SELECT unnest(generate_series(0, {num_planes - 1})) AS p) pp
+        ),
+        dots AS (
+            SELECT vv.vec_id, pl.p,
+                   list_reduce(list_transform(generate_series(1, len(vv.v)),
+                       i -> vv.v[i] * pl.wv[i]), {_LSH_FOLD}) AS d
+            FROM vec vv, planes pl
+        ),
+        bucket AS (
+            SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END)::INTEGER AS b
+            FROM dots GROUP BY vec_id
+        )"""
+
+
+def _lsh_cosine_sql(round_digits: int) -> str:
+    """round(cosine(qv.v, nv.v), d) with the exact Spark fold order."""
+    return f"""round(
+                       list_reduce(list_transform(generate_series(1, len(qv.v)),
+                           i -> qv.v[i] * nv.v[i]), {_LSH_FOLD})
+                       / (sqrt(list_reduce(list_transform(qv.v, x -> x * x), {_LSH_FOLD}))
+                          * sqrt(list_reduce(list_transform(nv.v, x -> x * x), {_LSH_FOLD}))),
+                       {round_digits})"""
+
+
+def _ann_lsh_oracle(num_planes: int = 6, k: int = 5) -> str:
+    """DuckDB replication of ops.similarity.lsh_topk (buckets + 1-bit-flip
+    multi-probes + in-bucket exact cosine top-k)."""
+    probe_list = ", ".join(f"xor(b, {1 << p})" for p in range(num_planes))
+    return f"""
+        WITH vec AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_lsh_bucket_ctes(num_planes)},
+        q AS (
+            SELECT bq.vec_id AS query_id, bq.b
+            FROM bucket bq WHERE bq.vec_id < 8
+        ),
+        probes AS (
+            SELECT query_id, unnest([b, {probe_list}]) AS pb FROM q
+        ),
+        cand AS (
+            SELECT DISTINCT pr.query_id, c.vec_id AS neighbor_id
+            FROM probes pr JOIN bucket c ON c.b = pr.pb
+            WHERE c.vec_id != pr.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {_lsh_cosine_sql(4)} AS score
+            FROM cand
+            JOIN vec qv ON qv.vec_id = cand.query_id
+            JOIN vec nv ON nv.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        SELECT query_id, rnk, neighbor_id, score
+        FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
 def _langid_score_sql() -> str:
     """Score columns for the text_langid oracle, generated from the SAME
     LANG_MARKERS constant the library query uses — one source of truth."""
@@ -751,18 +836,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE hamming <= 8
             ORDER BY a, b
         """,
-        "embedding_near_dup": """
-            WITH v AS (
-                SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        "embedding_near_dup": f"""
+            WITH vec AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 UNION ALL
-                SELECT vec_id + 100000 AS vec_id, label,
+                SELECT vec_id + 100000 AS vec_id,
                        list_transform(embedding::DOUBLE[], x -> x + 0.01) AS v
                 FROM embeddings
+            ),
+            {_lsh_bucket_ctes(8)},
+            cand AS (
+                SELECT ba.vec_id AS query_id, bb.vec_id AS neighbor_id
+                FROM bucket ba JOIN bucket bb
+                  ON ba.b = bb.b AND ba.vec_id < bb.vec_id
             )
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+            SELECT cand.query_id AS a, cand.neighbor_id AS b,
+                   {_lsh_cosine_sql(6)} AS cosine
+            FROM cand
+            JOIN vec qv ON qv.vec_id = cand.query_id
+            JOIN vec nv ON nv.vec_id = cand.neighbor_id
+            WHERE cosine >= 0.99
             ORDER BY a, b
         """,
         "ann_cosine_topk": """
@@ -780,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rnk, neighbor_id, round(score6, 4) AS score
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
         """,
+        "ann_lsh_topk": _ann_lsh_oracle(num_planes=6, k=5),
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id,
@@ -905,6 +999,8 @@ def oracle_sql() -> dict[str, str]:
                    false AS decode_ok
             FROM hd ORDER BY media_id
         """,
-        # rows-only (engine-only pipelines): crawl_wave, ann_lsh_topk —
-        # intentionally omitted.
+        # rows-only (engine-only pipeline): crawl_wave — the full multi-wave
+        # crawl (snapshots + pandas UDFs + window dequeue) is not one SQL
+        # statement; its correctness gate is the pytest golden suite against
+        # an independent pure-Python oracle (tests/oracle.py).
     }

@@ -24,7 +24,13 @@ from .crawler import (  # noqa: E402,F401
 )
 from .fetch import CorpusFetcher, HttpFetcher  # noqa: E402,F401
 from .filters import MimeTypes, UrlFilter, by_pattern  # noqa: E402,F401
-from .frontier import Frontier, Limit, Politeness  # noqa: E402,F401
+from .frontier import (  # noqa: E402,F401
+    Frontier,
+    Limit,
+    Politeness,
+    RandomizedDelay,
+)
+from .metrics import headers_histogram, phase_stats  # noqa: E402,F401
 from .session import build_session  # noqa: E402,F401
 
 __all__ = [
@@ -32,6 +38,7 @@ __all__ = [
     "CrawlConfig", "Crawler", "ResultVerification", "WaveStats",
     "CorpusFetcher", "HttpFetcher",
     "MimeTypes", "UrlFilter", "by_pattern",
-    "Frontier", "Limit", "Politeness",
+    "Frontier", "Limit", "Politeness", "RandomizedDelay",
+    "headers_histogram", "phase_stats",
     "build_session",
 ]

@@ -132,13 +132,18 @@ class SnapshotCatalog:
     # -- write / commit ----------------------------------------------------
 
     def create(
-        self, table: str, df: DataFrame, num_partitions: int, properties: dict | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        num_partitions: int,
+        properties: dict | None = None,
+        align: bool = True,
     ) -> int:
         """Create table from ``df`` (must already carry PARTITION_COL in
         [0, num_partitions)). Writes every partition at v0."""
         base = os.path.join(self.root, table)
         ver = 0
-        self._write_partitions(table, df, ver)
+        self._write_partitions(table, df, ver, align=align)
         written = self._list_written_partitions(base, ver)
         partmap = {str(p): ver for p in written}
         props0 = dict(properties or {})
@@ -155,6 +160,7 @@ class SnapshotCatalog:
         df: DataFrame,
         touched: Iterable[int] | None = None,
         properties: dict | None = None,
+        align: bool = True,
     ) -> int:
         """Commit a new snapshot replacing ONLY the partitions present in
         ``df`` (or the explicit ``touched`` set — pass it when a partition
@@ -165,7 +171,7 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {table!r} does not exist")
         new_sid = meta.current_snapshot + 1
         ver = new_sid
-        self._write_partitions(table, df, ver)
+        self._write_partitions(table, df, ver, align=align)
         base = os.path.join(self.root, table)
         written = set(self._list_written_partitions(base, ver))
         touched_set = set(int(t) for t in touched) if touched is not None else written
@@ -205,6 +211,7 @@ class SnapshotCatalog:
         replace_parts: Iterable[int],
         properties: dict | None = None,
         extra_properties=None,
+        align: bool = True,
     ) -> tuple[int, set[int]]:
         """Mixed replace/append commit in ONE write job (Iceberg fast-append
         analog). A partition present in ``df``:
@@ -224,7 +231,7 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {table!r} does not exist")
         new_sid = meta.current_snapshot + 1
         ver = new_sid
-        self._write_partitions(table, df, ver)
+        self._write_partitions(table, df, ver, align=align)
         base = os.path.join(self.root, table)
         written = set(self._list_written_partitions(base, ver))
         replace = {int(p) for p in replace_parts}
@@ -250,24 +257,28 @@ class SnapshotCatalog:
 
     # -- internals ---------------------------------------------------------
 
-    def _write_partitions(self, table: str, df: DataFrame, ver: int) -> None:
+    def _write_partitions(self, table: str, df: DataFrame, ver: int, align: bool = True) -> None:
         """Write df under <table>/p=K/v{ver}/ for each partition present.
 
         Implemented with a single partitionBy write into a staging dir, then a
         directory rename per partition — one Spark job regardless of the
         number of touched partitions (a per-partition ``.filter().write``
         loop would launch P jobs and rescan df P times).
+
+        ``align=True`` repartitions on the partition column first: without it
+        every task holds a writer for every partition dir (tasks × partitions
+        small files + writer memory); with it each partition's rows land in
+        one task → one file per partition. Pass ``align=False`` when the df
+        covers FEW partition values (e.g. the wave-partitioned documents
+        table writes ONE value) — there the repartition would funnel the
+        whole write through a single task, serializing the parquet encode;
+        unaligned, T tasks write T files into the same partition dir.
         """
         base = os.path.join(self.root, table)
         staging = os.path.join(base, f"_staging_v{ver}")
+        out = df.repartition(F.col(PARTITION_COL)) if align else df
         (
-            # align data with the directory layout before the partitioned
-            # write: without this every task holds a writer for every
-            # partition dir (tasks × partitions small files + writer memory);
-            # with it each partition's rows land in one task → one file per
-            # partition. AQE may coalesce the exchange — still aligned.
-            df.repartition(F.col(PARTITION_COL))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(staging)
         )

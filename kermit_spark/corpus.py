@@ -48,6 +48,12 @@ class CorpusSpec:
     intra_host_eighths: int = 5
     # id space of media objects per host (img/{0..space-1}.png)
     media_id_space: int = 1000
+    # extra <p> text runs per page, each a snippet repeated text_run_repeats
+    # times (~25 chars per repeat) — sizes page bodies toward realistic web
+    # weights (e.g. 30 runs × 16 repeats ≈ 10 kB/page) so fetch/parse carry
+    # real bytes in benchmarks; 0 keeps the tiny test corpus
+    extra_text_runs: int = 0
+    text_run_repeats: int = 16
 
     def pages_for_host(self, h: int) -> int:
         return max(1, self.base_pages // (h + 1))
@@ -167,6 +173,15 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
             tgt_page.cast("string"), F.lit('.html">'),
             _text_snippet(spec, f"a{s}"), F.lit("</a><p>"),
             _text_snippet(spec, f"t{s}"), F.lit("</p>"),
+        ]
+    for r in range(spec.extra_text_runs):
+        body_parts += [
+            F.lit("<p>"),
+            F.repeat(
+                F.concat(_text_snippet(spec, f"x{r}"), F.lit(" ")),
+                spec.text_run_repeats,
+            ),
+            F.lit("</p>"),
         ]
     for m in range(spec.media_per_page):
         media_id = F.pmod(

@@ -317,11 +317,15 @@ class Crawler:
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
             F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_err"),
         ).persist()
+        # align=False: the write covers ONE partition value (the wave) — an
+        # aligned write would funnel every document through a single task's
+        # parquet encoder; unaligned, each of the T parse tasks writes its
+        # own file into p=<wave>/ in parallel
         docs_out = docs.withColumnRenamed("p", "host_p").withColumn("p", F.lit(wave))
         if self.catalog.exists(DOCUMENTS_TABLE):
-            self.catalog.overwrite_partitions(DOCUMENTS_TABLE, docs_out, [wave])
+            self.catalog.overwrite_partitions(DOCUMENTS_TABLE, docs_out, [wave], align=False)
         else:
-            self.catalog.create(DOCUMENTS_TABLE, docs_out, cfg.num_partitions)
+            self.catalog.create(DOCUMENTS_TABLE, docs_out, cfg.num_partitions, align=False)
 
         metrics = obs.get
         n_ok = int(metrics["n_ok"] or 0)

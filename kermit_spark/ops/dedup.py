@@ -316,6 +316,17 @@ def embedding_near_dups(
 
 
 def _deterministic_planes(num_planes: int, dim: int) -> np.ndarray:
-    """Seeded hyperplanes — pure function of (plane, component)."""
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((num_planes, dim))
+    """Hyperplane component (p, j) = uniform[-1, 1) derived from md5("p:j")
+    — a pure, ENGINE-PORTABLE function (any SQL engine with md5 + string ops
+    reproduces the exact doubles), so LSH bucketing built on these planes can
+    be oracle-checked. Uniform (not Gaussian) directions are fine for
+    sign-bucket LSH: the planes only need to be fixed and symmetric, and
+    exact cosine verification runs inside every bucket anyway."""
+    import hashlib
+
+    out = np.empty((num_planes, dim))
+    for p in range(num_planes):
+        for j in range(dim):
+            v = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16)
+            out[p, j] = v / 2**32 * 2.0 - 1.0
+    return out

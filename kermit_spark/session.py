@@ -17,22 +17,32 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int = 32,
     extra_conf: dict[str, str] | None = None,
+    adaptive: bool = True,
 ) -> SparkSession:
     """Build a SparkSession tuned for the crawl engine.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (sandbox) — on a real
     cluster it is left unset so spark-submit controls deployment.
+
+    ``adaptive``: AQE on (default) for production posture — skew-join
+    splitting and partition coalescing pay for themselves at real wave
+    sizes. At sandbox data sizes AQE's per-exchange re-planning barrier
+    DOMINATES wave latency (measured 2-3x wave wall time on ~25k-URL
+    waves), so benchmarks pass ``adaptive=False``; correctness is identical
+    (the engine handles skew structurally: two-level dequeue + host-salt
+    partitioning, not via AQE).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    aqe = "true" if adaptive else "false"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # crawl tables are small-file-heavy at test scale; keep scans cheap
