@@ -255,6 +255,36 @@ class SnapshotCatalog:
         self._store_meta(table, meta)
         return new_sid, written
 
+    def compact(self, table: str, properties: dict | None = None) -> int:
+        """Rewrite every partition whose file list has grown through
+        fast-append commits back to a single file set — the Iceberg
+        'rewrite data files' maintenance action. Partitions already at one
+        version are untouched (zero IO). Returns the new snapshot id (or
+        the current one if nothing needed compaction).
+
+        Run it between crawls (or every k waves on hot tables): appended
+        file sets otherwise accumulate until a partition is next rewritten
+        by a status merge, degrading scan planning on long-running
+        frontiers."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        partmap = meta.snapshots[str(meta.current_snapshot)]
+        multi = sorted(
+            int(p) for p, v in partmap.items() if isinstance(v, list) and len(v) > 1
+        )
+        if not multi:
+            return meta.current_snapshot
+        sub = self.read(table).filter(F.col(PARTITION_COL).isin(multi))
+        # carry forward the current snapshot's properties: stats like the
+        # frontier's n_rows/url_epoch describe the DATA, which compaction
+        # does not change
+        props = dict(meta.properties.get(str(meta.current_snapshot), {}))
+        props.pop("ts", None)
+        props.update(properties or {})
+        props["compacted_parts"] = len(multi)
+        return self.overwrite_partitions(table, sub, multi, properties=props)
+
     # -- internals ---------------------------------------------------------
 
     def _write_partitions(self, table: str, df: DataFrame, ver: int, align: bool = True) -> None:

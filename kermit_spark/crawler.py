@@ -432,6 +432,14 @@ class Crawler:
         self.flush_lineage()
         return self.spark.read.parquet(self._lineage_path())
 
+    def compact(self) -> None:
+        """Maintenance: fold fast-appended frontier file sets back to one
+        set per partition (catalog.compact). Run between crawls on
+        long-lived frontiers; data and snapshot stats are unchanged."""
+        from .frontier import FRONTIER_TABLE
+
+        self.catalog.compact(FRONTIER_TABLE)
+
     def url_seen_urls(self) -> DataFrame:
         """The URL-seen set (SURVEY §2.8 contract #3): every URL ever
         scheduled/processed/visited, by canonical URL."""

@@ -196,13 +196,16 @@ def simhash(text: Column) -> Column:
     t = _sql(text)
     tokens = f"array_distinct(regexp_extract_all(lower({t}), '[a-z0-9]+', 0))"
     hexes = f"transform({tokens}, tok -> substring(md5(tok), 1, 16))"
-    bit = (
-        "shiftright(cast(conv(substring(h, 1 + cast(b / 4 as int), 1), 16, 10) as int),"
-        " 3 - b % 4) & 1"
+    # parse each hex DIGIT once (16 conv calls per token), then derive its 4
+    # bits with cheap shifts — a per-bit conv would cost 64 string parses
+    digits = "transform(sequence(0, 15), d -> cast(conv(substring(h, 1 + d, 1), 16, 10) as int))"
+    digit_votes = (
+        "array(2 * (shiftright(v, 3) & 1) - 1, 2 * (shiftright(v, 2) & 1) - 1, "
+        "2 * (shiftright(v, 1) & 1) - 1, 2 * (v & 1) - 1)"
     )
     votes = (
         f"aggregate({hexes}, array_repeat(0, 64), "
-        f"(acc, h) -> zip_with(acc, transform(sequence(0, 63), b -> 2 * ({bit}) - 1), "
+        f"(acc, h) -> zip_with(acc, flatten(transform({digits}, v -> {digit_votes})), "
         f"(x, y) -> x + y))"
     )
     # MSB-first: vote index 0 -> bit 63 of the long (sign bit; arithmetic sum

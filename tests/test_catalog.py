@@ -76,6 +76,27 @@ def test_rerun_after_kill_mid_commit_is_idempotent(spark, cat, tmp_path):
     assert got == [(0, 1, "a"), (1, 20, "B")]
 
 
+def test_merge_write_appends_then_compact_folds(spark, cat):
+    """Fast-append commits grow a partition's file list; compact() folds it
+    back to one set with identical rows and carried-forward properties."""
+    cat.create("t", _df(spark, [(0, 1, "a")]), 4, properties={"n_rows": 1})
+    # pure-insert commit: partition 0 gets an APPENDED file set, partition 1 a new one
+    cat.merge_write("t", _df(spark, [(0, 2, "b"), (1, 3, "c")]), replace_parts=set(),
+                    properties={"n_rows": 3})
+    meta_vers = cat._load_meta("t").snapshots["1"]["0"]
+    assert isinstance(meta_vers, list) and len(meta_vers) == 2
+    got = sorted((r["p"], r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got == [(0, 1, "a"), (0, 2, "b"), (1, 3, "c")]
+
+    sid = cat.compact("t")
+    assert cat._load_meta("t").snapshots[str(sid)]["0"] == sid  # single version again
+    got2 = sorted((r["p"], r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got2 == got
+    assert cat.snapshot_property("t")["n_rows"] == 3  # stats carried forward
+    # nothing multi-versioned left: compact is a no-op now
+    assert cat.compact("t") == sid
+
+
 def test_missing_table_raises(cat):
     with pytest.raises(FileNotFoundError):
         cat.read("nope")
