@@ -15,6 +15,7 @@ point at the behavior being re-expressed, for parity review only.
 __version__ = "0.1.0"
 
 from .catalog import SnapshotCatalog  # noqa: E402,F401
+from .control import RemoteControl  # noqa: E402,F401
 from .corpus import CorpusSpec, build_corpus  # noqa: E402,F401
 from .crawler import (  # noqa: E402,F401
     CrawlConfig,
@@ -34,7 +35,7 @@ from .metrics import headers_histogram, phase_stats  # noqa: E402,F401
 from .session import build_session  # noqa: E402,F401
 
 __all__ = [
-    "SnapshotCatalog", "CorpusSpec", "build_corpus",
+    "SnapshotCatalog", "RemoteControl", "CorpusSpec", "build_corpus",
     "CrawlConfig", "Crawler", "ResultVerification", "WaveStats",
     "CorpusFetcher", "HttpFetcher",
     "MimeTypes", "UrlFilter", "by_pattern",

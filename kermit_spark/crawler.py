@@ -405,19 +405,27 @@ class Crawler:
 
     # -- the loop ----------------------------------------------------------
 
-    def crawl(self, max_waves: int | None = None) -> list[WaveStats]:
+    def crawl(self, max_waves: int | None = None, remote=None) -> list[WaveStats]:
         """Run waves until one selects nothing (Q11 hasWork analog — a wave
-        that selects zero URLs can never schedule new ones) or the cap hits."""
+        that selects zero URLs can never schedule new ones) or the cap hits.
+
+        ``remote``: an optional control.RemoteControl — its buffered
+        schedule requests merge into the frontier at each wave boundary and
+        its stop command ends the loop after the current wave (S11)."""
         cap = max_waves if max_waves is not None else self.config.max_waves
         stats: list[WaveStats] = []
         try:
             while len(stats) < cap:
+                if remote is not None:
+                    remote.drain_schedules(wave=self.last_wave + 1)
                 s = self.run_wave()
                 if s.n_selected == 0:
                     break
                 stats.append(s)
                 if s.stop_requested:
                     # F10: verification failure stops the crawler
+                    break
+                if remote is not None and remote.stop_requested:
                     break
         finally:
             self.flush_lineage()
