@@ -25,7 +25,12 @@ Scale design (SURVEY §4):
     than the reference's timing-dependent interleaving, same BFS semantics;
   * dedup = Bloom prefilter (bloom.py) + exact anti-join on
     (p, url_hash, url) — url in the key so a 64-bit hash collision can never
-    merge two distinct URLs.
+    merge two distinct URLs. Below BLOOM_MIN_FRONTIER rows the plain
+    anti-join alone is cheaper and the blobs pause (epoch-tracked rebuild on
+    crossing) — a cost switch, never a semantics switch;
+  * commits are replace-for-the-batch + fast-APPEND-for-discovery
+    (catalog.merge_write): cost O(batch + new data), independent of the
+    frontier size and of how many partitions discovery scatters into.
 """
 
 from __future__ import annotations
