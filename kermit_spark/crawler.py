@@ -112,6 +112,10 @@ class CrawlConfig:
     verification: ResultVerification | None = None
     # Q10: defer a deterministic pseudo-random fraction of due URLs per wave
     delay: RandomizedDelay | None = None
+    # fold fast-appended frontier file sets every k waves (0 = only manual
+    # Crawler.compact()); long crawls otherwise accumulate appended files in
+    # partitions whose hosts are rarely dequeued
+    compact_every: int = 0
 
 
 @dataclass
@@ -427,6 +431,8 @@ class Crawler:
                     break
                 if remote is not None and remote.stop_requested:
                     break
+                if self.config.compact_every and len(stats) % self.config.compact_every == 0:
+                    self.compact()
         finally:
             self.flush_lineage()
         return stats

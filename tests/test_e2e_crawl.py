@@ -153,6 +153,31 @@ def test_lineage_ledger_rows(engine_result):
     assert deq == {s.wave: s.n_selected for s in stats}
 
 
+def test_auto_compaction_preserves_results(spark, corpus_df, oracle_result, tmp_path_factory):
+    """compact_every folds fast-appended frontier file sets mid-crawl; the
+    final frontier must equal the oracle exactly (compaction is maintenance,
+    never semantics)."""
+    root = str(tmp_path_factory.mktemp("compact"))
+    cfg = CrawlConfig(
+        num_partitions=8,
+        politeness=Politeness((Limit(r".*", BUDGET),)),
+        sub_salts=4,
+        compact_every=1,
+    )
+    crawler = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    crawler.seed(SEEDS)
+    crawler.crawl(WAVES)
+    got = {
+        r["url"]: (r["depth"], r["wave"], r["status"])
+        for r in crawler.frontier.read().collect()
+    }
+    want = {
+        u: (rec["depth"], rec["wave"], rec["status"])
+        for u, rec in oracle_result.frontier.items()
+    }
+    assert got == want
+
+
 def test_randomized_delay_reaches_same_closure(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
     """Q10: deferral postpones fetches but never loses URLs — run the
     delayed crawl to exhaustion and it visits exactly the reachable closure
