@@ -19,6 +19,7 @@ LSH, stubbed media decode) are rows-only entries.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -138,19 +139,26 @@ def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_of(F.col("o_orderkey")).alias("url")
     )
     cand = li.select(url_of(F.col("l_orderkey")).alias("url"))
-    fr = Frontier(
-        SnapshotCatalog(spark, tempfile.mkdtemp(prefix="kermit_corr_")), num_partitions=8
-    )
-    fr.init(seen)
-    fr.schedule(cand, wave=1)
-    return (
-        fr.read()
-        .filter(F.col("wave") == 1)
-        .select(F.regexp_extract("host", r"h(\d+)", 1).cast("long").alias("host_id"))
-        .groupBy("host_id")
-        .agg(F.count("*").alias("n_new"))
-        .orderBy("host_id")
-    )
+    tmp = tempfile.mkdtemp(prefix="kermit_corr_")
+    try:
+        fr = Frontier(SnapshotCatalog(spark, tmp), num_partitions=8)
+        fr.init(seen)
+        fr.schedule(cand, wave=1)
+        out = (
+            fr.read()
+            .filter(F.col("wave") == 1)
+            .select(F.regexp_extract("host", r"h(\d+)", 1).cast("long").alias("host_id"))
+            .groupBy("host_id")
+            .agg(F.count("*").alias("n_new"))
+            .orderBy("host_id")
+        )
+        # materialize the (≤ n_hosts-row) aggregate BEFORE deleting the temp
+        # catalog the lazy plan reads from — the returned DataFrame must not
+        # depend on the leaked directory (it used to leak one per call)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,28 +353,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for query vectors vec_id < 8 —
-    rank at 6 decimals, ties by neighbor id; scores reported at 4 decimals."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 8
+    through the REAL library op (ops.similarity.brute_force_topk: queries
+    broadcast, corpus scanned once, partial top-k) — rank at 6 decimals,
+    ties by neighbor id; scores reported at 4 decimals."""
+    from kermit_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
     )
-    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
-    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot / (nq * nc), 6).alias("score6"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score6").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "rnk", "neighbor_id", F.round(F.col("score6"), 4).alias("score"))
-        .orderBy("query_id", "rnk")
-    )
+    queries = emb.filter(F.col("id") < 8)
+    return brute_force_topk(
+        emb, queries, k=5, round_digits=4, rank_digits=6
+    ).orderBy("query_id", "rnk")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,9 +844,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             {_lsh_bucket_ctes(8)},
+            -- mirror of the library's max_bucket=50 cap (lowest ids kept)
+            capped AS (
+                SELECT vec_id, b FROM (
+                    SELECT vec_id, b,
+                           row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn
+                    FROM bucket
+                ) WHERE rn <= 50
+            ),
             cand AS (
                 SELECT ba.vec_id AS query_id, bb.vec_id AS neighbor_id
-                FROM bucket ba JOIN bucket bb
+                FROM capped ba JOIN capped bb
                   ON ba.b = bb.b AND ba.vec_id < bb.vec_id
             )
             SELECT cand.query_id AS a, cand.neighbor_id AS b,

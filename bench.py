@@ -311,19 +311,29 @@ def run_scaling(n: int = 4, trials: int = 3) -> dict:
     def eff(metric):
         key = {"crawl": "steady_urls_per_sec", "dedup": "urls_per_sec",
                "parse": "docs_per_sec"}[metric]
-        tn = max(r[metric][key] for r in results[n])
-        t4n = max(r[metric][key] for r in results[4 * n])
+        tns = [r[metric][key] for r in results[n]]
+        t4ns = [r[metric][key] for r in results[4 * n]]
+        # MATCHED pairs only: trial t's N and 4N legs ran back-to-back in the
+        # same contention window, so pairing by trial keeps the ratio honest —
+        # independent best-of maxima could combine legs from different trials
+        # into an efficiency no actual run achieved.
+        pairs = [(a, b, (b / (4 * a)) if a else 0.0) for a, b in zip(tns, t4ns)]
+        best = max(pairs, key=lambda p: p[2])
+        med = sorted(pairs, key=lambda p: p[2])[len(pairs) // 2]
         return {
-            "throughput_N": round(tn, 1),
-            "throughput_4N": round(t4n, 1),
-            "all_N": [round(r[metric][key], 1) for r in results[n]],
-            "all_4N": [round(r[metric][key], 1) for r in results[4 * n]],
-            "speedup": round(t4n / tn, 2) if tn else 0,
-            "efficiency": round(t4n / (4 * tn), 3) if tn else 0,
+            "throughput_N": round(best[0], 1),
+            "throughput_4N": round(best[1], 1),
+            "all_N": [round(x, 1) for x in tns],
+            "all_4N": [round(x, 1) for x in t4ns],
+            "speedup": round(best[1] / best[0], 2) if best[0] else 0,
+            "efficiency": round(best[2], 3),
+            "median_efficiency": round(med[2], 3),
+            "peak_throughput_N": round(max(tns), 1),
+            "peak_throughput_4N": round(max(t4ns), 1),
         }
 
     return {
-        "metric": "scaling efficiency local[N] vs local[4N] (same input, best of interleaved trials)",
+        "metric": "scaling efficiency local[N] vs local[4N] (same input, best MATCHED trial pair; median alongside)",
         "N": n,
         "trials": trials,
         "crawl": eff("crawl"),

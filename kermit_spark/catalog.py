@@ -180,22 +180,8 @@ class SnapshotCatalog:
         for part in touched_set & written:
             partmap[str(part)] = ver
         emptied = sorted(touched_set - written)
-        if emptied:
-            # partitions emptied: an empty v-dir must exist so reads of this
-            # snapshot don't resurrect old rows. ONE empty write + a file
-            # copy per partition — a Spark write job per empty partition was
-            # a measurable per-commit fixed cost.
-            empty = self.read(table).limit(0).filter(F.lit(False))
-            tmpl = os.path.join(base, f"_empty_v{ver}")
-            empty.drop(PARTITION_COL).coalesce(1).write.mode("overwrite").parquet(tmpl)
-            for part in emptied:
-                pdir = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
-                if os.path.exists(pdir):
-                    shutil.rmtree(pdir, ignore_errors=True)
-                os.makedirs(os.path.dirname(pdir), exist_ok=True)
-                shutil.copytree(tmpl, pdir)
-                partmap[str(part)] = ver
-            shutil.rmtree(tmpl, ignore_errors=True)
+        for part in self._write_empty_partitions(table, base, ver, emptied):
+            partmap[str(part)] = ver
         meta.snapshots[str(new_sid)] = partmap
         meta.current_snapshot = new_sid
         props = dict(properties or {})
@@ -245,6 +231,13 @@ class SnapshotCatalog:
                 partmap[key] = [ver]
             else:
                 partmap[key] = partmap[key] + [ver]
+        # a replace partition whose merged result is EMPTY still needs its
+        # file list replaced (with an empty v-dir) — keeping the old list
+        # would resurrect stale rows in the new snapshot, the exact hazard
+        # overwrite_partitions' emptied branch guards against
+        emptied = sorted(p for p in replace - written if str(p) in partmap)
+        for part in self._write_empty_partitions(table, base, ver, emptied):
+            partmap[str(part)] = [ver]
         props = dict(properties or {})
         if extra_properties is not None:
             props.update(extra_properties())
@@ -285,7 +278,72 @@ class SnapshotCatalog:
         props["compacted_parts"] = len(multi)
         return self.overwrite_partitions(table, sub, multi, properties=props)
 
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
+        """Remove snapshots older than the most recent ``keep_last`` and
+        delete every version dir no retained snapshot references — the
+        Iceberg ``expire_snapshots`` maintenance action. Without it a
+        long-running crawl accumulates one v{N} dir per touched partition per
+        wave forever.
+
+        The current snapshot is always retained; reads of retained snapshots
+        and resume are unaffected (their file lists are untouched). Returns
+        the number of version dirs deleted."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        sids = sorted(int(s) for s in meta.snapshots)
+        retained = set(sids[-max(keep_last, 1):])
+        retained.add(meta.current_snapshot)
+        expired = [s for s in sids if s not in retained]
+        # versions each partition still needs across retained snapshots
+        referenced: dict[str, set[int]] = {}
+        for s in retained:
+            for part, vers in meta.snapshots[str(s)].items():
+                vlist = vers if isinstance(vers, list) else [vers]
+                referenced.setdefault(part, set()).update(vlist)
+        base = os.path.join(self.root, table)
+        removed = 0
+        for entry in os.listdir(base):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            part = entry.split("=", 1)[1]
+            pdir = os.path.join(base, entry)
+            keep = referenced.get(part, set())
+            for vdir in os.listdir(pdir):
+                if not (vdir.startswith("v") and vdir[1:].isdigit()):
+                    continue
+                if int(vdir[1:]) not in keep:
+                    shutil.rmtree(os.path.join(pdir, vdir), ignore_errors=True)
+                    removed += 1
+        for s in expired:
+            meta.snapshots.pop(str(s), None)
+            meta.properties.pop(str(s), None)
+        if expired or removed:
+            self._store_meta(table, meta)
+        return removed
+
     # -- internals ---------------------------------------------------------
+
+    def _write_empty_partitions(
+        self, table: str, base: str, ver: int, parts: list[int]
+    ) -> list[int]:
+        """Materialize an empty v{ver} dir for each partition in ``parts`` so
+        reads of the new snapshot don't resurrect old rows. ONE empty write +
+        a file copy per partition — a Spark write job per empty partition was
+        a measurable per-commit fixed cost. Returns ``parts``."""
+        if not parts:
+            return parts
+        empty = self.read(table).limit(0).filter(F.lit(False))
+        tmpl = os.path.join(base, f"_empty_v{ver}")
+        empty.drop(PARTITION_COL).coalesce(1).write.mode("overwrite").parquet(tmpl)
+        for part in parts:
+            pdir = os.path.join(base, f"{PARTITION_COL}={part}", f"v{ver}")
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir, ignore_errors=True)
+            os.makedirs(os.path.dirname(pdir), exist_ok=True)
+            shutil.copytree(tmpl, pdir)
+        shutil.rmtree(tmpl, ignore_errors=True)
+        return parts
 
     def _write_partitions(self, table: str, df: DataFrame, ver: int, align: bool = True) -> None:
         """Write df under <table>/p=K/v{ver}/ for each partition present.

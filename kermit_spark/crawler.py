@@ -335,8 +335,21 @@ class Crawler:
         n_ok = int(metrics["n_ok"] or 0)
         n_err = int(metrics["n_err"] or 0)
         # every selected row is exactly one of: parsed (ok/err), verification
-        # -failed, or robots-blocked — so blocked needs no count of its own
+        # -failed, or robots-blocked — so blocked needs no count of its own.
+        # The derivation assumes the fetcher is row-preserving; a fetcher
+        # that duplicates rows (e.g. duplicate URLs in a corpus) would drive
+        # this negative, so clamp and warn instead of recording garbage.
         n_blocked = n_selected - n_ok - n_err - n_verify_failed
+        if n_blocked < 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "wave %d: fetcher emitted more rows than selected "
+                "(selected=%d ok=%d err=%d verify_failed=%d) — "
+                "clamping n_blocked to 0; check for duplicate corpus URLs",
+                wave, n_selected, n_ok, n_err, n_verify_failed,
+            )
+            n_blocked = 0
 
         # discovery (X3): spans → cleaned candidate URLs → filter (F5 first
         # application point); dedup happens inside commit_wave (Q1)

@@ -283,6 +283,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    max_bucket: int | None = 50,
 ) -> DataFrame:
     """Cosine near-duplicates: random-hyperplane LSH bits bucket the vectors
     (near-identical vectors share all sign bits with high probability), then
@@ -291,6 +292,12 @@ def embedding_near_dups(
     Hyperplanes are deterministic: plane p's component j = uniform(-1,1)
     derived from blake2-free arithmetic hash of (p, j) — same planes on any
     cluster/run.
+
+    ``max_bucket`` caps each sign-bucket (lowest ids kept) before the
+    self-join, exactly like :func:`lsh_candidates` / :func:`simhash_candidates`
+    — a cluster of B near-identical embeddings (precisely the dedup workload)
+    lands in ONE bucket and would otherwise emit B² pairs. ``None`` disables
+    the cap (exact pair set, small corpora only).
     """
     dim = len(emb.select(vec_col).first()[0])
     planes = _deterministic_planes(num_planes, dim)
@@ -309,6 +316,13 @@ def embedding_near_dups(
     bucket = sum(bits[1:], bits[0]).alias("bucket")
 
     tagged = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), bucket)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        wcap = Window.partitionBy("bucket").orderBy("_id")
+        tagged = tagged.withColumn("_rn", F.row_number().over(wcap)).filter(
+            F.col("_rn") <= max_bucket
+        ).drop("_rn")
     left = tagged.select("bucket", F.col("_id").alias("a"), F.col("_v").alias("va"))
     right = tagged.select("bucket", F.col("_id").alias("b"), F.col("_v").alias("vb"))
     pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))

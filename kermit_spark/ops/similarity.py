@@ -45,9 +45,16 @@ def brute_force_topk(
     id_col: str = "id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self-matches by id
-    are excluded)."""
+    are excluded).
+
+    ``rank_digits`` (default: same as ``round_digits``) sets the precision
+    used for RANKING; the reported ``score`` is then rounded to
+    ``round_digits``. Ranking at higher precision than the report keeps the
+    order stable while emitting compact scores."""
+    rd = round_digits if rank_digits is None else rank_digits
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -61,10 +68,13 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("qv", "cv"), round_digits).alias("score"),
+            F.round(cosine_expr("qv", "cv"), rd).alias("score"),
         )
     )
-    return _topk_per_query(scored, k)
+    topk = _topk_per_query(scored, k)
+    if rd != round_digits:
+        topk = topk.withColumn("score", F.round("score", round_digits))
+    return topk
 
 
 def lsh_topk(

@@ -26,7 +26,7 @@ LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that"],
     "de": ["der", "die", "und", "ist", "nicht", "das"],
     "fr": ["le", "la", "et", "les", "des", "est"],
-    "es": ["el", "que", "los", "una", "es", "perro"],
+    "es": ["el", "que", "los", "una", "es", "las"],
 }
 
 

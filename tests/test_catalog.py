@@ -97,6 +97,45 @@ def test_merge_write_appends_then_compact_folds(spark, cat):
     assert cat.compact("t") == sid
 
 
+def test_merge_write_empty_replace_partition_does_not_resurrect(spark, cat):
+    """A partition named in replace_parts whose merged result is EMPTY must
+    still have its file list replaced — otherwise the old files resurrect
+    stale rows in the new snapshot (ADVICE r2, medium)."""
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    empty = _df(spark, []).filter(F.lit(False))
+    cat.merge_write("t", empty, replace_parts=[1])
+    got = [(r["p"], r["k"]) for r in cat.read("t").collect()]
+    assert got == [(0, 1)]
+    # previous snapshot still shows the row (isolation intact)
+    assert len(cat.read("t", snapshot=0).collect()) == 2
+
+
+def test_expire_snapshots_removes_old_versions_keeps_current(spark, cat, tmp_path):
+    """Iceberg expire_snapshots analog: version dirs unreferenced by retained
+    snapshots are deleted; current + retained snapshots stay readable and a
+    fresh catalog instance (resume) still works."""
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    for i in range(3):
+        cat.overwrite_partitions("t", _df(spark, [(0, 10 + i, "x")]), [0])
+    tdir = os.path.join(str(tmp_path / "cat"), "t", "p=0")
+    assert len([d for d in os.listdir(tdir) if d.startswith("v")]) == 4
+    removed = cat.expire_snapshots("t", keep_last=2)
+    assert removed == 2  # v0, v1 of p=0 gone (p=1 v0 still referenced)
+    vers = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+    assert vers == ["v2", "v3"]
+    # current snapshot reads identically; retained previous snapshot too
+    got = sorted((r["p"], r["k"]) for r in cat.read("t").collect())
+    assert got == [(0, 12), (1, 2)]
+    assert [(r["k"]) for r in cat.read("t", snapshot=2).filter(F.col("p") == 0).collect()] == [11]
+    # expired snapshot metadata is gone
+    assert "0" not in cat._load_meta("t").snapshots
+    # resume path: fresh instance reads the same state
+    cat2 = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    assert sorted((r["p"], r["k"]) for r in cat2.read("t").collect()) == got
+    # idempotent: nothing left to remove
+    assert cat.expire_snapshots("t", keep_last=2) == 0
+
+
 def test_missing_table_raises(cat):
     with pytest.raises(FileNotFoundError):
         cat.read("nope")

@@ -84,3 +84,28 @@ def test_embedding_near_dups(spark):
     out = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_dups(emb, threshold=0.95).collect()}
     assert (1, 2) in out and out[(1, 2)] > 0.99
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_embedding_near_dups_bucket_cap_bounds_pairs(spark):
+    """A cluster of B near-identical embeddings — exactly the dedup workload —
+    lands in ONE sign-bucket; without the max_bucket cap that is B(B-1)/2
+    pairs. The cap keeps the lowest-id members, bounding the pair count."""
+    import pyspark.sql.functions as F
+
+    n = 1000
+    base = [1.0, 0.2, -0.3, 0.8, 0.1, -0.5, 0.4, 0.9]
+    emb = spark.range(n).select(
+        F.col("id"),
+        F.array(*[F.lit(x) + F.col("id").cast("double") * 1e-6 for x in base]).alias(
+            "embedding"
+        ),
+    )
+    cap = 50
+    out = embedding_near_dups(emb, threshold=0.99, max_bucket=cap).collect()
+    assert 0 < len(out) <= cap * (cap - 1) // 2
+    # capped buckets keep the deterministically-first (lowest) ids
+    ids = {r["a"] for r in out} | {r["b"] for r in out}
+    assert max(ids) < cap
+    # uncapped on a small slice still yields the full pair set
+    small = embedding_near_dups(emb.filter(F.col("id") < 10), threshold=0.99, max_bucket=None)
+    assert small.count() == 10 * 9 // 2
