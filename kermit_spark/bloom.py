@@ -155,22 +155,16 @@ def merge_bloom(existing: DataFrame, new_rows: DataFrame, spec: BloomSpec) -> Da
     )
 
 
-def bloom_prefilter_broadcast(
-    candidates: DataFrame, bloom: DataFrame, max_broadcast_bytes: int = 512 << 20
-) -> DataFrame | None:
-    """Shuffle-free Bloom probe: collect the per-partition blobs (P × m/8
-    bytes — 32 MB at P=256/m=2^20, far under the cap), broadcast them, and
-    tag candidates map-side with a scalar pandas UDF. The candidate rows
-    never move — the cogroup variant repartitions the whole batch by ``p``
-    just to meet its blob, one full shuffle of every discovered link.
-
-    Returns None when the blob set exceeds ``max_broadcast_bytes`` (very
-    large P × m deployments) — callers fall back to the cogroup path, which
-    ships each blob once per partition instead of once per executor.
-    """
-    rows = bloom.select("p", "filter", "m_bits", "k_hashes").collect()
+def collect_blobs(
+    bloom: DataFrame, max_bytes: int = 512 << 20
+) -> tuple[dict[int, tuple[np.ndarray, int, int]], dict[int, int]] | None:
+    """Collect per-partition blobs to the driver as ``(p -> (bits, m, k),
+    p -> n_items)``. Returns None when the set exceeds ``max_bytes`` (very
+    large P × m deployments) — callers fall back to the distributed cogroup
+    path."""
+    rows = bloom.select("p", "filter", "n_items", "m_bits", "k_hashes").collect()
     total = sum(len(r["filter"]) for r in rows if r["filter"] is not None)
-    if total > max_broadcast_bytes:
+    if total > max_bytes:
         return None
     blobs = {
         int(r["p"]): (
@@ -181,6 +175,19 @@ def bloom_prefilter_broadcast(
         for r in rows
         if r["filter"] is not None
     }
+    counts = {
+        int(r["p"]): int(r["n_items"]) for r in rows if r["filter"] is not None
+    }
+    return blobs, counts
+
+
+def bloom_prefilter_blobs(
+    candidates: DataFrame, blobs: dict[int, tuple[np.ndarray, int, int]]
+) -> DataFrame:
+    """Shuffle-free Bloom probe against driver-held blobs: broadcast them and
+    tag candidates map-side with a scalar pandas UDF. The candidate rows
+    never move — the cogroup variant repartitions the whole batch by ``p``
+    just to meet its blob, one full shuffle of every discovered link."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(blobs)
 
@@ -200,6 +207,47 @@ def bloom_prefilter_broadcast(
 
     probe_udf = pandas_udf(probe, BooleanType())
     return candidates.withColumn("maybe_seen", probe_udf(F.col("p"), F.col("url_hash")))
+
+
+def bloom_prefilter_broadcast(
+    candidates: DataFrame, bloom: DataFrame, max_broadcast_bytes: int = 512 << 20
+) -> DataFrame | None:
+    """Collect + broadcast-probe in one step (see collect_blobs /
+    bloom_prefilter_blobs). Returns None when the blobs exceed the broadcast
+    cap — callers fall back to the cogroup path."""
+    state = collect_blobs(bloom, max_broadcast_bytes)
+    if state is None:
+        return None
+    return bloom_prefilter_blobs(candidates, state[0])
+
+
+def merge_blobs_inplace(
+    blobs: dict[int, tuple[np.ndarray, int, int]],
+    parts: np.ndarray,
+    hashes: np.ndarray,
+    spec: BloomSpec,
+    counts: dict[int, int],
+) -> None:
+    """OR new (p, url_hash) keys into driver-held blobs, creating blobs for
+    unseen partitions. Vectorized per partition; mutates ``blobs`` and the
+    per-partition ``counts`` in place. This is the wave-steady-state blob
+    maintenance path: the driver already holds the blobs for the broadcast
+    probe, so folding the wave's new keys in-process costs microseconds and
+    ZERO Spark jobs (the distributed merge_bloom + table write only runs at
+    flush time, every k waves)."""
+    for part in np.unique(parts):
+        mask = parts == part
+        entry = blobs.get(int(part))
+        if entry is None:
+            bits = np.zeros(spec.m_bits >> 3, dtype=np.uint8)
+            m, k = spec.m_bits, spec.k_hashes
+        else:
+            bits, m, k = entry
+            if not bits.flags.writeable:
+                bits = bits.copy()
+        _set_bits(bits, _probe_positions(hashes[mask], m, k))
+        blobs[int(part)] = (bits, m, k)
+        counts[int(part)] = counts.get(int(part), 0) + int(mask.sum())
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:

@@ -146,6 +146,28 @@ def _text_snippet(spec: CorpusSpec, tag: str) -> F.Column:
     )
 
 
+def _quote_style_col(spec: CorpusSpec, slot) -> F.Column:
+    """Deterministic per-(host, page, slot) attribute-quoting style 0..3."""
+    return F.pmod(
+        _mix(F.lit(spec.seed), F.col("host_id"), F.col("page_id"), F.lit(slot), F.lit("quot")),
+        F.lit(4),
+    )
+
+
+def _attr_tag(tag_open: str, attr: str, value: F.Column, style: F.Column) -> F.Column:
+    """Render ``<tag attr=VALUE>`` in one of four real-web quoting styles:
+    0 double-quoted, 1 single-quoted, 2 unquoted, 3 double-quoted with an
+    extra attribute before and whitespace around '=' — so the corpus
+    exercises every form the span tokenizer (and cheerio in the reference)
+    must parse, not just double quotes."""
+    return (
+        F.when(style == 0, F.concat(F.lit(f'{tag_open} {attr}="'), value, F.lit('">')))
+        .when(style == 1, F.concat(F.lit(f"{tag_open} {attr}='"), value, F.lit("'>")))
+        .when(style == 2, F.concat(F.lit(f"{tag_open} {attr}="), value, F.lit(">")))
+        .otherwise(F.concat(F.lit(f'{tag_open} data-k=v {attr} = "'), value, F.lit('">')))
+    )
+
+
 def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFrame:
     """Materialize the corpus DataFrame (pages + media objects).
 
@@ -161,16 +183,19 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
     # selector grouping; our spans carry offsets so order is explicit anyway)
     for r in range(spec.resources_per_page):
         tgt_host, _ = _link_target_cols(spec, 100 + r)
-        body_parts += [
-            F.lit('<link href="http://h'), tgt_host.cast("string"),
-            F.lit(f'.test/static/s{r}.css">'),
-        ]
+        res_url = F.concat(
+            F.lit("http://h"), tgt_host.cast("string"), F.lit(f".test/static/s{r}.css")
+        )
+        body_parts += [_attr_tag("<link", "href", res_url, _quote_style_col(spec, 100 + r))]
     body_parts += [F.lit("</head><body><p>"), _text_snippet(spec, "intro"), F.lit("</p>")]
     for s in range(spec.links_per_page):
         tgt_host, tgt_page = _link_target_cols(spec, s)
+        link_url = F.concat(
+            F.lit("http://h"), tgt_host.cast("string"), F.lit(".test/p/"),
+            tgt_page.cast("string"), F.lit(".html"),
+        )
         body_parts += [
-            F.lit('<a href="http://h'), tgt_host.cast("string"), F.lit(".test/p/"),
-            tgt_page.cast("string"), F.lit('.html">'),
+            _attr_tag("<a", "href", link_url, _quote_style_col(spec, s)),
             _text_snippet(spec, f"a{s}"), F.lit("</a><p>"),
             _text_snippet(spec, f"t{s}"), F.lit("</p>"),
         ]
@@ -188,10 +213,11 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
             _mix(F.lit(spec.seed), F.col("host_id"), F.col("page_id"), F.lit(m), F.lit("img")),
             F.lit(spec.media_id_space),
         )
-        body_parts += [
-            F.lit('<img src="http://h'), F.col("host_id").cast("string"),
-            F.lit(".test/img/"), media_id.cast("string"), F.lit('.png">'),
-        ]
+        img_url = F.concat(
+            F.lit("http://h"), F.col("host_id").cast("string"),
+            F.lit(".test/img/"), media_id.cast("string"), F.lit(".png"),
+        )
+        body_parts += [_attr_tag("<img", "src", img_url, _quote_style_col(spec, 200 + m))]
     body_parts += [F.lit("</body></html>")]
 
     page_rows = pages.select(

@@ -448,6 +448,9 @@ class Crawler:
                     self.compact()
         finally:
             self.flush_lineage()
+            # commit any deferred driver-side url_seen blob maintenance so a
+            # clean shutdown resumes without the O(frontier) rebuild
+            self.frontier.flush_bloom()
         return stats
 
     # -- outputs -----------------------------------------------------------

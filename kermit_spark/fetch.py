@@ -119,10 +119,12 @@ class HttpFetcher:
         (polyfill.coffee:22-26 folds in NaN → 0), which is the default here
         too. ``hash_agent_choice=True`` is the fixed variant: stable
         crc32(referer or url) % n pick.
-      * Cookie jar per worker partition (``use_cookies``) —
+      * Cookie jar PER HOST within each worker (``use_cookies``) —
         core.users.coffee:6-31 parses set-cookie and replays the jar on
-        subsequent requests; one CookieJar per Arrow batch stream plays the
-        same per-session role.
+        subsequent requests per UserAgent session; per-host jars give the
+        same isolation (cookies set by host A are never replayed to host B,
+        even for same-domain/different-port vhosts where RFC 6265 matching
+        alone would leak them).
       * Referer header from the carried ``referer`` column
         (core.streaming.coffee:47-64 sends it on every request).
       * 4xx/5xx responses keep their REAL status, headers and body —
@@ -160,17 +162,41 @@ class HttpFetcher:
         def run(batches):
             import concurrent.futures as cf
             import http.cookiejar
+            import threading
             import urllib.error
+            import urllib.parse
             import urllib.request
             import zlib
 
             if use_cookies:
-                jar = http.cookiejar.CookieJar()  # thread-safe (internal lock)
-                opener = urllib.request.build_opener(
-                    urllib.request.HTTPCookieProcessor(jar)
-                )
+                # one CookieJar PER HOST (netloc incl. port): the reference
+                # keeps jars per-UserAgent session (core.users.coffee:6-31);
+                # a single worker-wide jar would replay same-domain cookies
+                # across vhosts/ports (RFC 6265 cookie matching ignores the
+                # port), leaking sessions between crawl targets.
+                openers: dict[str, urllib.request.OpenerDirector] = {}
+                olock = threading.Lock()
+                max_jars = 4096  # bound per-worker memory on wide crawls
+
+                def opener_for(url: str):
+                    host = urllib.parse.urlsplit(url).netloc
+                    with olock:
+                        op = openers.get(host)
+                        if op is None:
+                            if len(openers) >= max_jars:
+                                openers.pop(next(iter(openers)))  # FIFO evict
+                            op = urllib.request.build_opener(
+                                urllib.request.HTTPCookieProcessor(
+                                    http.cookiejar.CookieJar()  # thread-safe
+                                )
+                            )
+                            openers[host] = op
+                    return op
             else:
-                opener = urllib.request.build_opener()
+                shared_opener = urllib.request.build_opener()
+
+                def opener_for(url: str):
+                    return shared_opener
 
             def agent_for(url: str, referer) -> str:
                 if len(agents) == 1 or not hash_choice:
@@ -184,7 +210,7 @@ class HttpFetcher:
                     req_headers["Referer"] = referer
                 req = urllib.request.Request(url, headers=req_headers)
                 try:
-                    with opener.open(req, timeout=timeout) as resp:
+                    with opener_for(url).open(req, timeout=timeout) as resp:
                         hdrs = {k.lower(): v for k, v in resp.headers.items()}
                         ct = (resp.headers.get("Content-Type") or "").split(";")[0]
                         return (resp.status, ct or None,

@@ -43,11 +43,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .bloom import (
+    BLOOM_SCHEMA,
     BloomSpec,
     bloom_prefilter,
+    bloom_prefilter_blobs,
     bloom_prefilter_broadcast,
     build_bloom,
+    collect_blobs,
     merge_bloom,
+    merge_blobs_inplace,
 )
 from .catalog import SnapshotCatalog
 from .functions.urls import host_of
@@ -247,11 +251,23 @@ class Frontier:
         num_partitions: int = 32,
         bloom_spec: BloomSpec | None = None,
         bloom_min_frontier: int = BLOOM_MIN_FRONTIER,
+        bloom_commit_every: int = 8,
     ):
         self.catalog = catalog
         self.num_partitions = num_partitions
         self.bloom_spec = bloom_spec or BloomSpec()
         self.bloom_min_frontier = bloom_min_frontier
+        # blob maintenance is DEFERRED: the driver already collects the blobs
+        # for the broadcast probe each wave, so new keys are OR-ed into that
+        # in-process copy (zero Spark jobs) and the url_seen table is only
+        # written every ``bloom_commit_every`` epochs / at flush_bloom().
+        # Crash between flushes ⇒ one O(frontier) rebuild at next use — the
+        # blobs are derived state, the frontier table is membership truth.
+        self.bloom_commit_every = bloom_commit_every
+        self._blobs: dict | None = None  # p -> (bits ndarray, m, k)
+        self._blob_counts: dict[int, int] = {}
+        self._blobs_epoch = -1
+        self._dirty_parts: set[int] = set()
         self._pending_cache = None  # intra-commit cache (see _dedup_candidates)
 
     # -- lifecycle ---------------------------------------------------------
@@ -293,19 +309,54 @@ class Frontier:
         n = props.get("n_rows")
         return (int(n) if n is not None else None), int(props.get("url_epoch", 0))
 
-    def _ensure_bloom_synced(self) -> None:
-        """Rebuild the url_seen blobs from the frontier when they are stale
-        (the sub-threshold regime skips blob maintenance). One O(frontier)
-        aggregation, amortized over every wave that follows."""
+    def _ensure_blobs_current(self) -> dict | None:
+        """Make the driver-held blob set match the frontier's url_epoch and
+        return it; None when the blobs exceed the driver cap (the distributed
+        cogroup path takes over). Stale committed blobs (sub-threshold waves,
+        a crash between deferred flushes, another writer) trigger ONE
+        O(frontier) rebuild, committed immediately and epoch-stamped."""
         _, epoch = self._frontier_stats()
+        if self._blobs is not None and self._blobs_epoch == epoch:
+            return self._blobs
         synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
-        if synced == epoch:
+        if synced != epoch:
+            bloom = build_bloom(self.read().select("p", "url_hash"), self.bloom_spec)
+            self.catalog.overwrite_partitions(
+                URL_SEEN_TABLE, bloom, range(self.num_partitions),
+                properties={"synced_epoch": epoch},
+            )
+        state = collect_blobs(self.catalog.read(URL_SEEN_TABLE))
+        if state is None:
+            self._blobs = None
+            return None
+        self._blobs, self._blob_counts = state
+        self._blobs_epoch = epoch
+        self._dirty_parts = set()
+        return self._blobs
+
+    def flush_bloom(self) -> None:
+        """Commit deferred driver-side blob maintenance to the url_seen
+        table (partition-pruned: only dirty blobs are written). Runs every
+        ``bloom_commit_every`` epochs and should be called at crawl end; a
+        no-op when nothing is dirty."""
+        if self._blobs is None or not self._dirty_parts:
             return
-        bloom = build_bloom(self.read().select("p", "url_hash"), self.bloom_spec)
+        dirty = sorted(self._dirty_parts)
+        rows = [
+            (
+                p,
+                self._blobs[p][0].tobytes(),
+                self._blob_counts.get(p, 0),
+                self._blobs[p][1],
+                self._blobs[p][2],
+            )
+            for p in dirty
+        ]
+        df = self.catalog.spark.createDataFrame(rows, BLOOM_SCHEMA)
         self.catalog.overwrite_partitions(
-            URL_SEEN_TABLE, bloom, range(self.num_partitions),
-            properties={"synced_epoch": epoch},
+            URL_SEEN_TABLE, df, dirty, properties={"synced_epoch": self._blobs_epoch}
         )
+        self._dirty_parts = set()
 
     def read(self) -> DataFrame:
         return self.catalog.read(FRONTIER_TABLE)
@@ -352,13 +403,15 @@ class Frontier:
             frontier_keys = self.read().select("p", "url_hash", "url")
             return rows.join(frontier_keys, on=["p", "url_hash", "url"], how="left_anti")
 
-        self._ensure_bloom_synced()
-        bloom = self.catalog.read(URL_SEEN_TABLE)
-        # broadcast probe keeps the candidate batch un-shuffled; cogroup
-        # fallback for blob sets too large to broadcast
-        tagged = bloom_prefilter_broadcast(rows, bloom)
-        if tagged is None:
-            tagged = bloom_prefilter(rows, bloom)
+        blobs = self._ensure_blobs_current()
+        if blobs is not None:
+            # broadcast probe from the driver-held blobs keeps the candidate
+            # batch un-shuffled (and skips a per-wave blob table read)
+            tagged = bloom_prefilter_blobs(rows, blobs)
+        else:
+            # blob set beyond the driver cap: cogroup probe, blob shipped
+            # once per partition
+            tagged = bloom_prefilter(rows, self.catalog.read(URL_SEEN_TABLE))
         # persisted: materialized once for the candidate-bloom build, reused
         # for the final union (commit_wave unpersists after the commit)
         tagged = tagged.persist()
@@ -473,22 +526,50 @@ class Frontier:
         )
         n_new = int(obs.get["n_new"]) if obs is not None else 0
         if new_rows is not None:
-            # maintain blobs only while the Bloom path is active AND they were
-            # in sync before this commit; otherwise leave them stale — the
-            # next above-threshold wave rebuilds once (_ensure_bloom_synced)
-            synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
-            if use_bloom and n_new and synced == prev_epoch:
-                tl = sorted(written)
-                bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
-                new_bloom = merge_bloom(
-                    bloom.filter(F.col("p").isin(tl)),
-                    new_rows.select("p", "url_hash"),
-                    self.bloom_spec,
-                )
-                self.catalog.overwrite_partitions(
-                    URL_SEEN_TABLE, new_bloom, tl,
-                    properties={"synced_epoch": prev_epoch + 1},
-                )
+            if use_bloom and n_new:
+                if self._blobs is not None and self._blobs_epoch == prev_epoch:
+                    # steady state: fold the wave's new keys into the driver-
+                    # held blobs in-process (no Spark job, no table write —
+                    # the flush below commits every bloom_commit_every
+                    # epochs). new_rows is cached from the frontier write, so
+                    # the key pull is a read of cached blocks.
+                    import numpy as np
+
+                    pdf = new_rows.select("p", "url_hash").toPandas()
+                    merge_blobs_inplace(
+                        self._blobs,
+                        pdf["p"].to_numpy(np.int64),
+                        pdf["url_hash"].to_numpy(np.int64),
+                        self.bloom_spec,
+                        self._blob_counts,
+                    )
+                    self._blobs_epoch = prev_epoch + 1
+                    self._dirty_parts.update(int(p) for p in pdf["p"].unique())
+                    synced = int(
+                        self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1)
+                    )
+                    if self._blobs_epoch - synced >= self.bloom_commit_every:
+                        self.flush_bloom()
+                else:
+                    # blob set beyond the driver cap: distributed incremental
+                    # merge + immediate commit (only when the committed blobs
+                    # were in sync; otherwise leave stale — the next
+                    # above-threshold wave rebuilds once)
+                    synced = int(
+                        self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1)
+                    )
+                    if synced == prev_epoch:
+                        tl = sorted(written)
+                        bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
+                        new_bloom = merge_bloom(
+                            bloom.filter(F.col("p").isin(tl)),
+                            new_rows.select("p", "url_hash"),
+                            self.bloom_spec,
+                        )
+                        self.catalog.overwrite_partitions(
+                            URL_SEEN_TABLE, new_bloom, tl,
+                            properties={"synced_epoch": prev_epoch + 1},
+                        )
             new_rows.unpersist()
         if updates is not None:
             updates.unpersist()

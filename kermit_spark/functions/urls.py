@@ -58,7 +58,7 @@ def content_type_fallback(url: Column, content_type: Column) -> Column:
     util/mimetypes.coffee:5) as a JVM expression: a literal ext→mime map
     ships with the plan (broadcast-free) and a regexp pulls the extension.
     Unknown extensions keep the original value or default to octet-stream."""
-    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]{1,5})(?:[?#]|$)", 1))
+    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]{1,10})(?:[?#]|$)", 1))
     mapping = F.create_map(*[F.lit(x) for kv in sorted(EXT_MIME.items()) for x in kv])
     generic = (
         content_type.isNull()
@@ -89,12 +89,15 @@ _SECOND_LEVEL_TLDS = {
     "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
 }
 
-# Extension -> mime type (grown toward the reference's 1223-entry map,
-# util/mimetypes.coffee:5). Used by content_type_fallback (the reference
-# sanitizes missing/wrong content-types by extension,
-# extensions/core.streaming.coffee:59) and, via _KNOWN_EXTS membership,
-# by toLocalPath's index.html rule.
-EXT_MIME = {
+# Extension -> mime type. Base table: the reference's full 1223-entry public
+# registry (util/mimetypes.coffee:5, generated into mimetypes.py by
+# scripts/gen_mimetypes.py). The curated entries below OVERRIDE it where the
+# 2015 registry is stale (text/javascript, image/x-icon era types) and add
+# post-2015 extensions (woff2, webp, mjs, toml...). Used by
+# content_type_fallback (the reference sanitizes missing content-types by
+# extension, extensions/core.streaming.coffee:59) and, via _KNOWN_EXTS
+# membership, by toLocalPath's index.html rule.
+_CURATED_EXT_MIME = {
     "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
     "css": "text/css", "js": "text/javascript", "mjs": "text/javascript",
     "json": "application/json", "xml": "application/xml",
@@ -125,6 +128,10 @@ EXT_MIME = {
     "yaml": "application/yaml", "yml": "application/yaml",
     "ini": "text/plain", "toml": "application/toml",
 }
+
+from .mimetypes import REFERENCE_EXT_MIME  # noqa: E402  (data module)
+
+EXT_MIME = {**REFERENCE_EXT_MIME, **_CURATED_EXT_MIME}
 
 # Known file extensions — membership decides index.html appending.
 _KNOWN_EXTS = frozenset(EXT_MIME)

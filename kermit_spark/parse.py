@@ -53,14 +53,33 @@ SPAN_TYPE = ArrayType(
 )
 
 # one combined scanner: anchors (with inner text), link-tags, images —
-# everything else between matches is text content once tags are stripped
+# everything else between matches is text content once tags are stripped.
+#
+# Attribute values cover the real-web quoting forms the reference's cheerio
+# parser handles (Extractor.coffee:11-18 / ext.htmlprocessor.coffee:11-32):
+# double-quoted, single-quoted, and unquoted, with optional whitespace around
+# '='. Unquoted values terminate at whitespace or '>' per the HTML5 tokenizer
+# — so a trailing '/' in <img src=a.png/> belongs to the VALUE ("a.png/"),
+# matching stdlib html.parser (the independent e2e oracle). The lookbehind
+# rejects attributes merely ENDING in href/src (data-href=...). Known
+# limitation vs a real parser: a '>' inside a quoted attribute value ends the
+# tag match early.
+_ATTR_VAL = r"\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*))"
 _TOKEN_RE = re.compile(
-    r"<a\s+[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"  # 1: href, 2: anchor text
-    r"|<link\s+[^>]*href=\"([^\"]*)\"[^>]*/?>"  # 3: resource href
-    r"|<img\s+[^>]*src=\"([^\"]*)\"[^>]*/?>",  # 4: media src
+    rf"<a\s[^>]*?(?<![-\w])href{_ATTR_VAL}[^>]*>(.*?)</a>"  # 1|2|3: href, 4: anchor text
+    rf"|<link\s[^>]*?(?<![-\w])href{_ATTR_VAL}[^>]*/?>"  # 5|6|7: resource href
+    rf"|<img\s[^>]*?(?<![-\w])src{_ATTR_VAL}[^>]*/?>",  # 8|9|10: media src
     re.DOTALL | re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _first_group(m: re.Match, *idxs: int) -> str | None:
+    for i in idxs:
+        v = m.group(i)
+        if v is not None:
+            return v
+    return None
 
 
 def extract_spans_one(body: str | None) -> list[tuple] | None:
@@ -88,13 +107,16 @@ def extract_spans_one(body: str | None) -> list[tuple] | None:
 
     for m in _TOKEN_RE.finditer(body):
         text_between(pos, m.start())
-        if m.group(1) is not None:
-            anchor = " ".join(_TAG_RE.sub(" ", m.group(2)).split())
-            spans.append(("link", anchor or None, m.group(1), len(spans)))
-        elif m.group(3) is not None:
-            spans.append(("resource", None, m.group(3), len(spans)))
+        a_href = _first_group(m, 1, 2, 3)
+        if a_href is not None:
+            anchor = " ".join(_TAG_RE.sub(" ", m.group(4)).split())
+            spans.append(("link", anchor or None, a_href, len(spans)))
         else:
-            spans.append(("media", None, m.group(4), len(spans)))
+            l_href = _first_group(m, 5, 6, 7)
+            if l_href is not None:
+                spans.append(("resource", None, l_href, len(spans)))
+            else:
+                spans.append(("media", None, _first_group(m, 8, 9, 10), len(spans)))
         pos = m.end()
     text_between(pos, len(body))
     return spans

@@ -114,6 +114,95 @@ def sessionize_events(
     )
 
 
+def stream_sessionize_events(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 3,
+) -> DataFrame:
+    """Stateful STREAMING form of :func:`sessionize_events`
+    (``applyInPandasWithState``) — same semantics, state-store state instead
+    of a lag window.
+
+    Emits, in UPDATE mode, the current row of every session a micro-batch
+    touches (closed sessions get their final row in the batch that closes
+    them; the open session is re-emitted as it grows). The LATEST emitted
+    row per (user_id, session_id) therefore equals the batch operator's
+    output row — the equivalence the tests assert against the oracle-checked
+    batch op.
+
+    Per-user state is ONE fixed-size tuple (open-session aggregate +
+    last-seen timestamp): bounded no matter how long the stream runs — the
+    scale property that makes this deployable on an endless crawl. Assumes
+    per-user event-time order across micro-batches (sorted inside each
+    batch); genuinely late events belong to the batch backfill path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    user_type = events.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField("user_id", user_type),
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("t_start", DoubleType()),
+            StructField("t_end", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("t_start", DoubleType()),
+            StructField("t_end", DoubleType()),
+            StructField("last_ts", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            sid, n, t0, t1, last = state.get
+        else:
+            sid, n, t0, t1, last = 0, 0, 0.0, 0.0, None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts_s", "event_id"])
+        out = []
+        for ts in rows["ts_s"].astype(float):
+            if last is not None and n and ts - last <= gap_s:
+                n += 1
+                t1 = ts
+            else:
+                if n:
+                    # close the previous session with its final values
+                    out.append((key[0], sid, n, round(t0, digits), round(t1, digits)))
+                sid += 1
+                n = 1
+                t0 = t1 = ts
+            last = ts
+        # current (still-open) session snapshot — superseded by a later
+        # emission if it grows or closes
+        out.append((key[0], sid, n, round(t0, digits), round(t1, digits)))
+        state.update((sid, n, t0, t1, last))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "t_start", "t_end"]
+        )
+
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+        F.col(id_col).alias("event_id"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_s: int = 3600,

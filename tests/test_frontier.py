@@ -116,6 +116,52 @@ def test_schedule_dedup_bloom_path_matches_plain(spark, tmp_path):
     assert results[0][0] == 25
 
 
+def _range_urls(lo, hi):
+    return [f"http://h{i % 3}.test/{i}" for i in range(lo, hi)]
+
+
+def test_deferred_blob_maintenance_single_commit_per_wave(spark, tmp_path):
+    """Above the Bloom threshold a wave is ONE snapshot commit: blob
+    maintenance folds into the driver-held copy (zero url_seen writes) and
+    only flush_bloom / the every-k auto-flush touches the table. Dedup
+    stays exact across the deferred epochs, and a fresh instance after the
+    flush agrees."""
+    from kermit_spark.frontier import URL_SEEN_TABLE
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, bloom_commit_every=100)
+    fr.init(_urls(spark, _range_urls(0, 30)))
+    seen0 = cat.current_snapshot(URL_SEEN_TABLE)
+    for w, (lo, hi) in enumerate([(20, 50), (40, 70), (60, 90)], start=1):
+        fr.schedule(_urls(spark, _range_urls(lo, hi)), wave=w)
+    # three waves, zero blob commits
+    assert cat.current_snapshot(URL_SEEN_TABLE) == seen0
+    # the driver-held blobs track every epoch: everything is a known dup
+    assert fr.schedule(_urls(spark, _range_urls(0, 90)), wave=9) == 0
+    fr.flush_bloom()
+    assert cat.current_snapshot(URL_SEEN_TABLE) > seen0
+    # resume after clean shutdown: flushed blobs are current (no rebuild)
+    fr2 = Frontier(SnapshotCatalog(spark, str(tmp_path / "cat")),
+                   num_partitions=4, bloom_min_frontier=0)
+    assert fr2.schedule(_urls(spark, _range_urls(0, 90)), wave=10) == 0
+    assert fr2.schedule(_urls(spark, ["http://h0.test/brand-new"]), wave=11) == 1
+
+
+def test_blob_crash_resume_rebuilds_and_stays_exact(spark, tmp_path):
+    """A crash between deferred flushes loses only DERIVED state: the next
+    instance sees synced_epoch < url_epoch, rebuilds the blobs from the
+    frontier once, and dedup is exact again."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, bloom_commit_every=100)
+    fr.init(_urls(spark, _range_urls(0, 30)))
+    fr.schedule(_urls(spark, _range_urls(20, 60)), wave=1)
+    # no flush — simulate the crash by just starting over from the catalog
+    fr_resume = Frontier(SnapshotCatalog(spark, str(tmp_path / "cat")),
+                         num_partitions=4, bloom_min_frontier=0)
+    assert fr_resume.schedule(_urls(spark, _range_urls(0, 60)), wave=2) == 0
+    assert fr_resume.schedule(_urls(spark, _range_urls(60, 61)), wave=3) == 1
+
+
 # -- dequeue / politeness ---------------------------------------------------
 
 

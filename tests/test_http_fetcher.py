@@ -112,6 +112,27 @@ def test_cookie_round_trip_within_worker_session(spark, fidelity_url):
     assert "set-cookie" in rows[f"{fidelity_url}/cookie/set"]["headers"]
 
 
+def test_cookies_never_cross_hosts(spark, fidelity_url):
+    """U1 isolation: two vhosts (same IP, different ports — the case where
+    RFC 6265 domain matching alone would leak, since it ignores the port).
+    A cookie set by host A must never be replayed to host B; each host keeps
+    its own session jar (reference: per-UserAgent jars, core.users.coffee:6-31)."""
+    srv_b = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FidelityHandler)
+    threading.Thread(target=srv_b.serve_forever, daemon=True).start()
+    url_b = f"http://127.0.0.1:{srv_b.server_address[1]}"
+    try:
+        sel = _selected(spark, [
+            (f"{fidelity_url}/cookie/set", None),   # host A sets rid
+            (f"{url_b}/cookie/check", None),        # host B must NOT see it
+            (f"{fidelity_url}/cookie/check", None),  # host A still has it
+        ])
+        rows = {r["url"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+        assert "rid=abc123" not in rows[f"{url_b}/cookie/check"]["body"]
+        assert "rid=abc123" in rows[f"{fidelity_url}/cookie/check"]["body"]
+    finally:
+        srv_b.shutdown()
+
+
 def test_referer_header_and_ua_pool_quirk(spark, fidelity_url):
     """U1/U2/U3: Referer sent from the carried column; the UA pool defaults
     to the reference's hashCode-quirk behavior (always agent[0])."""

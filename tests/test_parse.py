@@ -54,6 +54,35 @@ def test_anchor_without_text():
     assert spans == [("link", None, "http://x.test/", 0)]
 
 
+def test_attribute_quoting_forms_match_html_parser_oracle():
+    """Real-web HTML quotes attributes every which way; the tokenizer must
+    agree with the independent html.parser oracle on all of them (cheerio
+    handles these in the reference, Extractor.coffee:11-18)."""
+    from tests.oracle import extract_spans_oracle
+
+    cases = [
+        "<a href='http://x/a.html'>single</a>",
+        "<a href=http://x/a.html>unquoted</a>",
+        '<a data-k=v href = "http://x/a.html">spaced</a>',
+        "<link href=style.css><link href = 's2.css'>",
+        "<img src=pic.png><img src='p3.png'>",
+        "<img src=pic.png/>",  # HTML5: trailing '/' belongs to the unquoted value
+        "<a hreflang=en href=/p/1.html class=nav>other attrs</a>",
+        '<a data-href="nope">no real href</a>',
+        'mix <a href="/a">A</a> of <link href=/c.css> forms <img src = "/i.png">',
+        '<A HREF="/UP">case-insensitive</A>',
+    ]
+    for html in cases:
+        assert extract_spans_one(html) == extract_spans_oracle(html), html
+
+
+def test_unquoted_and_single_quoted_discovery():
+    spans = extract_spans_one(
+        "<a href=/one.html>1</a><a href='/two.html'>2</a>"
+    )
+    assert [(s[0], s[2]) for s in spans] == [("link", "/one.html"), ("link", "/two.html")]
+
+
 def test_discovery_pipeline_on_spark(spark):
     """X3 analog: parse → explode → clean → absolute URLs with depth+1."""
     from kermit_spark.parse import SPAN_TYPE, discover_links, extract_spans

@@ -80,6 +80,64 @@ def test_fetch_metrics_windowed_with_watermark(spark, tmp_path):
             assert (n, e, b) == (3, 1, 150)
 
 
+def test_stream_sessionize_matches_batch_op(spark, tmp_path):
+    """applyInPandasWithState sessionize == the oracle-checked batch op:
+    the latest emitted row per (user, session) across micro-batches equals
+    the batch output — sessions continue across batch boundaries via the
+    state store, and a gap closes them with final values."""
+    import pandas as pd
+
+    from kermit_spark.streaming import sessionize_events, stream_sessionize_events
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:10:00", 2),
+        (2, "2024-01-01 10:00:00", 3),
+    ]
+    rows2 = [
+        (1, "2024-01-01 11:30:00", 4),  # >30 min gap -> closes session 1
+        (1, "2024-01-01 11:40:00", 5),
+        (2, "2024-01-01 10:05:00", 6),  # continues across the batch boundary
+        (3, "2024-01-01 12:00:00", 7),  # new user appears mid-stream
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate([rows1, rows2], 1):
+        p = src / f"b{i}.csv"
+        p.write_text("\n".join(f"{u},{ts},{e}" for u, ts, e in rows))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # deterministic batch order
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_sessionize_events(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from sess_stream").toPandas()
+    latest = got.drop_duplicates(["user_id", "session_id"], keep="last")
+    batch = sessionize_events(
+        spark.createDataFrame(rows1 + rows2, "user_id long, ts string, event_id long"),
+        gap_s=1800,
+    ).toPandas()
+    cols = ["user_id", "session_id", "n_events", "t_start", "t_end"]
+    norm = {"session_id": "int64", "n_events": "int64"}
+    a = latest[cols].sort_values(cols[:2]).reset_index(drop=True).astype(norm)
+    b = batch[cols].sort_values(cols[:2]).reset_index(drop=True).astype(norm)
+    pd.testing.assert_frame_equal(a, b)
+    # four sessions total: user1 x2, user2 x1, user3 x1
+    assert len(a) == 4
+
+
 def test_fetch_metrics_batch_equivalence(spark):
     """The same aggregation over a static frame (sanity of the window expr)."""
     df = spark.createDataFrame(

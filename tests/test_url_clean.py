@@ -105,3 +105,55 @@ def test_clean_udf_on_spark(spark):
     )
     out = df.select(clean_urls(F.col("base"), F.col("href")).alias("clean")).collect()
     assert [r.clean for r in out] == [c[1] for c in CLEAN_CASES]
+
+
+def test_ext_mime_parity_with_reference_table():
+    """EXT_MIME carries the reference's full public ext→mime registry
+    (util/mimetypes.coffee:5): every reference extension resolves, and agrees
+    with the reference's first-listed type except where a deliberate curated
+    override modernizes a stale 2015 entry."""
+    import os
+    import re
+
+    from kermit_spark.functions.mimetypes import REFERENCE_EXT_MIME
+    from kermit_spark.functions.urls import _CURATED_EXT_MIME, EXT_MIME
+
+    assert len(REFERENCE_EXT_MIME) == 1223
+    for ext, mime in REFERENCE_EXT_MIME.items():
+        assert ext in EXT_MIME
+        if ext not in _CURATED_EXT_MIME:
+            assert EXT_MIME[ext] == mime, ext
+    # spot parity against the reference SOURCE when available (regen check)
+    src = "/root/reference/src/kermit/util/mimetypes.coffee"
+    if os.path.exists(src):
+        rows = dict(
+            re.findall(r"^\s*'([^']+)'\s*:\s*\[\s*'([^']+)'", open(src).read(), re.M)
+        )
+        sample = ["3dm", "aiff", "tex", "vrml", "zip", "hqx", "sgml", "midi"]
+        for ext in sample:
+            assert REFERENCE_EXT_MIME[ext] == rows[ext], ext
+
+
+def test_content_type_fallback_long_tail_ext(spark):
+    """Long-tail extensions from the grown table resolve JVM-side; unknown
+    ones still default to octet-stream; real header always wins."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.functions.urls import content_type_fallback
+
+    df = spark.createDataFrame(
+        [
+            ("http://x.test/a.texi", None),          # long-tail: texinfo
+            ("http://x.test/b.vrml", ""),            # long-tail: model
+            ("http://x.test/c.zzzz", None),          # unknown ext
+            ("http://x.test/d.css", "text/html"),    # real header wins
+        ],
+        ["url", "ct"],
+    )
+    got = dict(
+        df.select("url", content_type_fallback(F.col("url"), F.col("ct")).alias("out")).collect()
+    )
+    assert got["http://x.test/a.texi"] == "application/x-texinfo"
+    assert got["http://x.test/b.vrml"] == "application/x-vrml"
+    assert got["http://x.test/c.zzzz"] == "application/octet-stream"
+    assert got["http://x.test/d.css"] == "text/html"
