@@ -19,6 +19,7 @@ LSH, stubbed media decode) are rows-only entries.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -461,6 +462,51 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(ev, gap_s=1800).orderBy("user_id", "session_id")
 
 
+def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING sessionize op (applyInPandasWithState,
+    streaming.stream_sessionize_events) run over the events table as an
+    availableNow file stream. The latest emitted row per (user, session)
+    equals the batch operator's output, so the SAME DuckDB oracle that
+    certifies the batch op certifies the state-store path — a hard oracle
+    for a genuinely streaming operator."""
+    import uuid
+
+    from kermit_spark.streaming import stream_sessionize_events
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ckpt = tempfile.mkdtemp(prefix="kermit_sess_ck_")
+    qname = f"kermit_sess_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        # the file stream source needs a DIRECTORY; stage the table file in
+        # the temp dir via symlink (no copy)
+        src_dir = os.path.join(ckpt, "src")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = spark.readStream.schema(ev_schema).parquet(src_dir)
+        q = (
+            stream_sessionize_events(stream, gap_s=1800)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(600)
+        pdf = spark.sql(f"select * from {qname}").toPandas()
+        latest = pdf.drop_duplicates(["user_id", "session_id"], keep="last")
+        out = spark.createDataFrame(
+            latest,
+            "user_id long, session_id long, n_events long, t_start double, t_end double",
+        )
+        return out.orderBy("user_id", "session_id")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation through the REAL library op
     (streaming.windowed_event_counts, batch form of the watermarked agg)."""
@@ -567,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # stream analogs
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_stream": q_events_sessionize_stream,
         "events_windowed": q_events_windowed,
         # monitoring
         "headers_histogram": q_headers_histogram,
@@ -675,6 +722,33 @@ def _langid_score_sql() -> str:
         for lang, ws in LANG_MARKERS.items()
     )
 
+
+# shared by events_sessionize (batch op) and events_sessionize_stream (the
+# applyInPandasWithState op) — the streaming op's latest-row-per-session
+# output is defined to equal the batch op
+_SESSIONIZE_ORACLE = """
+            WITH e AS (
+                SELECT user_id, epoch(ts) AS ts_s, event_id FROM events
+            ),
+            flagged AS (
+                SELECT user_id, ts_s, event_id,
+                       CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ),
+            sess AS (
+                -- ::BIGINT: DuckDB's sum() yields HUGEINT (-> float64 in
+                -- pandas) while Spark's running sum over int is int64; the
+                -- values are identical, only the dtype differed (r1 finding)
+                SELECT user_id, ts_s,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(min(ts_s), 3) AS t_start, round(max(ts_s), 3) AS t_end
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """
 
 _MUTANTS_DUCK = """
         docs AS (
@@ -932,29 +1006,10 @@ def oracle_sql() -> dict[str, str]:
                            i -> md5(substring(text, i, 8))))))[1:4], '') AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-        "events_sessionize": """
-            WITH e AS (
-                SELECT user_id, epoch(ts) AS ts_s, event_id FROM events
-            ),
-            flagged AS (
-                SELECT user_id, ts_s, event_id,
-                       CASE WHEN lag(ts_s) OVER w IS NULL
-                                 OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
-                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
-            ),
-            sess AS (
-                -- ::BIGINT: DuckDB's sum() yields HUGEINT (-> float64 in
-                -- pandas) while Spark's running sum over int is int64; the
-                -- values are identical, only the dtype differed (r1 finding)
-                SELECT user_id, ts_s,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
-                FROM flagged
-            )
-            SELECT user_id, session_id, count(*) AS n_events,
-                   round(min(ts_s), 3) AS t_start, round(max(ts_s), 3) AS t_end
-            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
-        """,
+        "events_sessionize": _SESSIONIZE_ORACLE,
+        # the streaming op's latest-row-per-session output equals the batch
+        # op (see q_events_sessionize_stream), so both share one oracle
+        "events_sessionize_stream": _SESSIONIZE_ORACLE,
         "events_windowed": """
             SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_v

@@ -116,6 +116,10 @@ class CrawlConfig:
     # Crawler.compact()); long crawls otherwise accumulate appended files in
     # partitions whose hosts are rarely dequeued
     compact_every: int = 0
+    # retain only the last k snapshots per table when compacting (0 = keep
+    # all). Long crawls otherwise accumulate one version dir per touched
+    # partition per wave forever (catalog.expire_snapshots maintenance).
+    expire_keep_last: int = 0
 
 
 @dataclass
@@ -465,10 +469,17 @@ class Crawler:
     def compact(self) -> None:
         """Maintenance: fold fast-appended frontier file sets back to one
         set per partition (catalog.compact). Run between crawls on
-        long-lived frontiers; data and snapshot stats are unchanged."""
-        from .frontier import FRONTIER_TABLE
+        long-lived frontiers; data and snapshot stats are unchanged.
+        With ``expire_keep_last`` set, old snapshot versions past the
+        retention window are deleted afterwards (expire_snapshots)."""
+        from .frontier import FRONTIER_TABLE, URL_SEEN_TABLE
 
         self.catalog.compact(FRONTIER_TABLE)
+        keep = self.config.expire_keep_last
+        if keep:
+            for table in (FRONTIER_TABLE, URL_SEEN_TABLE, DOCUMENTS_TABLE):
+                if self.catalog.exists(table):
+                    self.catalog.expire_snapshots(table, keep_last=keep)
 
     def url_seen_urls(self) -> DataFrame:
         """The URL-seen set (SURVEY §2.8 contract #3): every URL ever

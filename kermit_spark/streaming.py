@@ -180,14 +180,14 @@ def stream_sessionize_events(
             else:
                 if n:
                     # close the previous session with its final values
-                    out.append((key[0], sid, n, round(t0, digits), round(t1, digits)))
+                    out.append((key[0], sid, n, t0, t1))
                 sid += 1
                 n = 1
                 t0 = t1 = ts
             last = ts
         # current (still-open) session snapshot — superseded by a later
         # emission if it grows or closes
-        out.append((key[0], sid, n, round(t0, digits), round(t1, digits)))
+        out.append((key[0], sid, n, t0, t1))
         state.update((sid, n, t0, t1, last))
         yield pd.DataFrame(
             out, columns=["user_id", "session_id", "n_events", "t_start", "t_end"]
@@ -198,8 +198,16 @@ def stream_sessionize_events(
         F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
         F.col(id_col).alias("event_id"),
     )
-    return prepared.groupBy("user_id").applyInPandasWithState(
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    # rounding happens JVM-side (F.round = HALF_UP) so the output is
+    # bit-identical to the batch op / its DuckDB oracle — Python's round()
+    # is banker's rounding and can differ at half-boundaries
+    return sessions.select(
+        "user_id", "session_id", "n_events",
+        F.round("t_start", digits).alias("t_start"),
+        F.round("t_end", digits).alias("t_end"),
     )
 
 

@@ -163,6 +163,7 @@ def test_auto_compaction_preserves_results(spark, corpus_df, oracle_result, tmp_
         politeness=Politeness((Limit(r".*", BUDGET),)),
         sub_salts=4,
         compact_every=1,
+        expire_keep_last=2,
     )
     crawler = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
     crawler.seed(SEEDS)
@@ -176,6 +177,18 @@ def test_auto_compaction_preserves_results(spark, corpus_df, oracle_result, tmp_
         for u, rec in oracle_result.frontier.items()
     }
     assert got == want
+    # expiry ran: only the retained snapshots remain in frontier metadata,
+    # and a fresh instance (resume) still reads the identical frontier
+    meta = crawler.catalog._load_meta("frontier")
+    assert len(meta.snapshots) <= 2 + 1  # keep_last + commits after last compact
+    resumed = Crawler(
+        spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg
+    )
+    got2 = {
+        r["url"]: (r["depth"], r["wave"], r["status"])
+        for r in resumed.frontier.read().collect()
+    }
+    assert got2 == want
 
 
 def test_randomized_delay_reaches_same_closure(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
