@@ -369,6 +369,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the REAL library op (ops.similarity.ivf_topk): a
+    deterministic md5-sampled coarse quantizer cells the corpus; queries
+    probe their 4 nearest of 16 cells. Every float op mirrors the DuckDB
+    oracle's fold order, so centroids, assignments, probes and scores are
+    bit-identical — full parity for the data-adaptive ANN path."""
+    from kermit_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("id") < 8)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rnk")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed multi-probe ANN through the REAL library op
     (ops.similarity.lsh_topk). The hyperplanes are md5-derived (engine-
@@ -606,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # text analysis
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -697,6 +715,62 @@ def _ann_lsh_oracle(num_planes: int = 6, k: int = 5) -> str:
         scored AS (
             SELECT cand.query_id, cand.neighbor_id,
                    {_lsh_cosine_sql(4)} AS score
+            FROM cand
+            JOIN vec qv ON qv.vec_id = cand.query_id
+            JOIN vec nv ON nv.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        SELECT query_id, rnk, neighbor_id, score
+        FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB replication of ops.similarity.ivf_topk: md5-sampled centroids,
+    argmax-cosine cell assignment (ties -> lowest cell), n_probe nearest
+    cells per query, exact cosine within probed cells. Every float op is the
+    same left fold Spark computes (see _lsh_bucket_ctes note)."""
+    cos_assign = f"""list_reduce(list_transform(generate_series(1, len(vv.v)),
+                       i -> vv.v[i] * ce.cv[i]), {_LSH_FOLD})
+                   / (sqrt(list_reduce(list_transform(vv.v, x -> x * x), {_LSH_FOLD}))
+                      * sqrt(list_reduce(list_transform(ce.cv, x -> x * x), {_LSH_FOLD})))"""
+    return f"""
+        WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INTEGER - 1 AS cell,
+                   v AS cv
+            FROM vec QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_centroids}
+        ),
+        assign AS (
+            SELECT vv.vec_id, ce.cell, {cos_assign} AS sim
+            FROM vec vv, cent ce
+        ),
+        corpus_cell AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM assign) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM assign WHERE vec_id < 8) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT pr.query_id, cc.neighbor_id
+            FROM probes pr JOIN corpus_cell cc ON cc.cell = pr.cell
+            WHERE cc.neighbor_id != pr.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id, {_lsh_cosine_sql(4)} AS score
             FROM cand
             JOIN vec qv ON qv.vec_id = cand.query_id
             JOIN vec nv ON nv.vec_id = cand.neighbor_id
@@ -955,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
         """,
         "ann_lsh_topk": _ann_lsh_oracle(num_planes=6, k=5),
+        "ann_ivf_topk": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id,

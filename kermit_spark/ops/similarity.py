@@ -129,6 +129,93 @@ def lsh_topk(
     return _topk_per_query(scored, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the data-adaptive scale path next to
+    :func:`lsh_topk`'s data-oblivious one.
+
+    A coarse quantizer partitions the corpus into ``n_centroids`` cells
+    (each vector joins its most-cosine-similar centroid); a query probes
+    only its ``n_probe`` nearest cells, so the exact-cosine stage touches
+    ~n_probe/n_centroids of the corpus instead of all of it.
+
+    Centroids here are a DETERMINISTIC sample: the corpus vectors with the
+    smallest md5(id) — seedless, engine-portable (a DuckDB oracle recomputes
+    the identical centroids, assignments, probes and scores). A production
+    deployment would swap in k-means centroids (pyspark.ml KMeans) trained
+    once per corpus snapshot; everything downstream is unchanged.
+
+    Plan shape at scale: centroids ride the plan as literals (no side
+    table), assignment is one JVM scan of the corpus, the probe join is an
+    equi-join on the cell id with the (tiny) probe set broadcast.
+    """
+    cent_rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+        )
+        .orderBy("_m")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r["cv"]) for r in cent_rows]
+
+    def cos_lit(vcol, cent):
+        plane = F.array(*[F.lit(float(x)) for x in cent])
+        dot = F.aggregate(
+            F.zip_with(vcol, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        nv = F.sqrt(F.aggregate(vcol, F.lit(0.0), lambda a, x: a + x * x))
+        # LEFT-fold norm (not numpy pairwise sum): bit-identical to the
+        # DuckDB oracle's list_reduce association
+        sq = 0.0
+        for x in cent:
+            sq += float(x) * float(x)
+        import math
+
+        return dot / (nv * F.lit(math.sqrt(sq)))
+
+    v = F.col(vec_col).cast("array<double>")
+    sims_arr = F.array(*[cos_lit(v, c) for c in cents])
+    # corpus cell = FIRST index of the max similarity (ties -> lowest cell,
+    # the same order the oracle's (sim DESC, cell ASC) window picks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("cvec"),
+        (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int").alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qvec"),
+        F.posexplode(sims_arr).alias("cell", "sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    probes = (
+        q.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qvec", "cvec"), round_digits).alias("score"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs the approximate index recovered."""
     e = exact.select("query_id", "neighbor_id")
