@@ -50,6 +50,19 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("KERMIT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # file-to-file FileChannel.transferTo (shuffle-file concat in the
+        # bypass-merge writer, spill merges) maps+unmaps chunks of the source
+        # file; every munmap broadcasts TLB-shootdown IPIs to all cores. On a
+        # many-core single host this degrades whole-job wall time 5-10x once
+        # shuffle files accumulate (measured: 23s -> 175s on the 1M-URL dedup
+        # microbench, sys CPU 60-90%, threads pinned in map0/unmap0 from
+        # transferToTrustedChannel). Buffered stream copy avoids mmap
+        # entirely and is equally fast at these block sizes.
+        .config("spark.file.transferTo", "false")
+        # one serialized output file per map task (UnsafeShuffleWriter)
+        # instead of the bypass writer's per-reduce-partition files + concat:
+        # fewer files, no concatenation step at all for unspilled tasks.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
