@@ -21,8 +21,11 @@ def build_session(
 ) -> SparkSession:
     """Build a SparkSession tuned for the crawl engine.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (sandbox) — on a real
-    cluster it is left unset so spark-submit controls deployment.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (sandbox). Pass
+    ``master=""`` to leave the master UNSET so spark-submit controls
+    deployment (``--master yarn|k8s://…|spark://…``) — scripts/submit_crawl.py
+    uses this; the sandbox integration test drives it through a real
+    ``spark-submit --py-files kermit_spark.zip`` invocation.
 
     ``adaptive``: AQE on (default) for production posture — skew-join
     splitting and partition coalescing pay for themselves at real wave
@@ -36,10 +39,11 @@ def build_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     aqe = "true" if adaptive else "false"
+    b = SparkSession.builder.appName(app_name)
+    if master:  # "" = spark-submit owns --master/--deploy-mode
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
