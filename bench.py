@@ -167,6 +167,61 @@ def bench_frontier_dedup(spark, sf: float, n_override: int | None = None) -> dic
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_dedup_vs_frontier_size(
+    spark, sizes=(2_000_000, 8_000_000, 32_000_000), batch: int = 200_000
+) -> dict:
+    """The 10^10 scaling argument, measured: schedule a FIXED candidate batch
+    (50 % already seen) into frontiers of growing size. Above the Bloom
+    threshold the dedup join traffic is batch-sized (broadcast Bloom probe +
+    reverse-Bloom-pruned anti-join); the only frontier-size-dependent work is
+    the columnar scan feeding the prune, so per-batch wall time must grow
+    far sublinearly in frontier size. A linear-or-worse curve would falsify
+    the BENCH/BASELINE.md §4 design claim.
+    """
+    from pyspark.sql import functions as F
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import Frontier
+
+    def urls(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://h"), F.pmod(F.col("id"), F.lit(500)).cast("string"),
+                F.lit(".test/p/"), F.col("id").cast("string"), F.lit(".html"),
+            ).alias("url")
+        )
+
+    points = []
+    for n in sizes:
+        root = tempfile.mkdtemp(
+            prefix="kermit_sweep_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+        )
+        try:
+            frontier = Frontier(SnapshotCatalog(spark, root), num_partitions=32)
+            frontier.init(urls(0, n))  # untimed: build cost, not wave cost
+            # warm wave primes the driver-held Bloom blobs (steady state)
+            frontier.schedule(urls(n, n + batch), wave=1)
+            cand = urls(n + batch - batch // 2, n + 2 * batch - batch // 2)
+            t0 = time.time()
+            n_new = frontier.schedule(cand, wave=2)
+            wall = time.time() - t0
+            points.append({
+                "frontier_size": n, "batch": batch, "sec": round(wall, 3),
+                "new_scheduled": n_new,
+                "sec_per_1k_candidates": round(wall / (batch / 1000), 4),
+            })
+            _log(f"frontier-sweep n={n}: {wall:.2f}s for {batch} candidates")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    first, last = points[0], points[-1]
+    return {
+        "metric": "fixed-batch schedule wall time vs frontier size",
+        "points": points,
+        "frontier_growth": round(last["frontier_size"] / first["frontier_size"], 1),
+        "wall_growth": round(last["sec"] / first["sec"], 2) if first["sec"] else None,
+    }
+
+
 def bench_parse(spark, n_docs: int = 150_000) -> dict:
     """Span-parse + link-discovery scaling leg: the engine's per-URL compute
     (regex span tokenizer + URL cleaning, both Arrow-batched pandas UDFs)
@@ -272,20 +327,30 @@ def run_crawl_only(cpus: str) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
     os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
-    spark = _build_spark(cpus, shuffle_partitions=max(int(cpus) * 2, 32), adaptive=False)
-    # ~10 kB page bodies (realistic web weight): fetch/parse move real bytes,
-    # so the measurement reflects per-URL engine work, not the wave floor
-    spec = CorpusSpec(
-        n_hosts=64, base_pages=30000, media_id_space=400,
-        extra_text_runs=30, text_run_repeats=16,
-    )
-    crawl = bench_crawl(spark, sf, waves=4, budget=4000, seeds_per_host=60, spec=spec)
-    spark.stop()
+    # KERMIT_SCALE_WORKLOADS selects which probes run: the primary-regime
+    # N=1 vs 4 evidence (--scaling-primary) skips the heavy multi-wave crawl
+    # (floor-bound at sandbox sizes, BENCH/BASELINE.md §3c) and measures the
+    # two data-parallel engine kernels the per-URL cost decomposes into.
+    workloads = os.environ.get("KERMIT_SCALE_WORKLOADS", "crawl,dedup,parse").split(",")
+    out: dict = {}
+    if "crawl" in workloads:
+        spark = _build_spark(cpus, shuffle_partitions=max(int(cpus) * 2, 32), adaptive=False)
+        # ~10 kB page bodies (realistic web weight): fetch/parse move real
+        # bytes, so the measurement reflects per-URL engine work, not the
+        # wave floor
+        spec = CorpusSpec(
+            n_hosts=64, base_pages=30000, media_id_space=400,
+            extra_text_runs=30, text_run_repeats=16,
+        )
+        out["crawl"] = bench_crawl(spark, sf, waves=4, budget=4000, seeds_per_host=60, spec=spec)
+        spark.stop()
     spark = _build_spark(cpus, shuffle_partitions=max(int(cpus) * 2, 32))
-    dedup = bench_frontier_dedup(spark, sf, n_override=int(os.environ.get("KERMIT_SCALE_N", 8_000_000)))
-    parse = bench_parse(spark)
+    if "dedup" in workloads:
+        out["dedup"] = bench_frontier_dedup(spark, sf, n_override=int(os.environ.get("KERMIT_SCALE_N", 8_000_000)))
+    if "parse" in workloads:
+        out["parse"] = bench_parse(spark)
     spark.stop()
-    return {"crawl": crawl, "dedup": dedup, "parse": parse}
+    return out
 
 
 def run_scaling(n: int = 4, trials: int = 3) -> dict:
@@ -332,21 +397,37 @@ def run_scaling(n: int = 4, trials: int = 3) -> dict:
             "peak_throughput_4N": round(max(t4ns), 1),
         }
 
-    return {
+    present = [m for m in ("crawl", "dedup", "parse") if m in results[n][0]]
+    out = {
         "metric": "scaling efficiency local[N] vs local[4N] (same input, best MATCHED trial pair; median alongside)",
         "N": n,
         "trials": trials,
-        "crawl": eff("crawl"),
-        "dedup": eff("dedup"),
-        "parse": eff("parse"),
         "detail": results,
     }
+    for m in present:
+        out[m] = eff(m)
+    return out
 
 
 if __name__ == "__main__":
     if "--crawl-only" in sys.argv:
         cpus = sys.argv[sys.argv.index("--crawl-only") + 1]
         print(json.dumps(run_crawl_only(cpus)))
+    elif "--frontier-sweep" in sys.argv:
+        os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
+        spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                             shuffle_partitions=64)
+        print(json.dumps(bench_dedup_vs_frontier_size(spark)))
+        spark.stop()
+    elif "--scaling-primary" in sys.argv:
+        # §3a resource-adding regime: N=1 vs 4N=4 on the two data-parallel
+        # engine kernels (dedup merge at 4M candidates + span parse). One
+        # command reproduces the BENCH/BASELINE.md primary scaling table.
+        os.environ.setdefault("KERMIT_SCALE_WORKLOADS", "dedup,parse")
+        os.environ.setdefault("KERMIT_SCALE_N", "4000000")
+        print(json.dumps(run_scaling(
+            n=1, trials=int(os.environ.get("KERMIT_SCALE_TRIALS", "3"))
+        )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(
             trials=int(os.environ.get("KERMIT_SCALE_TRIALS", "3"))
