@@ -435,6 +435,18 @@ class Crawler:
         its stop command ends the loop after the current wave (S11)."""
         cap = max_waves if max_waves is not None else self.config.max_waves
         stats: list[WaveStats] = []
+        # Pin the Arrow batch size for the wave loop when the caller's
+        # session still has Spark's default (10000 rows): ~10 kB bodies make
+        # ~100 MB Arrow batches per task through the parse UDF, and
+        # concurrent tasks then churn GBs of off-heap allocations (measured
+        # 5-7x slower span-parse; see session.py, which sets 512 for
+        # sessions the engine builds itself). An explicit non-default caller
+        # setting is respected; the original value is restored on exit.
+        _ab_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        _ab_orig = self.spark.conf.get(_ab_key, None)
+        _ab_pin = _ab_orig in (None, "10000")
+        if _ab_pin:
+            self.spark.conf.set(_ab_key, "512")
         try:
             while len(stats) < cap:
                 if remote is not None:
@@ -451,6 +463,11 @@ class Crawler:
                 if self.config.compact_every and len(stats) % self.config.compact_every == 0:
                     self.compact()
         finally:
+            if _ab_pin:
+                if _ab_orig is None:
+                    self.spark.conf.unset(_ab_key)
+                else:
+                    self.spark.conf.set(_ab_key, _ab_orig)
             self.flush_lineage()
             # commit any deferred driver-side url_seen blob maintenance so a
             # clean shutdown resumes without the O(frontier) rebuild

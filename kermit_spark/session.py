@@ -48,6 +48,19 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch slicing for pandas UDFs. The default (10000 rows) is
+        # pathological for wide rows: ~10 kB bodies make ~100 MB batches per
+        # task, and 16+ concurrent tasks churn gigabytes of off-heap Arrow
+        # allocations (same many-core page-fault/TLB class of problem as the
+        # transferTo note below). Order-shuffled interleaved sweep on the
+        # span-parse leg (60k docs, local[16], 4 trials each position):
+        # 10000 -> 10.1-14.4 s in EVERY position; 512 -> 2.0-3.2 s
+        # post-warmup; 64 -> 1.8-2.4 s. 512 keeps batches ~5 MB for 10 kB
+        # bodies while amortizing per-batch overhead for narrow rows.
+        # (spark.sql.execution.arrow.maxBytesPerBatch would be the
+        # width-independent knob but only applies to transformWithState
+        # serializers in Spark 4.1, not scalar pandas UDFs.)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         # crawl tables are small-file-heavy at test scale; keep scans cheap
         .config("spark.sql.files.maxPartitionBytes", "134217728")

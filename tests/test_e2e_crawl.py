@@ -252,3 +252,44 @@ def test_resume_equals_uninterrupted(spark, corpus_df, corpus_map, url_hashes, t
     assert got == want
     rows = c2.documents().select("p", "host", "rank", "url").collect()
     assert {(r["p"], r["host"], r["rank"]): r["url"] for r in rows} == oracle.crawl_order
+
+
+def test_arrow_batch_pinned_during_crawl(spark, corpus_df, tmp_path_factory, monkeypatch):
+    """crawl() pins spark.sql.execution.arrow.maxRecordsPerBatch to 512 for
+    the wave loop when the session sits at Spark's default (10000), and
+    restores the original value afterwards; an explicit caller setting is
+    respected untouched. (100 MB-class Arrow batches from ~10 kB bodies are
+    5-7x slower through the parse UDF — see session.py.)"""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    seen_during = []
+    real_run_wave = Crawler.run_wave
+
+    def spying_run_wave(self):
+        seen_during.append(self.spark.conf.get(key))
+        return real_run_wave(self)
+
+    monkeypatch.setattr(Crawler, "run_wave", spying_run_wave)
+    cfg = CrawlConfig(
+        num_partitions=4, politeness=Politeness((Limit(r".*", 2),))
+    )
+    try:
+        # default session value -> pinned to 512 during waves, restored after
+        spark.conf.set(key, "10000")
+        root = str(tmp_path_factory.mktemp("abpin"))
+        c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+        c.seed(SEEDS[:1])
+        c.crawl(1)
+        assert seen_during[-1] == "512"
+        assert spark.conf.get(key) == "10000"
+
+        # explicit caller value -> left alone
+        spark.conf.set(key, "2048")
+        root2 = str(tmp_path_factory.mktemp("abpin2"))
+        c2 = Crawler(spark, SnapshotCatalog(spark, root2), CorpusFetcher(corpus_df), cfg)
+        c2.seed(SEEDS[:1])
+        c2.crawl(1)
+        assert seen_during[-1] == "2048"
+        assert spark.conf.get(key) == "2048"
+    finally:
+        spark.conf.set(key, orig)
