@@ -24,7 +24,7 @@ from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from ..udf import session_safe_pandas_udf
 from pyspark.sql.types import StringType
 
 # ---------------------------------------------------------------------------
@@ -274,6 +274,8 @@ def to_local_path_series(root: pd.Series, url: pd.Series) -> pd.Series:
 # Spark pandas UDFs (Arrow-batched)
 # ---------------------------------------------------------------------------
 
-clean_urls = pandas_udf(clean_url_series, StringType())
-normalize_urls = pandas_udf(normalize_url_series, StringType())
-to_local_path = pandas_udf(to_local_path_series, StringType())
+# session-safe: module-level UDFs outlive any one SparkContext; the plain
+# pandas_udf JVM cache goes stale across context restarts (see udf.py)
+clean_urls = session_safe_pandas_udf(clean_url_series, StringType())
+normalize_urls = session_safe_pandas_udf(normalize_url_series, StringType())
+to_local_path = session_safe_pandas_udf(to_local_path_series, StringType())

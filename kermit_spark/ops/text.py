@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from ..udf import session_safe_pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 # small, discriminative stopword sets (word-boundary regexes below).
@@ -159,7 +159,7 @@ def _winnow_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-winnow_fingerprint = pandas_udf(_winnow_batch, ArrayType(LongType()))
+winnow_fingerprint = session_safe_pandas_udf(_winnow_batch, ArrayType(LongType()))
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -30,7 +30,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from .udf import session_safe_pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -126,7 +126,7 @@ def _extract_series(body: pd.Series) -> pd.Series:
     return body.map(extract_spans_one)
 
 
-extract_spans = pandas_udf(_extract_series, SPAN_TYPE)
+extract_spans = session_safe_pandas_udf(_extract_series, SPAN_TYPE)
 
 
 def parse_documents(fetched: DataFrame) -> DataFrame:
