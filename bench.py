@@ -299,11 +299,31 @@ def bench_queries(spark, sf_dir: str) -> dict:
 
     out = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
-        _log(f"query {name}: {out[name]['sec']}s ({n} rows)")
+        def run_once():
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            return {"sec": round(time.time() - t0, 3), "rows": n}
+
+        res = _timed_leg(run_once)
+        # Same contention defense as the crawl leg: a query slow enough to
+        # matter (>1 s) measured in a stolen window gets one retry; both
+        # trials stay in the JSON so the discard is auditable.
+        if (
+            res["steal_pct"] is not None
+            and res["steal_pct"] > 3.0
+            and res["sec"] > 1.0
+        ):
+            _log(
+                f"query {name}: {res['sec']}s at {res['steal_pct']}% steal; "
+                "retrying once"
+            )
+            trials = [res, _timed_leg(run_once)]
+            res = min(trials, key=lambda d: d["sec"])
+            res["trials"] = [
+                {"sec": t["sec"], "steal_pct": t["steal_pct"]} for t in trials
+            ]
+        out[name] = res
+        _log(f"query {name}: {res['sec']}s ({res['rows']} rows)")
     return out
 
 
@@ -355,7 +375,15 @@ def run_default() -> dict:
         "sf": sf,
         "urls_per_sec_crawl": round(crawl["urls_per_sec"], 1),
         "urls_per_sec_dedup": round(dedup["urls_per_sec"], 1),
-        "detail": {"crawl": crawl, "dedup": dedup},
+        "detail": {
+            "crawl": crawl,
+            "dedup": dedup,
+            # per-query contention audit: only queries whose steal-retry
+            # fired carry a trials list worth recording
+            "query_retries": {
+                k: v["trials"] for k, v in queries.items() if "trials" in v
+            },
+        },
     }
     spark.stop()
     return result
