@@ -314,6 +314,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the step after pair generation in
+    a training-data dedup pipeline: minhash+LSH pairs (identical params to
+    dedup_minhash_lsh) → connected components (ops.graph.connected_components
+    min-label propagation) → one canonical doc per cluster, everything else
+    flagged duplicate. The DuckDB oracle reproduces the pairs with the same
+    CTE chain and closes the clusters with a recursive CTE."""
+    from kermit_spark.ops.dedup import add_minhash, lsh_candidates
+    from kermit_spark.ops.graph import canonicalize_near_dups
+
+    docs = _docs_with_mutants(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    sigs = add_minhash(
+        docs.withColumnRenamed("doc_id", "id"), "text", k=5, num_hashes=8, stride=4
+    )
+    pairs = lsh_candidates(sigs, "id", num_bands=2, rows_per_band=4, max_bucket=50)
+    return canonicalize_near_dups(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.99) through the REAL
     library op (ops.dedup.embedding_near_dups: md5-derived hyperplane sign
@@ -618,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         # similarity
@@ -937,6 +956,52 @@ def oracle_sql() -> dict[str, str]:
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MUTANTS_DUCK},
+            sig AS (
+                SELECT doc_id,
+                       list_transform(generate_series(0, 7),
+                           i -> list_min(list_transform(
+                                list_distinct(list_transform(
+                                    generate_series(1, greatest(length(text) - 4, 1), 4),
+                                    i2 -> substring(text, i2, 5))),
+                                s -> md5(i::VARCHAR || ':' || s)))) AS sig
+                FROM docs
+            ),
+            bands AS (
+                SELECT doc_id, b AS band,
+                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
+                FROM sig, unnest(generate_series(0, 1)) AS t(b)
+            ),
+            capped AS (
+                SELECT doc_id, band, band_sig FROM (
+                    SELECT doc_id, band, band_sig,
+                           row_number() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+                    FROM bands
+                ) WHERE rn <= 50
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM capped l JOIN capped r
+                  ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM cand
+                UNION
+                SELECT b AS src, a AS dst FROM cand
+            ),
+            reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id AS doc_id,
+                   coalesce(c.component, d.doc_id) AS canonical_id,
+                   coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+            FROM docs d LEFT JOIN cc c ON c.node = d.doc_id
+            ORDER BY doc_id
         """,
         "dedup_simhash": f"""
             WITH {_MUTANTS_DUCK},

@@ -51,3 +51,103 @@ def bfs_depths(
         frontier = nxt
     edges.unpersist()
     return seen
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (node, component)
+    for every node appearing in ``pairs``; component = MIN node id in the
+    component (deterministic canonical label).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — one shuffle join + one groupBy per
+    round, both keyed on node ids, converging in O(graph diameter) rounds.
+    That is the right cost model for the intended workload: near-dup
+    clusters out of banded LSH (dedup pipelines) are star/clique-shaped with
+    tiny diameter, so 2-4 rounds close them. For adversarial long-path
+    graphs at 10^10 edges, swap in the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — O(log n) rounds); this engine does not need it for
+    dedup-cluster shapes. ``localCheckpoint`` truncates the growing plan per
+    round (same discipline as bfs_depths); labels only ever decrease, and
+    the fixpoint is checked with a limit(1) existence probe, not a full
+    count.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        nxt = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("component", "prev"), "node")
+            .filter(F.col("component") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def canonicalize_near_dups(
+    doc_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The last step of a training-data dedup pipeline: collapse near-dup
+    PAIRS (from minhash/simhash/embedding LSH) into CLUSTERS and pick one
+    canonical document per cluster — every other member is flagged a
+    duplicate to drop.
+
+    ``doc_ids``: one row per document (``id_col``); ``pairs``: undirected
+    near-dup pairs. Returns (doc_id, canonical_id, is_duplicate) for EVERY
+    document: canonical_id = min doc id of its component (itself when the
+    document is in no pair). The join against the full corpus is keyed on
+    doc id — the component map is cluster-members-only (≪ corpus), so Spark
+    broadcasts it when small and shuffles on the id otherwise; nothing here
+    is ever all-pairs.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return (
+        doc_ids.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+            (F.coalesce(F.col("component"), F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )
