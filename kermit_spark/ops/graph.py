@@ -77,16 +77,28 @@ def connected_components(
     the fixpoint is checked with a limit(1) existence probe, not a full
     count.
     """
+    # both edge directions from ONE pass over pairs (a union of two selects
+    # would traverse the pairs plan — often a whole LSH pipeline — twice)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # seed label = min(node, min neighbor): the groupBy costs the same
+    # shuffle a plain distinct-over-src would, and folds the first
+    # propagation round into initialization
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("min_neighbor"))
+        .select("node", F.least(F.col("node"), F.col("min_neighbor")).alias("component"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -95,24 +107,24 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("neighbor_component"))
         )
+        # the changed flag rides in the same projection (labels only ever
+        # decrease, so new < old ⟺ changed) — the fixpoint probe then reads
+        # checkpointed blocks instead of re-joining new labels against old
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("neighbor_component"), F.col("component")),
+        )
         nxt = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            nxt.join(labels.withColumnRenamed("component", "prev"), "node")
-            .filter(F.col("component") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
+        changed = nxt.filter(F.col("_changed")).limit(1).count()
+        labels = nxt.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
