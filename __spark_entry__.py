@@ -196,10 +196,11 @@ def q_phase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 robots prefix gating through the REAL robots_gate (broadcast
-    rules join + JVM exists/startswith over parse_url PATH): disallow prefix
-    '/o/1' for every host with host_id % 5 == 2."""
-    from kermit_spark.robots import robots_gate
+    """Q12 robots gating through the REAL robots_gate (broadcast rules join
+    + JVM first-matching-rule verdict over parse_url PATH): disallow rule
+    '^/o/1' for every host with host_id % 5 == 2 — the anchored-regex form
+    the RFC 9309 parser emits for the prefix rule '/o/1'."""
+    from kermit_spark.robots import RULES_TYPE, robots_gate
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     host_id = F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")
@@ -213,9 +214,12 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = spark.range(25).select(
         F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
-        F.when(F.pmod(F.col("id"), F.lit(5)) == 2, F.array(F.lit("/o/1")))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("prefixes"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(5)) == 2,
+            F.array(F.struct(F.lit("^/o/1").alias("pattern"), F.lit(False).alias("allow"))),
+        )
+        .otherwise(F.array().cast(RULES_TYPE))
+        .alias("rules"),
     )
     return (
         robots_gate(urls, rules)

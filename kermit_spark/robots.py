@@ -4,41 +4,83 @@ The reference has NO robots handling anywhere in src/ (SURVEY §2.3 Q12) —
 the north rule adds it as a first-class requirement. Design:
 
   * per-host robots state lives in a ``robots`` catalog table
-    (host, p, fetched:boolean, prefixes:array<string>) — one row per host,
-    partitioned by the same host-salt key as the frontier so gating joins
-    are co-partitioned;
+    (host, p, fetched:boolean, rules:array<struct<pattern,allow>>) — one row
+    per host, partitioned by the same host-salt key as the frontier so
+    gating joins are co-partitioned;
   * before each wave, hosts present in the eligible set but absent from the
     robots table get ``http://host/robots.txt`` fetched through the SAME
     fetcher as regular pages (corpus-backed in tests, HTTP in production) and
     parsed with an Arrow-batched pandas UDF;
   * gating is JVM-side: candidates join the (small, aggregated) per-host
-    prefix arrays — broadcast, one row per host — and are dropped when
-    ``exists(prefixes, x -> startswith(path, x))``. No per-row Python on the
+    rule arrays — broadcast, one row per host — and are dropped when the
+    highest-precedence matching rule is a disallow. No per-row Python on the
     frontier path.
 
-Parser semantics: the standard subset — ``User-agent`` groups, ``Disallow:``
-prefix rules; rules apply if the group names ``*`` or our agent; empty
-Disallow means allow-all; missing/failed robots.txt means allow-all (the
-common crawler default).
+Parser semantics follow RFC 9309 (the 2022 Robots Exclusion Protocol
+standard — public):
+
+  * ``User-agent`` groups; the crawler obeys the group(s) whose agent token
+    matches MOST SPECIFICALLY (longest token that prefixes our agent name);
+    ``*`` groups apply only when no named group matches.
+  * ``Allow:`` and ``Disallow:`` path rules; ``*`` matches any char
+    sequence, a trailing ``$`` anchors the end of the path.
+  * Precedence at match time: the longest (most specific) matching rule
+    wins; on an allow/disallow tie, allow wins. Implemented by sorting each
+    host's rules by (raw length desc, allow first) at parse time and taking
+    the FIRST match at gate time.
+  * Empty ``Disallow:`` means allow-all; missing/failed robots.txt means
+    allow-all (the common crawler default).
+
+Rule paths are compiled to anchored regexes at parse time (escape, ``*`` →
+``.*``, trailing ``$`` → ``$``), evaluated JVM-side with ``regexp_like``
+inside a higher-order filter — one small regex list per host, zero Python
+on the frontier path.
 """
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
+
+RULES_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("pattern", StringType()),
+            StructField("allow", BooleanType()),
+        ]
+    )
+)
 
 
-def parse_robots_body(body: str | None, agent: str = "kermit-spark") -> list[str]:
-    """One robots.txt body → list of disallow prefixes that bind our agent."""
+def _rule_to_regex(path: str) -> str:
+    """One robots path rule → anchored regex, portable across Java regex /
+    RE2 / Python re (only punctuation escapes, ``.*`` and ``$`` are used)."""
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    pattern = "^" + ".*".join(re.escape(seg) for seg in path.split("*"))
+    return pattern + "$" if anchored else pattern
+
+
+def parse_robots_rules(
+    body: str | None, agent: str = "kermit-spark"
+) -> list[tuple[str, bool]]:
+    """One robots.txt body → [(pattern_regex, allow)] in precedence order
+    (longest raw rule first, allow before disallow on equal length) for the
+    most specific user-agent group binding ``agent``."""
     if body is None:
         return []
     agent = agent.lower()
-    prefixes: list[str] = []
-    applies = False
-    saw_rule_in_group = False
+    # groups: list of (ua_tokens, rules[(raw_path, allow)])
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    tokens: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_group_rules = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -47,54 +89,85 @@ def parse_robots_body(body: str | None, agent: str = "kermit-spark") -> list[str
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            if saw_rule_in_group:
-                applies = False
-                saw_rule_in_group = False
-            ua = val.lower()
-            if ua == "*" or ua == agent or agent.startswith(ua):
-                applies = True
-        elif key == "disallow":
-            saw_rule_in_group = True
-            if applies and val:
-                prefixes.append(val)
-    return prefixes
+            if in_group_rules:
+                groups.append((tokens, rules))
+                tokens, rules, in_group_rules = [], [], False
+            tokens.append(val.lower())
+        elif key in ("disallow", "allow"):
+            in_group_rules = True
+            if val:
+                rules.append((val, key == "allow"))
+    if tokens or rules:
+        groups.append((tokens, rules))
+
+    def specificity(ua: str) -> int:
+        # RFC 9309 §2.2.1: the most specific matching token wins; '*' is the
+        # least specific and applies only when nothing else matches
+        if ua == "*":
+            return 0
+        if agent.startswith(ua):
+            return len(ua)
+        return -1
+
+    best = -1
+    for tok_list, _ in groups:
+        for ua in tok_list:
+            best = max(best, specificity(ua))
+    if best < 0:
+        return []
+    merged: list[tuple[str, bool]] = []
+    for tok_list, grp_rules in groups:
+        if any(specificity(ua) == best for ua in tok_list):
+            merged.extend(grp_rules)
+    # precedence: longest raw rule first; allow wins length ties (§2.2.2)
+    merged.sort(key=lambda r: (-len(r[0]), not r[1]))
+    return [(_rule_to_regex(path), allow) for path, allow in merged]
 
 
 def make_parse_udf(agent: str = "kermit-spark"):
     def series(body: pd.Series) -> pd.Series:
-        return body.map(lambda b: parse_robots_body(b, agent))
+        return body.map(lambda b: parse_robots_rules(b, agent))
 
-    return pandas_udf(series, ArrayType(StringType()))
+    return pandas_udf(series, RULES_TYPE)
 
 
 def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> DataFrame:
-    """Fetched robots.txt rows → (p, host, fetched, prefixes). Non-200
-    fetches yield empty prefixes (allow-all)."""
+    """Fetched robots.txt rows → (p, host, fetched, rules). Non-200 fetches
+    yield empty rules (allow-all)."""
     parse = make_parse_udf(agent)
     return fetched.select(
         F.col("p"),
         F.col("host"),
         F.lit(True).alias("fetched"),
         F.when(F.col("status") == 200, parse(F.col("body")))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("prefixes"),
+        .otherwise(F.array().cast(RULES_TYPE))
+        .alias("rules"),
     )
 
 
 def url_path(url) -> F.Column:
-    """Path component, JVM-side (parse_url stays in codegen)."""
-    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+    """Rule-match target: path plus '?query' when present, JVM-side
+    (parse_url stays in codegen). Queries are included because robots
+    patterns like ``/*.php$`` or ``/*?`` are defined over everything after
+    the authority — an end anchor must NOT match a URL that continues with
+    a query string."""
+    raw = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
+    query = F.parse_url(url, F.lit("QUERY"))
+    return F.when(query.isNull(), path).otherwise(F.concat(path, F.lit("?"), query))
 
 
 def robots_gate(eligible: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop eligible frontier rows whose path matches a disallow prefix of
-    their host. ``robots`` has ≤ one row per host → broadcast join."""
-    rules = robots.select(F.col("host").alias("_r_host"), "prefixes")
+    """Drop eligible frontier rows whose highest-precedence matching rule is
+    a disallow. ``robots`` has ≤ one row per host → broadcast join; rules
+    arrive precedence-sorted from the parser, so the verdict is the first
+    element of the filtered array."""
+    rules = robots.select(F.col("host").alias("_r_host"), "rules")
     joined = eligible.join(
         F.broadcast(rules), eligible.host == rules._r_host, "left"
     )
     path = url_path(F.col("url"))
-    blocked = F.when(
-        F.col("prefixes").isNull(), F.lit(False)
-    ).otherwise(F.exists("prefixes", lambda x: path.startswith(x)))
-    return joined.filter(~blocked).drop("_r_host", "prefixes")
+    matched = F.filter(F.col("rules"), lambda r: F.regexp_like(path, r["pattern"]))
+    # no robots row / no matching rule → first is NULL → coalesce to allowed
+    blocked = F.coalesce(~F.get(matched, F.lit(0))["allow"], F.lit(False))
+    return joined.filter(~blocked).drop("_r_host", "rules")

@@ -17,7 +17,35 @@ from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
 from kermit_spark.functions.urls import _clean_one
-from kermit_spark.robots import parse_robots_body
+
+
+def _oracle_robots_prefixes(body: str | None, agent: str = "kermit-spark") -> list[str]:
+    """Independent robots parser for the oracle (the engine compiles rules
+    to regexes and applies RFC 9309 precedence; the synthetic corpus only
+    emits plain Disallow prefixes in matching groups, where both semantics
+    coincide — this stays a 20-line prefix parser on purpose)."""
+    if body is None:
+        return []
+    agent = agent.lower()
+    prefixes: list[str] = []
+    applies = False
+    saw_rule = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if saw_rule:
+                applies, saw_rule = False, False
+            if val.lower() in ("*", agent) or agent.startswith(val.lower()):
+                applies = True
+        elif key == "disallow":
+            saw_rule = True
+            if applies and val:
+                prefixes.append(val)
+    return prefixes
 
 
 class _SpanParser(HTMLParser):
@@ -113,7 +141,7 @@ def oracle_crawl(
     def robots_prefixes(h: str) -> list[str]:
         if h not in robots:
             rec = corpus.get(f"http://{h}/robots.txt")
-            robots[h] = parse_robots_body(rec[2]) if rec and rec[0] == 200 else []
+            robots[h] = _oracle_robots_prefixes(rec[2]) if rec and rec[0] == 200 else []
         return robots[h]
 
     for wave in range(max_waves):

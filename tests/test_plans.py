@@ -77,7 +77,8 @@ def test_fetch_join_broadcasts_wave_batch(spark, frontier):
 
 def test_robots_gate_is_broadcast_join(spark, frontier):
     rules = spark.createDataFrame(
-        [("h0.test", ["/p/"])], "host string, prefixes array<string>"
+        [("h0.test", [("^/p/", False)])],
+        "host string, rules array<struct<pattern string, allow boolean>>",
     )
     gated = robots_gate(frontier.read(), rules)
     assert "BroadcastHashJoin" in _plan(gated)

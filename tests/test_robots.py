@@ -1,36 +1,87 @@
 """robots.txt parser + frontier gating (north_rule Q12 — absent in the
-reference, SURVEY §2.3)."""
+reference, SURVEY §2.3). Parser semantics: RFC 9309 — most-specific
+user-agent group, Allow/Disallow longest-match precedence, ``*`` wildcards,
+``$`` end anchors."""
 
 from pyspark.sql import functions as F
 
-from kermit_spark.robots import parse_robots_body, robots_gate
+from kermit_spark.robots import parse_robots_rules, robots_gate
+
+RULES_DDL = "host string, rules array<struct<pattern string, allow boolean>>"
+
+
+def _verdict(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Python mirror of the gate: first (highest-precedence) matching rule
+    decides; no match → allowed."""
+    import re
+
+    for pattern, allow in rules:
+        if re.search(pattern, path):
+            return allow
+    return True
 
 
 def test_parse_star_group():
     body = "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
-    assert parse_robots_body(body) == ["/private/", "/tmp"]
+    rules = parse_robots_rules(body)
+    assert rules == [("^/private/", False), ("^/tmp", False)]
 
 
-def test_parse_agent_specific_group():
+def test_parse_agent_specific_group_wins_over_star():
     body = (
-        "User-agent: googlebot\nDisallow: /g-only/\n\n"
+        "User-agent: *\nDisallow: /all/\n\n"
         "User-agent: kermit-spark\nDisallow: /k-only/\n"
     )
-    assert parse_robots_body(body, agent="kermit-spark") == ["/k-only/"]
+    rules = parse_robots_rules(body, agent="kermit-spark")
+    # RFC 9309: the star group is IGNORED when a named group matches
+    assert rules == [("^/k\\-only/", False)]
+    assert _verdict(rules, "/all/x")  # not bound by the star group
+    assert not _verdict(rules, "/k-only/x")
+
+
+def test_parse_most_specific_agent_token():
+    body = (
+        "User-agent: kermit\nDisallow: /coarse/\n\n"
+        "User-agent: kermit-spark\nDisallow: /fine/\n"
+    )
+    rules = parse_robots_rules(body, agent="kermit-spark")
+    assert rules == [("^/fine/", False)]
 
 
 def test_parse_empty_disallow_means_allow_all():
-    assert parse_robots_body("User-agent: *\nDisallow:\n") == []
+    assert parse_robots_rules("User-agent: *\nDisallow:\n") == []
 
 
 def test_parse_none_and_comments():
-    assert parse_robots_body(None) == []
-    assert parse_robots_body("# nothing here\n") == []
+    assert parse_robots_rules(None) == []
+    assert parse_robots_rules("# nothing here\n") == []
 
 
 def test_parse_multiple_agents_share_group():
     body = "User-agent: a\nUser-agent: *\nDisallow: /x/\n"
-    assert parse_robots_body(body, agent="kermit-spark") == ["/x/"]
+    assert parse_robots_rules(body, agent="kermit-spark") == [("^/x/", False)]
+
+
+def test_allow_overrides_disallow_by_length():
+    # RFC 9309 §2.2.2 longest-match: /public/ (7+1 chars) beats /p (2)
+    body = "User-agent: *\nDisallow: /p\nAllow: /public/\n"
+    rules = parse_robots_rules(body)
+    assert _verdict(rules, "/public/index.html")
+    assert not _verdict(rules, "/private/1.html")
+
+
+def test_allow_wins_length_tie():
+    body = "User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"
+    assert _verdict(parse_robots_rules(body), "/dir/x")
+
+
+def test_wildcard_and_end_anchor():
+    body = "User-agent: *\nDisallow: /*.php$\nDisallow: /a/*/secret\n"
+    rules = parse_robots_rules(body)
+    assert not _verdict(rules, "/index.php")
+    assert _verdict(rules, "/index.php?q=1")  # $ anchors the end
+    assert not _verdict(rules, "/a/b/secret/x")
+    assert _verdict(rules, "/a/secret")  # the * segment must be present
 
 
 def test_gate_drops_matching_paths(spark):
@@ -42,19 +93,55 @@ def test_gate_drops_matching_paths(spark):
         ],
         "p int, url string, host string",
     )
-    rules = spark.createDataFrame(
-        [("a.test", ["/private/"])], "host string, prefixes array<string>"
-    )
+    rules = spark.createDataFrame([("a.test", [("^/private/", False)])], RULES_DDL)
     got = sorted(r["url"] for r in robots_gate(eligible, rules).collect())
     # b.test has no rules row -> allow-all
     assert got == ["http://a.test/public/1.html", "http://b.test/private/1.html"]
 
 
-def test_gate_empty_prefixes_allows(spark):
+def test_gate_allow_rule_overrides(spark):
+    eligible = spark.createDataFrame(
+        [
+            (0, "http://a.test/p/open/1.html", "a.test"),
+            (0, "http://a.test/p/closed/1.html", "a.test"),
+        ],
+        "p int, url string, host string",
+    )
+    # precedence order as the parser emits it: longest first
+    rules = spark.createDataFrame(
+        [("a.test", [("^/p/open/", True), ("^/p/", False)])], RULES_DDL
+    )
+    got = [r["url"] for r in robots_gate(eligible, rules).collect()]
+    assert got == ["http://a.test/p/open/1.html"]
+
+
+def test_gate_empty_rules_allows(spark):
     eligible = spark.createDataFrame(
         [(0, "http://a.test/x", "a.test")], "p int, url string, host string"
     )
-    rules = spark.createDataFrame(
-        [("a.test", [])], "host string, prefixes array<string>"
-    )
+    rules = spark.createDataFrame([("a.test", [])], RULES_DDL)
     assert robots_gate(eligible, rules).count() == 1
+
+
+def test_gate_matches_parser_verdicts_end_to_end(spark):
+    """Differential: JVM regexp_like gate == the Python _verdict mirror over
+    a wildcard/allow/anchor rule set."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /public/\n"
+        "Disallow: /*.php$\n"
+    )
+    rules_py = parse_robots_rules(body)
+    paths = [
+        "/public/a.html", "/private/a.html", "/x.php", "/x.php?q=1",
+        "/p", "/", "/public/x.php",
+    ]
+    eligible = spark.createDataFrame(
+        [(0, f"http://a.test{p}", "a.test") for p in paths],
+        "p int, url string, host string",
+    )
+    rules = spark.createDataFrame([("a.test", rules_py)], RULES_DDL)
+    got = {r["url"] for r in robots_gate(eligible, rules).collect()}
+    want = {f"http://a.test{p}" for p in paths if _verdict(rules_py, p)}
+    assert got == want
