@@ -273,14 +273,17 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
         )
     )
     # robots.txt per host: every (h % 5 == 2) host disallows the /p/1 page
-    # prefix; every (h % 7 == 3) host disallows /img/. Parsed by the robots
-    # stage from these bodies — the rules are data, not config.
+    # prefix; every (h % 7 == 3) host disallows /img/; every (h % 9 == 5)
+    # host declares Crawl-delay: 60 — with the default 60 s politeness
+    # window that caps it at 1 URL per wave from the wave after its robots
+    # is fetched. Parsed by the robots stage from these bodies — the rules
+    # are data, not config.
     hid = F.col("id")
     robots_body = F.concat(
         F.lit("User-agent: *\n"),
         F.when(F.pmod(hid, F.lit(5)) == 2, F.lit("Disallow: /p/1\n")).otherwise(F.lit("")),
         F.when(F.pmod(hid, F.lit(7)) == 3, F.lit("Disallow: /img/\n")).otherwise(F.lit("")),
-        F.lit("Crawl-delay: 1\n"),
+        F.when(F.pmod(hid, F.lit(9)) == 5, F.lit("Crawl-delay: 60\n")).otherwise(F.lit("")),
     )
     robots_rows = spark.range(0, spec.n_hosts).select(
         F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".test/robots.txt")).alias("url"),

@@ -108,6 +108,11 @@ class CrawlConfig:
     #                     unless ResultVerification reschedules, F10)
     obey_robots: bool = True
     user_agent: str = "kermit-spark"
+    # robots Crawl-delay → per-wave budget cap: a host asking for d seconds
+    # between requests gets at most floor(politeness_window_s / d) URLs per
+    # wave (min 1). The window is the wave-period assumption that converts
+    # delay seconds into batch budget; 0 disables Crawl-delay handling.
+    politeness_window_s: float = 60.0
     bloom: BloomSpec = field(default_factory=BloomSpec)
     verification: ResultVerification | None = None
     # Q10: defer a deterministic pseudo-random fraction of due URLs per wave
@@ -157,6 +162,9 @@ class Crawler:
         # unboundedly. Cache misses fall through to a batch-sized anti-join
         # probe against the robots table — same semantics, bounded memory.
         self._robots_hosts: set[str] = set()
+        # None = unknown (probe the robots table on next use); False skips
+        # the Crawl-delay join entirely — the common case pays nothing
+        self._has_crawl_delays: bool | None = None
         # lineage rows buffered in the driver, flushed once per crawl()/read
         # — observability data, not queue state; buffering removes one small
         # write job per wave from the fixed cost.
@@ -226,9 +234,41 @@ class Crawler:
                 self.catalog.overwrite_partitions(ROBOTS_TABLE, merged, touched)
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
                 self._robots_hosts.update(h for _, h in missing)
+            # newly fetched hosts may declare Crawl-delay — re-probe lazily
+            self._has_crawl_delays = None
         if self.catalog.exists(ROBOTS_TABLE):
             return self.catalog.read(ROBOTS_TABLE)
         return None
+
+    def _crawl_delay_caps(self) -> DataFrame | None:
+        """(host, budget_cap) rows derived from robots Crawl-delay, or None
+        when no host declares one (the steady-state answer is a driver-side
+        flag — no Spark job, no join added to the dequeue)."""
+        cfg = self.config
+        if not cfg.obey_robots or cfg.politeness_window_s <= 0:
+            return None
+        if self._has_crawl_delays is None:
+            self._has_crawl_delays = self.catalog.exists(ROBOTS_TABLE) and bool(
+                self.catalog.read(ROBOTS_TABLE)
+                .filter(F.col("crawl_delay").isNotNull())
+                .limit(1)
+                .count()
+            )
+        if not self._has_crawl_delays:
+            return None
+        return (
+            self.catalog.read(ROBOTS_TABLE)
+            .filter(F.col("crawl_delay").isNotNull())
+            .select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cfg.politeness_window_s) / F.col("crawl_delay")),
+                )
+                .cast("int")
+                .alias("budget_cap"),
+            )
+        )
 
     # -- one wave ----------------------------------------------------------
 
@@ -246,12 +286,15 @@ class Crawler:
             # reconsidered next wave with a fresh coin
             eligible = eligible.filter(~cfg.delay.defer_expr(wave))
 
-        # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9)
+        # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9; robots Crawl-delay
+        # caps — fetched in an earlier wave — tighten per-host budgets)
+        delay_caps = self._crawl_delay_caps()
         selected = dequeue(
             eligible,
             cfg.politeness,
             sub_salts=cfg.sub_salts,
             global_cap=cfg.global_cap,
+            host_budgets=delay_caps,
         ).persist()
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
@@ -267,7 +310,7 @@ class Crawler:
             )
             selected = dequeue(
                 undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
-                global_cap=cfg.global_cap,
+                global_cap=cfg.global_cap, host_budgets=delay_caps,
             ).persist()
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)

@@ -192,6 +192,7 @@ def dequeue(
     sub_salts: int = 16,
     global_cap: int | None = None,
     enforce_total: bool = True,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Select ≤ budget(host) URLs per host, deterministically ordered.
 
@@ -201,9 +202,28 @@ def dequeue(
 
     ``global_cap``: optional cap on total dequeued per wave (maxWaiting analog,
     Crawler.coffee:260-262), applied deterministically after per-host ranking.
+
+    ``host_budgets``: optional (host, budget_cap) rows — data-driven per-host
+    tightening of the configured budget (the crawler derives these from
+    robots Crawl-delay). ≤ one row per host; hosts absent keep the
+    configured budget; the effective budget is min(configured, cap). Joined
+    on host — the same key the level-1 window shuffles on, so the join adds
+    no second partitioning of the eligible set.
     """
     budget = politeness.budget_expr(F.col("host"))
     df = eligible.withColumn("_budget", budget)
+    if host_budgets is not None:
+        caps = host_budgets.select(
+            F.col("host").alias("_b_host"), F.col("budget_cap").alias("_cap")
+        )
+        df = (
+            df.join(caps, df.host == caps._b_host, "left")
+            .withColumn(
+                "_budget",
+                F.least(F.col("_budget"), F.coalesce(F.col("_cap"), F.col("_budget"))),
+            )
+            .drop("_b_host", "_cap")
+        )
     # reference: isAllowed throws if no limit matches (core.queues.coffee:78).
     # A catch-all pattern makes the probe statically unnecessary — skip the
     # extra job in that (default) case.

@@ -45,7 +45,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 RULES_TYPE = ArrayType(
     StructType(
@@ -54,6 +61,13 @@ RULES_TYPE = ArrayType(
             StructField("allow", BooleanType()),
         ]
     )
+)
+
+PARSED_TYPE = StructType(
+    [
+        StructField("rules", RULES_TYPE),
+        StructField("crawl_delay", DoubleType()),
+    ]
 )
 
 
@@ -67,20 +81,30 @@ def _rule_to_regex(path: str) -> str:
     return pattern + "$" if anchored else pattern
 
 
-def parse_robots_rules(
+def parse_robots(
     body: str | None, agent: str = "kermit-spark"
-) -> list[tuple[str, bool]]:
-    """One robots.txt body → [(pattern_regex, allow)] in precedence order
-    (longest raw rule first, allow before disallow on equal length) for the
-    most specific user-agent group binding ``agent``."""
+) -> tuple[list[tuple[str, bool]], float | None]:
+    """One robots.txt body → (rules, crawl_delay) for the most specific
+    user-agent group binding ``agent``. Rules are [(pattern_regex, allow)]
+    in precedence order (longest raw rule first, allow before disallow on
+    equal length — RFC 9309 §2.2.2). ``crawl_delay`` is the conventional
+    (non-RFC but ubiquitous) per-group ``Crawl-delay:`` seconds, None when
+    absent/invalid."""
     if body is None:
-        return []
+        return [], None
     agent = agent.lower()
-    # groups: list of (ua_tokens, rules[(raw_path, allow)])
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    # groups: list of (ua_tokens, rules[(raw_path, allow)], crawl_delay)
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     tokens: list[str] = []
     rules: list[tuple[str, bool]] = []
+    delay: float | None = None
     in_group_rules = False
+
+    def close_group() -> None:
+        nonlocal tokens, rules, delay, in_group_rules
+        groups.append((tokens, rules, delay))
+        tokens, rules, delay, in_group_rules = [], [], None, False
+
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -90,15 +114,22 @@ def parse_robots_rules(
         val = val.strip()
         if key == "user-agent":
             if in_group_rules:
-                groups.append((tokens, rules))
-                tokens, rules, in_group_rules = [], [], False
+                close_group()
             tokens.append(val.lower())
         elif key in ("disallow", "allow"):
             in_group_rules = True
             if val:
                 rules.append((val, key == "allow"))
-    if tokens or rules:
-        groups.append((tokens, rules))
+        elif key == "crawl-delay":
+            in_group_rules = True
+            try:
+                parsed = float(val)
+                if parsed >= 0:
+                    delay = parsed
+            except ValueError:
+                pass
+    if tokens or rules or delay is not None:
+        close_group()
 
     def specificity(ua: str) -> int:
         # RFC 9309 §2.2.1: the most specific matching token wins; '*' is the
@@ -110,38 +141,64 @@ def parse_robots_rules(
         return -1
 
     best = -1
-    for tok_list, _ in groups:
+    for tok_list, _, _ in groups:
         for ua in tok_list:
             best = max(best, specificity(ua))
     if best < 0:
-        return []
+        return [], None
     merged: list[tuple[str, bool]] = []
-    for tok_list, grp_rules in groups:
+    crawl_delay: float | None = None
+    for tok_list, grp_rules, grp_delay in groups:
         if any(specificity(ua) == best for ua in tok_list):
             merged.extend(grp_rules)
+            if grp_delay is not None:
+                crawl_delay = max(crawl_delay or 0.0, grp_delay)
     # precedence: longest raw rule first; allow wins length ties (§2.2.2)
     merged.sort(key=lambda r: (-len(r[0]), not r[1]))
-    return [(_rule_to_regex(path), allow) for path, allow in merged]
+    return [(_rule_to_regex(path), allow) for path, allow in merged], crawl_delay
+
+
+def parse_robots_rules(
+    body: str | None, agent: str = "kermit-spark"
+) -> list[tuple[str, bool]]:
+    """Rules-only view of :func:`parse_robots`."""
+    return parse_robots(body, agent)[0]
 
 
 def make_parse_udf(agent: str = "kermit-spark"):
-    def series(body: pd.Series) -> pd.Series:
-        return body.map(lambda b: parse_robots_rules(b, agent))
+    def frame(body: pd.Series) -> pd.DataFrame:
+        parsed = body.map(lambda b: parse_robots(b, agent))
+        return pd.DataFrame(
+            {
+                "rules": parsed.map(lambda p: p[0]),
+                "crawl_delay": parsed.map(lambda p: p[1]),
+            }
+        )
 
-    return pandas_udf(series, RULES_TYPE)
+    return pandas_udf(frame, PARSED_TYPE)
 
 
 def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> DataFrame:
-    """Fetched robots.txt rows → (p, host, fetched, rules). Non-200 fetches
-    yield empty rules (allow-all)."""
+    """Fetched robots.txt rows → (p, host, fetched, rules, crawl_delay).
+    Non-200 fetches yield empty rules + null delay (allow-all)."""
     parse = make_parse_udf(agent)
+    parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(
+        F.struct(
+            F.array().cast(RULES_TYPE).alias("rules"),
+            F.lit(None).cast("double").alias("crawl_delay"),
+        )
+    )
     return fetched.select(
         F.col("p"),
         F.col("host"),
         F.lit(True).alias("fetched"),
-        F.when(F.col("status") == 200, parse(F.col("body")))
-        .otherwise(F.array().cast(RULES_TYPE))
-        .alias("rules"),
+        parsed.alias("_parsed"),
+    ).select(
+        "p",
+        "host",
+        "fetched",
+        F.col("_parsed.rules").alias("rules"),
+        F.col("_parsed.crawl_delay").alias("crawl_delay"),
     )
 
 

@@ -19,15 +19,19 @@ from html.parser import HTMLParser
 from kermit_spark.functions.urls import _clean_one
 
 
-def _oracle_robots_prefixes(body: str | None, agent: str = "kermit-spark") -> list[str]:
-    """Independent robots parser for the oracle (the engine compiles rules
-    to regexes and applies RFC 9309 precedence; the synthetic corpus only
-    emits plain Disallow prefixes in matching groups, where both semantics
-    coincide — this stays a 20-line prefix parser on purpose)."""
+def _oracle_robots(
+    body: str | None, agent: str = "kermit-spark"
+) -> tuple[list[str], float | None]:
+    """Independent robots parser for the oracle → (disallow prefixes,
+    crawl_delay). The engine compiles rules to regexes and applies RFC 9309
+    precedence; the synthetic corpus only emits plain Disallow prefixes in
+    matching groups, where both semantics coincide — this stays a ~25-line
+    prefix parser on purpose."""
     if body is None:
-        return []
+        return [], None
     agent = agent.lower()
     prefixes: list[str] = []
+    delay: float | None = None
     applies = False
     saw_rule = False
     for raw in body.splitlines():
@@ -45,7 +49,14 @@ def _oracle_robots_prefixes(body: str | None, agent: str = "kermit-spark") -> li
             saw_rule = True
             if applies and val:
                 prefixes.append(val)
-    return prefixes
+        elif key == "crawl-delay":
+            saw_rule = True
+            if applies:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+    return prefixes, delay
 
 
 class _SpanParser(HTMLParser):
@@ -117,6 +128,7 @@ def oracle_crawl(
     max_waves: int,
     obey_robots: bool = True,
     url_filter=None,  # callable url -> bool
+    politeness_window_s: float = 60.0,
 ) -> OracleResult:
     res = OracleResult()
     allow = url_filter or (lambda u: True)
@@ -124,11 +136,24 @@ def oracle_crawl(
     def host_of(u: str) -> str:
         return re.match(r"^[a-z]+://([^/:]+)", u).group(1)
 
+    # crawl-delay caps known as of the START of a wave — the engine fetches
+    # a host's robots AFTER dequeuing it, so its Crawl-delay binds from the
+    # NEXT wave; the oracle reproduces that one-wave lag by filling this
+    # dict only when a host's robots body is first consulted (gate time)
+    known_delay: dict[str, float] = {}
+
     def budget_of(h: str) -> int:
-        for pat, b in limits:
+        b = None
+        for pat, lim in limits:
             if re.search(pat, h):
-                return b
-        raise ValueError(f"no limit for {h}")
+                b = lim
+                break
+        if b is None:
+            raise ValueError(f"no limit for {h}")
+        d = known_delay.get(h)
+        if obey_robots and d and d > 0 and politeness_window_s > 0:
+            b = min(b, max(1, int(politeness_window_s // d)))
+        return b
 
     # frontier rows: url -> record
     for u in sorted(set(seeds)):
@@ -141,7 +166,12 @@ def oracle_crawl(
     def robots_prefixes(h: str) -> list[str]:
         if h not in robots:
             rec = corpus.get(f"http://{h}/robots.txt")
-            robots[h] = _oracle_robots_prefixes(rec[2]) if rec and rec[0] == 200 else []
+            prefixes, delay = (
+                _oracle_robots(rec[2]) if rec and rec[0] == 200 else ([], None)
+            )
+            robots[h] = prefixes
+            if delay is not None:
+                known_delay[h] = delay
         return robots[h]
 
     for wave in range(max_waves):

@@ -108,6 +108,27 @@ def test_politeness_budget_invariant(engine_result):
     assert per <= BUDGET
 
 
+def test_crawl_delay_cap_binds(engine_result):
+    """Host 5 (h%9==5) declares Crawl-delay: 60 → cap 1 URL/wave from the
+    wave after its robots fetch. The cap must BIND (≤1 per later wave) and
+    the host must still make progress across waves (≥2 total fetches) —
+    otherwise this invariant would be vacuously green."""
+    crawler, _ = engine_result
+    per_wave = {
+        r["p"]: r["n"]
+        for r in crawler.documents()
+        .filter(F.col("host") == "h5.test")
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_wave, "capped host never fetched — corpus shape changed?"
+    first = min(per_wave)
+    later = {w: n for w, n in per_wave.items() if w > first}
+    assert later, "capped host only fetched once — cap never exercised"
+    assert all(n <= 1 for n in later.values()), per_wave
+
+
 def test_span_sequences_match(engine_result, oracle_result):
     crawler, _ = engine_result
     rows = crawler.documents().select("url", "status", "spans").collect()

@@ -84,6 +84,44 @@ def test_wildcard_and_end_anchor():
     assert _verdict(rules, "/a/secret")  # the * segment must be present
 
 
+def test_crawl_delay_extracted_from_matching_group():
+    from kermit_spark.robots import parse_robots
+
+    body = (
+        "User-agent: otherbot\nCrawl-delay: 99\n\n"
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 7.5\n"
+    )
+    rules, delay = parse_robots(body, agent="kermit-spark")
+    assert rules == [("^/x/", False)]
+    assert delay == 7.5
+
+
+def test_crawl_delay_invalid_or_absent_is_none():
+    from kermit_spark.robots import parse_robots
+
+    assert parse_robots("User-agent: *\nDisallow: /x/\n")[1] is None
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\n")[1] is None
+    assert parse_robots("User-agent: *\nCrawl-delay: -3\n")[1] is None
+
+
+def test_dequeue_host_budget_caps(spark):
+    """Crawl-delay-derived (host, budget_cap) rows tighten the configured
+    politeness budget for exactly the listed hosts."""
+    from kermit_spark.frontier import Limit, Politeness, as_frontier_rows, dequeue
+
+    urls = spark.createDataFrame(
+        [(f"http://{h}.test/{i}",) for h in ("slow", "fast") for i in range(6)],
+        "url string",
+    )
+    eligible = as_frontier_rows(urls, 4, wave=0)
+    caps = spark.createDataFrame([("slow.test", 2)], "host string, budget_cap int")
+    got = dequeue(
+        eligible, Politeness((Limit(r".*", 5),)), sub_salts=2, host_budgets=caps
+    )
+    counts = {r["host"]: r["n"] for r in got.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"slow.test": 2, "fast.test": 5}
+
+
 def test_gate_drops_matching_paths(spark):
     eligible = spark.createDataFrame(
         [
