@@ -284,6 +284,13 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
         F.when(F.pmod(hid, F.lit(5)) == 2, F.lit("Disallow: /p/1\n")).otherwise(F.lit("")),
         F.when(F.pmod(hid, F.lit(7)) == 3, F.lit("Disallow: /img/\n")).otherwise(F.lit("")),
         F.when(F.pmod(hid, F.lit(9)) == 5, F.lit("Crawl-delay: 60\n")).otherwise(F.lit("")),
+        F.when(
+            F.pmod(hid, F.lit(6)) == 1,
+            F.concat(
+                F.lit("Sitemap: http://h"), hid.cast("string"),
+                F.lit(".test/sitemap.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
     )
     robots_rows = spark.range(0, spec.n_hosts).select(
         F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".test/robots.txt")).alias("url"),
@@ -295,10 +302,49 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec | None = None) -> DataFra
         F.lit("text/plain").alias("content_type"),
         robots_body.alias("body"),
     )
+    # sitemap.xml for every (h % 6 == 1) host: lists page 0 plus an orphan
+    # page (/sm/only.html) reachable ONLY through the sitemap — sitemap-
+    # driven discovery has observable effect on the URL-seen closure.
+    sm_hosts = spark.range(0, spec.n_hosts).filter(F.pmod(hid, F.lit(6)) == 1)
+    orphan_url = F.concat(
+        F.lit("http://h"), hid.cast("string"), F.lit(".test/sm/only.html")
+    )
+    sitemap_rows = sm_hosts.select(
+        F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".test/sitemap.xml")).alias("url"),
+        host_name(hid).alias("host"),
+        hid.alias("host_id"),
+        F.lit(-2).cast("long").alias("page_id"),
+        F.lit("sitemap").alias("kind"),
+        F.lit(200).alias("status"),
+        F.lit("application/xml").alias("content_type"),
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc> '),
+            page_url(hid, F.lit(0).cast("long")),
+            F.lit(" </loc></url><url><loc>"),
+            orphan_url,
+            F.lit("</loc></url></urlset>"),
+        ).alias("body"),
+    )
+    orphan_rows = sm_hosts.select(
+        orphan_url.alias("url"),
+        host_name(hid).alias("host"),
+        hid.alias("host_id"),
+        F.lit(-3).cast("long").alias("page_id"),
+        F.lit("page").alias("kind"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(
+            F.lit("<html><body><p>sitemap-only page for host "),
+            hid.cast("string"),
+            F.lit("</p></body></html>"),
+        ).alias("body"),
+    )
     return (
         page_rows.unionByName(media_rows)
         .unionByName(static_rows)
         .unionByName(robots_rows)
+        .unionByName(sitemap_rows)
+        .unionByName(orphan_rows)
     )
 
 

@@ -61,8 +61,9 @@ from .frontier import (
     RandomizedDelay,
     dequeue,
 )
+from .functions.urls import clean_urls
 from .parse import discover_links, parse_documents
-from .robots import robots_gate, robots_rules_from_fetch
+from .robots import robots_gate, robots_rules_from_fetch, sitemap_candidates_from_fetch
 
 DOCUMENTS_TABLE = "documents"
 ROBOTS_TABLE = "robots"
@@ -192,14 +193,21 @@ class Crawler:
 
     _ROBOTS_CACHE_MAX = 2_000_000  # hosts; ~100 MB of driver strings at worst
 
-    def _ensure_robots(self, hosts: list[tuple[int, str]]) -> DataFrame | None:
+    def _ensure_robots(
+        self, hosts: list[tuple[int, str]]
+    ) -> tuple[DataFrame | None, DataFrame | None]:
         """Fetch+parse robots.txt for (p, host) pairs not yet covered; return
-        the rules table. One fetch per host ever (robots state is durable).
+        (rules table, sitemap candidate URLs or None). One fetch per host
+        ever (robots state is durable); a host's ``Sitemap:`` URLs are
+        likewise fetched exactly once — in the wave its robots first
+        arrived — and their <loc> entries become depth-0 candidates merged
+        into that wave's single frontier commit (lazy: no extra job).
 
         Membership is resolved in two steps: the driver cache answers for
         hosts this run has already touched (steady state: zero Spark jobs);
         cache misses are anti-joined against the robots table — a
         batch-sized probe, never a scan-and-collect of all hosts."""
+        sitemap_cands: DataFrame | None = None
         unknown = [(p, h) for p, h in hosts if h not in self._robots_hosts]
         missing = unknown
         if unknown and self.catalog.exists(ROBOTS_TABLE):
@@ -236,9 +244,37 @@ class Crawler:
                 self._robots_hosts.update(h for _, h in missing)
             # newly fetched hosts may declare Crawl-delay — re-probe lazily
             self._has_crawl_delays = None
+            # Sitemap: URLs of the just-fetched hosts → depth-0 candidates.
+            # Read back from the committed table (no recompute of the robots
+            # fetch) and keep everything lazy — the fetch+parse runs inside
+            # the wave's commit job.
+            just = sorted({h for _, h in missing})
+            sm = (
+                self.catalog.read(ROBOTS_TABLE)
+                .filter(F.col("host").isin(just))
+                .filter(F.size("sitemaps") > 0)
+                .select("p", "host", F.explode("sitemaps").alias("sm_url"))
+            )
+            to_fetch = sm.select(
+                "p",
+                F.xxhash64(F.col("sm_url")).alias("url_hash"),
+                F.col("sm_url").alias("url"),
+                "host",
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("referer"),
+                F.lit(-1).alias("wave"),
+                F.lit(0).alias("rank"),
+            )
+            raw = sitemap_candidates_from_fetch(self.fetcher.fetch(to_fetch))
+            sitemap_cands = raw.select(
+                clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url"),
+                F.col("sitemap_url").alias("referer"),
+                F.lit(0).alias("depth"),
+                F.lit(0.0).alias("priority"),
+            ).filter(F.col("url").isNotNull())
         if self.catalog.exists(ROBOTS_TABLE):
-            return self.catalog.read(ROBOTS_TABLE)
-        return None
+            return self.catalog.read(ROBOTS_TABLE), sitemap_cands
+        return None, sitemap_cands
 
     def _crawl_delay_caps(self) -> DataFrame | None:
         """(host, budget_cap) rows derived from robots Crawl-delay, or None
@@ -324,9 +360,10 @@ class Crawler:
         # (n_selected - rows reaching parse - verify failures).
         blocked_updates = None
         to_fetch = selected
+        sitemap_cands = None
         if cfg.obey_robots:
             hosts = [(r["p"], r["host"]) for r in per_host]
-            rules = self._ensure_robots(hosts)
+            rules, sitemap_cands = self._ensure_robots(hosts)
             if rules is not None:
                 allowed = robots_gate(selected, rules).persist()
                 blocked_updates = selected.join(
@@ -399,8 +436,15 @@ class Crawler:
             n_blocked = 0
 
         # discovery (X3): spans → cleaned candidate URLs → filter (F5 first
-        # application point); dedup happens inside commit_wave (Q1)
+        # application point); dedup happens inside commit_wave (Q1).
+        # Sitemap <loc> candidates (depth 0) from hosts whose robots arrived
+        # this wave ride the same commit — within-batch dedup's depth
+        # ordering makes a sitemap row win over a same-wave link discovery.
         candidates = discover_links(docs).filter(cfg.url_filter.expr(F.col("url")))
+        if sitemap_cands is not None:
+            candidates = candidates.unionByName(
+                sitemap_cands.filter(cfg.url_filter.expr(F.col("url")))
+            )
 
         # COMPLETE/ERROR/ROBOTS_BLOCKED disposition (Q2-Q4, P3/P7) + new URLs
         # (Q1) — ONE frontier snapshot commit

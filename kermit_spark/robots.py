@@ -67,6 +67,7 @@ PARSED_TYPE = StructType(
     [
         StructField("rules", RULES_TYPE),
         StructField("crawl_delay", DoubleType()),
+        StructField("sitemaps", ArrayType(StringType())),
     ]
 )
 
@@ -83,21 +84,24 @@ def _rule_to_regex(path: str) -> str:
 
 def parse_robots(
     body: str | None, agent: str = "kermit-spark"
-) -> tuple[list[tuple[str, bool]], float | None]:
-    """One robots.txt body → (rules, crawl_delay) for the most specific
-    user-agent group binding ``agent``. Rules are [(pattern_regex, allow)]
-    in precedence order (longest raw rule first, allow before disallow on
-    equal length — RFC 9309 §2.2.2). ``crawl_delay`` is the conventional
-    (non-RFC but ubiquitous) per-group ``Crawl-delay:`` seconds, None when
-    absent/invalid."""
+) -> tuple[list[tuple[str, bool]], float | None, list[str]]:
+    """One robots.txt body → (rules, crawl_delay, sitemaps) for the most
+    specific user-agent group binding ``agent``. Rules are
+    [(pattern_regex, allow)] in precedence order (longest raw rule first,
+    allow before disallow on equal length — RFC 9309 §2.2.2).
+    ``crawl_delay`` is the conventional (non-RFC but ubiquitous) per-group
+    ``Crawl-delay:`` seconds, None when absent/invalid. ``sitemaps`` are
+    the group-INDEPENDENT ``Sitemap:`` URLs (sitemaps.org protocol; RFC
+    9309 §2.2.4 'other records') in file order."""
     if body is None:
-        return [], None
+        return [], None, []
     agent = agent.lower()
     # groups: list of (ua_tokens, rules[(raw_path, allow)], crawl_delay)
     groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     tokens: list[str] = []
     rules: list[tuple[str, bool]] = []
     delay: float | None = None
+    sitemaps: list[str] = []
     in_group_rules = False
 
     def close_group() -> None:
@@ -128,6 +132,10 @@ def parse_robots(
                     delay = parsed
             except ValueError:
                 pass
+        elif key == "sitemap":
+            # group-independent record: does not open/close a group
+            if val:
+                sitemaps.append(val)
     if tokens or rules or delay is not None:
         close_group()
 
@@ -145,7 +153,7 @@ def parse_robots(
         for ua in tok_list:
             best = max(best, specificity(ua))
     if best < 0:
-        return [], None
+        return [], None, sitemaps
     merged: list[tuple[str, bool]] = []
     crawl_delay: float | None = None
     for tok_list, grp_rules, grp_delay in groups:
@@ -155,7 +163,11 @@ def parse_robots(
                 crawl_delay = max(crawl_delay or 0.0, grp_delay)
     # precedence: longest raw rule first; allow wins length ties (§2.2.2)
     merged.sort(key=lambda r: (-len(r[0]), not r[1]))
-    return [(_rule_to_regex(path), allow) for path, allow in merged], crawl_delay
+    return (
+        [(_rule_to_regex(path), allow) for path, allow in merged],
+        crawl_delay,
+        sitemaps,
+    )
 
 
 def parse_robots_rules(
@@ -165,6 +177,19 @@ def parse_robots_rules(
     return parse_robots(body, agent)[0]
 
 
+_SITEMAP_LOC_RE = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
+
+
+def parse_sitemap_locs(body: str | None) -> list[str]:
+    """``<loc>`` entries of a sitemap/sitemapindex body in file order.
+    Single level only (a <loc> that is itself a sitemap is treated as a
+    page URL and will fetch as one) — nested sitemapindex expansion is a
+    documented non-goal at this round."""
+    if body is None:
+        return []
+    return _SITEMAP_LOC_RE.findall(body)
+
+
 def make_parse_udf(agent: str = "kermit-spark"):
     def frame(body: pd.Series) -> pd.DataFrame:
         parsed = body.map(lambda b: parse_robots(b, agent))
@@ -172,6 +197,7 @@ def make_parse_udf(agent: str = "kermit-spark"):
             {
                 "rules": parsed.map(lambda p: p[0]),
                 "crawl_delay": parsed.map(lambda p: p[1]),
+                "sitemaps": parsed.map(lambda p: p[2]),
             }
         )
 
@@ -179,13 +205,14 @@ def make_parse_udf(agent: str = "kermit-spark"):
 
 
 def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> DataFrame:
-    """Fetched robots.txt rows → (p, host, fetched, rules, crawl_delay).
-    Non-200 fetches yield empty rules + null delay (allow-all)."""
+    """Fetched robots.txt rows → (p, host, fetched, rules, crawl_delay,
+    sitemaps). Non-200 fetches yield empty rules + null delay (allow-all)."""
     parse = make_parse_udf(agent)
     parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(
         F.struct(
             F.array().cast(RULES_TYPE).alias("rules"),
             F.lit(None).cast("double").alias("crawl_delay"),
+            F.array().cast("array<string>").alias("sitemaps"),
         )
     )
     return fetched.select(
@@ -199,6 +226,32 @@ def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> 
         "fetched",
         F.col("_parsed.rules").alias("rules"),
         F.col("_parsed.crawl_delay").alias("crawl_delay"),
+        F.col("_parsed.sitemaps").alias("sitemaps"),
+    )
+
+
+def make_sitemap_udf():
+    def series(body: pd.Series) -> pd.Series:
+        return body.map(parse_sitemap_locs)
+
+    return pandas_udf(series, ArrayType(StringType()))
+
+
+def sitemap_candidates_from_fetch(fetched: DataFrame) -> DataFrame:
+    """Fetched sitemap rows → candidate frontier URLs: (url, referer,
+    depth=0, priority) — depth 0 because a sitemap listing is authoritative
+    seeding, not link-graph traversal. Raw <loc> values; the caller cleans
+    them against the sitemap URL (same uri.clean path as discovered
+    links)."""
+    parse = make_sitemap_udf()
+    locs = fetched.select(
+        F.col("url").alias("sitemap_url"),
+        F.when(F.col("status") == 200, parse(F.col("body")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("locs"),
+    )
+    return locs.select(
+        F.col("sitemap_url"), F.explode("locs").alias("loc")
     )
 
 

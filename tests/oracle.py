@@ -21,17 +21,18 @@ from kermit_spark.functions.urls import _clean_one
 
 def _oracle_robots(
     body: str | None, agent: str = "kermit-spark"
-) -> tuple[list[str], float | None]:
+) -> tuple[list[str], float | None, list[str]]:
     """Independent robots parser for the oracle → (disallow prefixes,
-    crawl_delay). The engine compiles rules to regexes and applies RFC 9309
-    precedence; the synthetic corpus only emits plain Disallow prefixes in
-    matching groups, where both semantics coincide — this stays a ~25-line
-    prefix parser on purpose."""
+    crawl_delay, sitemap urls). The engine compiles rules to regexes and
+    applies RFC 9309 precedence; the synthetic corpus only emits plain
+    Disallow prefixes in matching groups, where both semantics coincide —
+    this stays a ~30-line prefix parser on purpose."""
     if body is None:
-        return [], None
+        return [], None, []
     agent = agent.lower()
     prefixes: list[str] = []
     delay: float | None = None
+    sitemaps: list[str] = []
     applies = False
     saw_rule = False
     for raw in body.splitlines():
@@ -56,7 +57,10 @@ def _oracle_robots(
                     delay = float(val)
                 except ValueError:
                     pass
-    return prefixes, delay
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
+    return prefixes, delay, sitemaps
 
 
 class _SpanParser(HTMLParser):
@@ -163,15 +167,28 @@ def oracle_crawl(
 
     robots: dict[str, list[str]] = {}
 
+    # sitemap <loc> candidates from hosts whose robots arrived this wave —
+    # drained into the SAME wave's discovered list (mirrors the engine
+    # merging them into that wave's single frontier commit)
+    pending_sitemap_locs: list[str] = []
+
     def robots_prefixes(h: str) -> list[str]:
         if h not in robots:
             rec = corpus.get(f"http://{h}/robots.txt")
-            prefixes, delay = (
-                _oracle_robots(rec[2]) if rec and rec[0] == 200 else ([], None)
+            prefixes, delay, sitemaps = (
+                _oracle_robots(rec[2]) if rec and rec[0] == 200 else ([], None, [])
             )
             robots[h] = prefixes
             if delay is not None:
                 known_delay[h] = delay
+            for sm_url in sitemaps:
+                sm = corpus.get(sm_url)
+                if sm is None or sm[0] != 200:
+                    continue
+                for loc in re.findall(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", sm[2], re.I):
+                    cleaned = _clean_one(sm_url, loc)
+                    if cleaned is not None and allow(cleaned):
+                        pending_sitemap_locs.append(cleaned)
         return robots[h]
 
     for wave in range(max_waves):
@@ -222,6 +239,10 @@ def oracle_crawl(
                 if cleaned is None or not allow(cleaned):
                     continue
                 discovered.append((cleaned, rec["depth"] + 1, 0.0))
+        # sitemap-driven discovery (depth 0) joins this wave's batch
+        for u in pending_sitemap_locs:
+            discovered.append((u, 0, 0.0))
+        pending_sitemap_locs.clear()
         # within-batch dedup: best (priority DESC, depth, wave, hash) wins;
         # then first-insertion dedup against the frontier (Q1)
         best: dict[str, tuple] = {}

@@ -108,6 +108,20 @@ def test_politeness_budget_invariant(engine_result):
     assert per <= BUDGET
 
 
+def test_sitemap_discovers_orphan_page(engine_result):
+    """Host 1 (h%6==1) lists /sm/only.html in its sitemap; the page is
+    linked from nowhere else, so its presence as a visited document proves
+    sitemap-driven discovery end-to-end (the sitemap itself is a
+    side-channel fetch and must NOT appear in the frontier)."""
+    crawler, _ = engine_result
+    orphan = "http://h1.test/sm/only.html"
+    rows = {r["url"]: r["status"] for r in crawler.frontier.read().collect()}
+    assert rows.get(orphan) == "visited", rows.get(orphan)
+    assert "http://h1.test/sitemap.xml" not in rows
+    docs = crawler.documents().filter(F.col("url") == orphan).collect()
+    assert len(docs) == 1 and docs[0]["status"] == 200
+
+
 def test_crawl_delay_cap_binds(engine_result):
     """Host 5 (h%9==5) declares Crawl-delay: 60 → cap 1 URL/wave from the
     wave after its robots fetch. The cap must BIND (≤1 per later wave) and

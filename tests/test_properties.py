@@ -13,7 +13,7 @@ from hypothesis import strategies as st
 from kermit_spark.bloom import BloomSpec, _probe_positions, _set_bits, _test_bits
 from kermit_spark.functions.urls import _clean_one, _normalize_one
 from kermit_spark.parse import extract_spans_one
-from kermit_spark.robots import parse_robots_body
+from kermit_spark.robots import parse_robots
 
 url_path_chars = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="/-._~"),
@@ -45,9 +45,13 @@ def test_clean_never_raises_on_garbage(href):
 
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=300))
-def test_robots_parser_never_raises_and_returns_prefixes(body):
-    out = parse_robots_body(body)
-    assert all(isinstance(p, str) and p for p in out)
+def test_robots_parser_never_raises_and_returns_wellformed(body):
+    rules, delay, sitemaps = parse_robots(body)
+    for pattern, allow in rules:
+        assert isinstance(pattern, str) and pattern.startswith("^")
+        assert isinstance(allow, bool)
+    assert delay is None or (isinstance(delay, float) and delay >= 0)
+    assert all(isinstance(s, str) and s for s in sitemaps)
 
 
 @settings(max_examples=100, deadline=None)

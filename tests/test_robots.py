@@ -91,7 +91,7 @@ def test_crawl_delay_extracted_from_matching_group():
         "User-agent: otherbot\nCrawl-delay: 99\n\n"
         "User-agent: *\nDisallow: /x/\nCrawl-delay: 7.5\n"
     )
-    rules, delay = parse_robots(body, agent="kermit-spark")
+    rules, delay, _ = parse_robots(body, agent="kermit-spark")
     assert rules == [("^/x/", False)]
     assert delay == 7.5
 
@@ -102,6 +102,39 @@ def test_crawl_delay_invalid_or_absent_is_none():
     assert parse_robots("User-agent: *\nDisallow: /x/\n")[1] is None
     assert parse_robots("User-agent: *\nCrawl-delay: soon\n")[1] is None
     assert parse_robots("User-agent: *\nCrawl-delay: -3\n")[1] is None
+
+
+def test_sitemap_lines_are_group_independent():
+    from kermit_spark.robots import parse_robots
+
+    body = (
+        "Sitemap: http://a.test/sm1.xml\n"
+        "User-agent: otherbot\nDisallow: /x/\n"
+        "Sitemap: http://a.test/sm2.xml\n"
+        "User-agent: *\nDisallow: /y/\n"
+    )
+    rules, _, sitemaps = parse_robots(body, agent="kermit-spark")
+    # both sitemaps collected regardless of surrounding group; a Sitemap
+    # line inside another bot's group neither closes nor binds it
+    assert sitemaps == ["http://a.test/sm1.xml", "http://a.test/sm2.xml"]
+    assert rules == [("^/y/", False)]
+
+
+def test_parse_sitemap_locs():
+    from kermit_spark.robots import parse_sitemap_locs
+
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://a.test/p/0.html </loc></url>"
+        "<url><loc>http://a.test/sm/only.html</loc></url>"
+        "</urlset>"
+    )
+    assert parse_sitemap_locs(body) == [
+        "http://a.test/p/0.html",
+        "http://a.test/sm/only.html",
+    ]
+    assert parse_sitemap_locs(None) == []
+    assert parse_sitemap_locs("<urlset></urlset>") == []
 
 
 def test_dequeue_host_budget_caps(spark):
