@@ -336,6 +336,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_near_dups(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curation sampling through the REAL library ops
+    (ops.sample): portable-hash Bernoulli keep at rate 1/2, then exact
+    top-25 per source stratum (two-level window, lowest hash first). The
+    48-bit md5-prefix hash is reproduced exactly by the DuckDB oracle via a
+    digit-sum parse (< 2^53, double-exact)."""
+    from kermit_spark.ops.sample import hash_sample, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    kept = hash_sample(docs, "doc_id", 1, 2)
+    return stratified_sample(kept, "source", "doc_id", k=25).orderBy("source", "doc_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.99) through the REAL
     library op (ops.dedup.embedding_near_dups: md5-derived hyperplane sign
@@ -641,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         # similarity
@@ -1006,6 +1020,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
             FROM docs d LEFT JOIN cc c ON c.node = d.doc_id
             ORDER BY doc_id
+        """,
+        "sample_stratified": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) AS hv
+                FROM documents
+            ),
+            kept AS (SELECT * FROM h WHERE hv % 2 < 1),
+            ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+                FROM kept
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= 25
+            ORDER BY source, doc_id
         """,
         "dedup_simhash": f"""
             WITH {_MUTANTS_DUCK},
