@@ -143,6 +143,7 @@ class HttpFetcher:
         send_referer: bool = True,
         use_cookies: bool = True,
         hash_agent_choice: bool = False,
+        max_per_host: int = 2,
     ):
         # max_pool mirrors the reference agent pool maxSockets=15
         # (core.streaming.coffee:22-27)
@@ -152,12 +153,18 @@ class HttpFetcher:
         self.send_referer = send_referer
         self.use_cookies = use_cookies
         self.hash_agent_choice = hash_agent_choice
+        # politeness budgets cap per-wave VOLUME; this caps INSTANTANEOUS
+        # connections per host within a worker's thread pool (the 15-thread
+        # pool must not land 15 simultaneous sockets on one origin).
+        # 0/None = uncapped.
+        self.max_per_host = max_per_host
 
     def fetch(self, selected: DataFrame) -> DataFrame:
         timeout, pool_size = self.timeout_s, self.max_pool
         agents = self.agents
         send_referer, use_cookies = self.send_referer, self.use_cookies
         hash_choice = self.hash_agent_choice
+        max_per_host = self.max_per_host
 
         def run(batches):
             import concurrent.futures as cf
@@ -204,13 +211,36 @@ class HttpFetcher:
                 key = (referer if isinstance(referer, str) and referer else url)
                 return agents[zlib.crc32(key.encode()) % len(agents)]
 
+            if max_per_host:
+                sem_lock = threading.Lock()
+                host_sems: dict[str, threading.BoundedSemaphore] = {}
+
+                def sem_for(url: str) -> threading.BoundedSemaphore:
+                    host = urllib.parse.urlsplit(url).netloc
+                    with sem_lock:
+                        s = host_sems.get(host)
+                        if s is None:
+                            if len(host_sems) >= 4096:
+                                # bound memory on wide crawls; an evicted
+                                # in-flight host briefly exceeds the cap —
+                                # acceptable for a politeness rail
+                                host_sems.pop(next(iter(host_sems)))
+                            s = threading.BoundedSemaphore(max_per_host)
+                            host_sems[host] = s
+                    return s
+            else:
+                _open_sem = threading.BoundedSemaphore(pool_size)
+
+                def sem_for(url: str) -> threading.BoundedSemaphore:
+                    return _open_sem
+
             def get(url: str, referer):
                 req_headers = {"User-Agent": agent_for(url, referer)}
                 if send_referer and isinstance(referer, str) and referer:
                     req_headers["Referer"] = referer
                 req = urllib.request.Request(url, headers=req_headers)
                 try:
-                    with opener_for(url).open(req, timeout=timeout) as resp:
+                    with sem_for(url), opener_for(url).open(req, timeout=timeout) as resp:
                         hdrs = {k.lower(): v for k, v in resp.headers.items()}
                         ct = (resp.headers.get("Content-Type") or "").split(";")[0]
                         return (resp.status, ct or None,

@@ -8,6 +8,7 @@ import functools
 import http.server
 import os
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -77,8 +78,22 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
             self._send(200, "body{}", content_type=None)
         elif self.path == "/teapot.html":
             self._send(418, "short and stout", content_type="text/html")
+        elif self.path.startswith("/slow/"):
+            cls = _FidelityHandler
+            with cls.slow_lock:
+                cls.slow_inflight += 1
+                cls.slow_max = max(cls.slow_max, cls.slow_inflight)
+            time.sleep(0.15)
+            with cls.slow_lock:
+                cls.slow_inflight -= 1
+            self._send(200, "slow ok")
         else:
             self._send(404, "nope")
+
+    # /slow concurrency tracking (per-host connection cap test)
+    slow_lock = threading.Lock()
+    slow_inflight = 0
+    slow_max = 0
 
 
 @pytest.fixture(scope="module")
@@ -131,6 +146,20 @@ def test_cookies_never_cross_hosts(spark, fidelity_url):
         assert "rid=abc123" in rows[f"{fidelity_url}/cookie/check"]["body"]
     finally:
         srv_b.shutdown()
+
+
+def test_per_host_connection_cap(spark, fidelity_url):
+    """The thread pool must not land more than max_per_host simultaneous
+    connections on one origin (politeness budgets cap per-wave volume, not
+    instantaneous concurrency). The fixture handler tracks in-flight
+    requests on /slow; 8 URLs through an 8-thread pool capped at 2 must
+    never exceed 2 concurrent on the server."""
+    _FidelityHandler.slow_max = 0
+    _FidelityHandler.slow_inflight = 0
+    sel = _selected(spark, [(f"{fidelity_url}/slow/{i}", None) for i in range(8)])
+    rows = HttpFetcher(timeout_s=5, max_pool=8, max_per_host=2).fetch(sel).collect()
+    assert all(r["status"] == 200 for r in rows)
+    assert _FidelityHandler.slow_max <= 2, _FidelityHandler.slow_max
 
 
 def test_referer_header_and_ua_pool_quirk(spark, fidelity_url):
