@@ -144,6 +144,7 @@ class HttpFetcher:
         use_cookies: bool = True,
         hash_agent_choice: bool = False,
         max_per_host: int = 2,
+        max_body_bytes: int = 16 * 1024 * 1024,
     ):
         # max_pool mirrors the reference agent pool maxSockets=15
         # (core.streaming.coffee:22-27)
@@ -158,6 +159,11 @@ class HttpFetcher:
         # pool must not land 15 simultaneous sockets on one origin).
         # 0/None = uncapped.
         self.max_per_host = max_per_host
+        # bound worker memory against pathological responses: bodies are
+        # read at most to this size and truncated beyond it (the row keeps
+        # its real status/headers; a body_truncated response header marks
+        # the cut). 0/None = unbounded.
+        self.max_body_bytes = max_body_bytes
 
     def fetch(self, selected: DataFrame) -> DataFrame:
         timeout, pool_size = self.timeout_s, self.max_pool
@@ -165,6 +171,7 @@ class HttpFetcher:
         send_referer, use_cookies = self.send_referer, self.use_cookies
         hash_choice = self.hash_agent_choice
         max_per_host = self.max_per_host
+        max_body = self.max_body_bytes
 
         def run(batches):
             import concurrent.futures as cf
@@ -243,8 +250,15 @@ class HttpFetcher:
                     with sem_for(url), opener_for(url).open(req, timeout=timeout) as resp:
                         hdrs = {k.lower(): v for k, v in resp.headers.items()}
                         ct = (resp.headers.get("Content-Type") or "").split(";")[0]
+                        if max_body:
+                            raw = resp.read(max_body + 1)
+                            if len(raw) > max_body:
+                                raw = raw[:max_body]
+                                hdrs["body_truncated"] = "1"
+                        else:
+                            raw = resp.read()
                         return (resp.status, ct or None,
-                                resp.read().decode("utf-8", "replace"), hdrs)
+                                raw.decode("utf-8", "replace"), hdrs)
                 except urllib.error.HTTPError as e:
                     hdrs = {k.lower(): v for k, v in (e.headers or {}).items()}
                     try:

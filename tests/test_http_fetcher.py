@@ -78,6 +78,8 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
             self._send(200, "body{}", content_type=None)
         elif self.path == "/teapot.html":
             self._send(418, "short and stout", content_type="text/html")
+        elif self.path == "/big.txt":
+            self._send(200, "x" * 100_000)
         elif self.path.startswith("/slow/"):
             cls = _FidelityHandler
             with cls.slow_lock:
@@ -160,6 +162,20 @@ def test_per_host_connection_cap(spark, fidelity_url):
     rows = HttpFetcher(timeout_s=5, max_pool=8, max_per_host=2).fetch(sel).collect()
     assert all(r["status"] == 200 for r in rows)
     assert _FidelityHandler.slow_max <= 2, _FidelityHandler.slow_max
+
+
+def test_body_size_cap_truncates_and_flags(spark, fidelity_url):
+    """Worker-memory guard: bodies beyond max_body_bytes are truncated, the
+    row keeps its real status, and headers carry body_truncated=1."""
+    sel = _selected(spark, [(f"{fidelity_url}/big.txt", None)])
+    row = HttpFetcher(timeout_s=5, max_pool=1, max_body_bytes=1024).fetch(sel).collect()[0]
+    assert row["status"] == 200
+    assert len(row["body"]) == 1024
+    assert row["headers"].get("body_truncated") == "1"
+    # uncapped fetch of the same URL keeps the whole body
+    row2 = HttpFetcher(timeout_s=5, max_pool=1, max_body_bytes=0).fetch(sel).collect()[0]
+    assert len(row2["body"]) == 100_000
+    assert "body_truncated" not in row2["headers"]
 
 
 def test_referer_header_and_ua_pool_quirk(spark, fidelity_url):
