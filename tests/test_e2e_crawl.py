@@ -108,6 +108,38 @@ def test_politeness_budget_invariant(engine_result):
     assert per <= BUDGET
 
 
+def test_crawl_order_invariant_to_partitioning(spark, corpus_df, engine_result, tmp_path):
+    """North-rule reproducibility: the crawl order (wave, host, rank) and
+    the final URL-seen set are pure functions of (seed list, politeness
+    budget, corpus) — re-running with DIFFERENT partition counts and
+    sub-salts (the knobs a different cluster size would change) must
+    produce byte-identical results."""
+    cfg = CrawlConfig(
+        num_partitions=3,  # vs the fixture's 8
+        politeness=Politeness((Limit(r".*", BUDGET),)),
+        sub_salts=2,  # vs the fixture's 4
+    )
+    other = Crawler(spark, SnapshotCatalog(spark, str(tmp_path)), CorpusFetcher(corpus_df), cfg)
+    other.seed(SEEDS)
+    other.crawl(WAVES)
+    crawler, _ = engine_result
+
+    def order_of(c):
+        return {
+            (r["p"], r["host"], r["rank"]): r["url"]
+            for r in c.documents().select("p", "host", "rank", "url").collect()
+        }
+
+    def seen_of(c):
+        return {
+            r["url"]: (r["status"], r["depth"], r["wave"])
+            for r in c.frontier.read().collect()
+        }
+
+    assert order_of(other) == order_of(crawler)
+    assert seen_of(other) == seen_of(crawler)
+
+
 def test_sitemap_discovers_orphan_page(engine_result):
     """Host 1 (h%6==1) lists /sm/only.html in its sitemap; the page is
     linked from nowhere else, so its presence as a visited document proves
