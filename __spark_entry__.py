@@ -349,6 +349,36 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(kept, "source", "doc_id", k=25).orderBy("source", "doc_id")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data curation workflow, end-to-end through
+    the REAL library ops: language filter (detect_language == 'en') →
+    quality filter (quality_features q_score ≥ 0.5) → exact dedup (every
+    doc_id % 3 == 0 gets an exact copy at id+100000; exact_dedup keeps the
+    lower id) → deterministic stratified sample (top-10 per source by
+    portable hash). Proves the ops COMPOSE — the oracle reproduces the full
+    chain in one SQL statement."""
+    from kermit_spark.ops.dedup import exact_dedup
+    from kermit_spark.ops.sample import stratified_sample
+    from kermit_spark.ops.text import detect_language, quality_features
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    copies = base.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    docs = base.unionByName(copies)
+    feats = quality_features(docs).withColumn("lang", detect_language(F.col("text")))
+    kept = feats.filter((F.col("lang") == "en") & (F.col("q_score") >= 0.5))
+    keepers = exact_dedup(
+        kept.select(F.col("doc_id").alias("id"), "text")
+    ).select(F.col("keep_id").alias("doc_id"))
+    surviving = kept.select("doc_id", "source").join(keepers, "doc_id")
+    return stratified_sample(surviving, "source", "doc_id", k=10).orderBy(
+        "source", "doc_id"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.99) through the REAL
     library op (ops.dedup.embedding_near_dups: md5-derived hyperplane sign
@@ -655,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         # similarity
@@ -1020,6 +1051,54 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
             FROM docs d LEFT JOIN cc c ON c.node = d.doc_id
             ORDER BY doc_id
+        """,
+        "curation_pipeline": r"""
+            WITH docs2 AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, source, text
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            f AS (
+                SELECT doc_id, source, text,
+                       """ + _langid_score_sql().replace("FROM documents", "") + r""",
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS n_stop
+                FROM docs2
+            ),
+            kept AS (
+                SELECT doc_id, source, text FROM f
+                WHERE (CASE
+                         WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 THEN 'und'
+                         WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                         WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                         WHEN score_fr >= score_es THEN 'fr'
+                         ELSE 'es'
+                       END) = 'en'
+                  AND floor((least(n_tokens / 100.0, 1.0) * 0.3
+                             + (floor((n_alpha::DOUBLE / greatest(n_chars, 1)) * 10000.0 + 0.5) / 10000.0) * 0.4
+                             + least((floor((n_stop::DOUBLE / greatest(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0) * 5.0, 1.0) * 0.3)
+                            * 10000.0 + 0.5) / 10000.0 >= 0.5
+            ),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+            surv AS (SELECT k.doc_id, k.source FROM kept k JOIN keepers USING (doc_id)),
+            h AS (
+                SELECT doc_id, source,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) AS hv
+                FROM surv
+            ),
+            ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+                FROM h
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= 10
+            ORDER BY source, doc_id
         """,
         "sample_stratified": """
             WITH h AS (
