@@ -236,10 +236,12 @@ class Crawler:
             if not self.catalog.exists(ROBOTS_TABLE):
                 self.catalog.create(ROBOTS_TABLE, new_rules, self.config.num_partitions)
             else:
-                have = self.catalog.read(ROBOTS_TABLE)
-                touched = sorted({p for p, _ in missing})
-                merged = have.filter(F.col("p").isin(touched)).unionByName(new_rules)
-                self.catalog.overwrite_partitions(ROBOTS_TABLE, merged, touched)
+                # pure inserts (the anti-join probe above guarantees these
+                # hosts have no row yet) → fast-APPEND file sets: commit
+                # cost O(new hosts). The old read+union+overwrite rewrote
+                # every touched partition — O(all hosts stored there) per
+                # robots-fetch wave, a full-table rewrite at 10^8 hosts.
+                self.catalog.merge_write(ROBOTS_TABLE, new_rules, replace_parts=())
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
                 self._robots_hosts.update(h for _, h in missing)
             # newly fetched hosts may declare Crawl-delay — re-probe lazily
@@ -579,9 +581,12 @@ class Crawler:
         from .frontier import FRONTIER_TABLE, URL_SEEN_TABLE
 
         self.catalog.compact(FRONTIER_TABLE)
+        if self.catalog.exists(ROBOTS_TABLE):
+            # robots rows are fast-appended per fetch wave; fold them too
+            self.catalog.compact(ROBOTS_TABLE)
         keep = self.config.expire_keep_last
         if keep:
-            for table in (FRONTIER_TABLE, URL_SEEN_TABLE, DOCUMENTS_TABLE):
+            for table in (FRONTIER_TABLE, URL_SEEN_TABLE, DOCUMENTS_TABLE, ROBOTS_TABLE):
                 if self.catalog.exists(table):
                     self.catalog.expire_snapshots(table, keep_last=keep)
 
