@@ -166,6 +166,9 @@ class Crawler:
         # None = unknown (probe the robots table on next use); False skips
         # the Crawl-delay join entirely — the common case pays nothing
         self._has_crawl_delays: bool | None = None
+        # cached (host, budget_cap) rows — delays-only, ≪ robots table;
+        # invalidated whenever new robots rows are fetched
+        self._delay_caps: DataFrame | None = None
         # lineage rows buffered in the driver, flushed once per crawl()/read
         # — observability data, not queue state; buffering removes one small
         # write job per wave from the fixed cost.
@@ -246,6 +249,9 @@ class Crawler:
                 self._robots_hosts.update(h for _, h in missing)
             # newly fetched hosts may declare Crawl-delay — re-probe lazily
             self._has_crawl_delays = None
+            if self._delay_caps is not None:
+                self._delay_caps.unpersist()
+                self._delay_caps = None
             # Sitemap: URLs of the just-fetched hosts → depth-0 candidates.
             # Read back from the committed table (no recompute of the robots
             # fetch) and keep everything lazy — the fetch+parse runs inside
@@ -294,19 +300,25 @@ class Crawler:
             )
         if not self._has_crawl_delays:
             return None
-        return (
-            self.catalog.read(ROBOTS_TABLE)
-            .filter(F.col("crawl_delay").isNotNull())
-            .select(
-                "host",
-                F.greatest(
-                    F.lit(1),
-                    F.floor(F.lit(cfg.politeness_window_s) / F.col("crawl_delay")),
+        if self._delay_caps is None:
+            # cache the delays-only projection so steady-state waves don't
+            # re-scan the robots table (it only changes on fetch waves,
+            # which invalidate this cache)
+            self._delay_caps = (
+                self.catalog.read(ROBOTS_TABLE)
+                .filter(F.col("crawl_delay").isNotNull())
+                .select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(F.lit(cfg.politeness_window_s) / F.col("crawl_delay")),
+                    )
+                    .cast("int")
+                    .alias("budget_cap"),
                 )
-                .cast("int")
-                .alias("budget_cap"),
+                .persist()
             )
-        )
+        return self._delay_caps
 
     # -- one wave ----------------------------------------------------------
 
