@@ -249,6 +249,13 @@ class HttpFetcher:
                 try:
                     with sem_for(url), opener_for(url).open(req, timeout=timeout) as resp:
                         hdrs = {k.lower(): v for k, v in resp.headers.items()}
+                        # urllib follows redirects silently; keep the
+                        # canonical mapping observable (requested url stays
+                        # the row key — same as the reference, whose request
+                        # lib also follows silently)
+                        final = resp.geturl()
+                        if final and final != url:
+                            hdrs["final_url"] = final
                         ct = (resp.headers.get("Content-Type") or "").split(";")[0]
                         if max_body:
                             raw = resp.read(max_body + 1)

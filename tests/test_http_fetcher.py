@@ -80,6 +80,11 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
             self._send(418, "short and stout", content_type="text/html")
         elif self.path == "/big.txt":
             self._send(200, "x" * 100_000)
+        elif self.path == "/redirect":
+            self.send_response(302)
+            self.send_header("Location", "/echo")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path.startswith("/slow/"):
             cls = _FidelityHandler
             with cls.slow_lock:
@@ -162,6 +167,18 @@ def test_per_host_connection_cap(spark, fidelity_url):
     rows = HttpFetcher(timeout_s=5, max_pool=8, max_per_host=2).fetch(sel).collect()
     assert all(r["status"] == 200 for r in rows)
     assert _FidelityHandler.slow_max <= 2, _FidelityHandler.slow_max
+
+
+def test_redirect_final_url_captured(spark, fidelity_url):
+    """urllib follows redirects silently; the fetched row keeps the
+    REQUESTED url as its key (reference parity) and surfaces the landing
+    URL as a final_url response-header entry."""
+    sel = _selected(spark, [(f"{fidelity_url}/redirect", None)])
+    row = HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()[0]
+    assert row["status"] == 200
+    assert row["url"] == f"{fidelity_url}/redirect"
+    assert row["headers"].get("final_url") == f"{fidelity_url}/echo"
+    assert row["body"].startswith("referer:")
 
 
 def test_body_size_cap_truncates_and_flags(spark, fidelity_url):
