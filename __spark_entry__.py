@@ -256,6 +256,35 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("depth")
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl prioritization by link importance through the REAL library
+    operator (kermit_spark.ops.graph.pagerank — integer fixed-point
+    PageRank, bit-reproducible across engines/partitionings): top-100 nodes
+    of a SKEWED synthetic link graph, 3 iterations, d=0.85, scale=10^12.
+    Skew is deliberate: edge 1 is a bijection ((7n+1) mod M, uniform mass),
+    edge 2 funnels every node to its residue hub (n mod 97) — so nodes 0-96
+    are hot hubs and the top-100 ordering actually discriminates rank
+    arithmetic (a 2-regular graph would make every rank identical and the
+    oracle vacuous). Oracle: the identical integer recurrence unrolled as
+    chained CTEs."""
+    from kermit_spark.ops.graph import pagerank
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("node") * 7 + 1, F.lit(m)),
+                F.pmod(F.col("node"), F.lit(97)),
+            )
+        ).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, num_iters=3, damping_pct=85, scale=10**12)
+    return ranks.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(100)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup
 # ---------------------------------------------------------------------------
@@ -678,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_counts": q_phase_counts,
         "robots_gate": q_robots_gate,
         "wave_bfs": q_wave_bfs,
+        "link_pagerank": q_link_pagerank,
         "crawl_wave": q_crawl_wave,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -707,6 +737,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "media_features": q_media_features,
     }
+
+
+def _pagerank_iter_cte(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank iteration for the DuckDB oracle —
+    the exact integer recurrence of ops.graph.pagerank (d=0.85): every op is
+    BIGINT floor-div/multiply/sum, so the result is bit-identical to Spark's
+    regardless of reduction order. SUMs cast ::BIGINT (DuckDB widens to
+    HUGEINT)."""
+    return f"""{cur} AS (
+                SELECT n.node,
+                       ((SELECT base FROM pr_params)
+                        + (85 * COALESCE(i.s, 0)) // 100)::BIGINT AS rank
+                FROM pr_nodes n LEFT JOIN (
+                    SELECT e.dst AS node, (SUM(r.rank // o.d))::BIGINT AS s
+                    FROM pr_edges e
+                    JOIN {prev} r ON r.node = e.src
+                    JOIN pr_outdeg o ON o.src = e.src
+                    GROUP BY e.dst
+                ) i ON i.node = n.node
+            )"""
 
 
 _SHINGLE_DUCK = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
@@ -962,6 +1012,32 @@ def oracle_sql() -> dict[str, str]:
             first_seen AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
             SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
             FROM first_seen WHERE depth <= 6 GROUP BY depth ORDER BY depth
+        """,
+        "link_pagerank": f"""
+            WITH
+            m AS (SELECT count(*) AS n FROM customer),
+            pr_edges AS (
+                SELECT c_custkey AS src, (c_custkey * 7 + 1) % (SELECT n FROM m) AS dst FROM customer
+                UNION
+                SELECT c_custkey AS src, c_custkey % 97 AS dst FROM customer
+            ),
+            pr_nodes AS (
+                SELECT src::BIGINT AS node FROM pr_edges
+                UNION
+                SELECT dst::BIGINT AS node FROM pr_edges
+            ),
+            pr_params AS (
+                SELECT (1000000000000 // count(*))::BIGINT AS init,
+                       ((15 * (1000000000000 // count(*))) // 100)::BIGINT AS base
+                FROM pr_nodes
+            ),
+            pr_outdeg AS (SELECT src, count(*) AS d FROM pr_edges GROUP BY src),
+            r0 AS (SELECT node, (SELECT init FROM pr_params) AS rank FROM pr_nodes),
+            {_pagerank_iter_cte('r0', 'r1')},
+            {_pagerank_iter_cte('r1', 'r2')},
+            {_pagerank_iter_cte('r2', 'r3')}
+            SELECT node, rank AS rank_fp FROM r3
+            ORDER BY rank_fp DESC, node ASC LIMIT 100
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

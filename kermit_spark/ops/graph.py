@@ -131,6 +131,88 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    num_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-importance scores for crawl prioritization — PageRank in
+    **integer fixed-point** arithmetic.
+
+    A production frontier orders fetches by page importance (the reference
+    exposes ``priority`` on every item, RequestItem.coffee:178-186, but
+    leaves the scoring to user extensions; OPIC/PageRank is the standard
+    scoring at web scale). This operator turns a (src, dst) link table into
+    (node, rank_fp) where ``rank_fp`` is the rank in ``scale`` units —
+    feed it into ``Frontier.schedule`` as the ``priority`` column.
+
+    Why fixed-point: every quantity is a BIGINT and every operation is
+    integer ``div``/multiply/sum, so the result is **bit-identical across
+    engines, partition counts and reduction orders** — float PageRank sums
+    per-node contributions in a nondeterministic association order, which
+    breaks the engine's reproducible-ordering contract (SURVEY §2.8) the
+    moment ranks feed dequeue priority. Semantics (documented, both sides
+    of the oracle implement exactly this):
+
+      init       = scale div N                    (N = |nodes|)
+      contrib(e) = rank[src] div outdeg[src]      (per edge, floor)
+      rank'[n]   = ((100-d) * init) div 100
+                   + (d * sum(contrib over in-edges)) div 100
+
+    Dangling-node mass is dropped (rank leaks ≤ init per dangler per
+    round) — irrelevant for *ordering* top hosts, and identical on both
+    sides. Scale shape: per iteration ONE join keyed on src + ONE groupBy
+    keyed on dst — both frontier-graph-sized shuffles, no all-pairs
+    anywhere; ``localCheckpoint`` truncates the growing plan per round
+    (same discipline as bfs_depths). Total rank mass ≤ scale = 10^12, so
+    BIGINT sums cannot overflow at any graph size.
+    """
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-edges annotated with the sender's degree, reused every round
+    fanout = edges.join(outdeg, "src").persist()
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank")).localCheckpoint()
+    for _ in range(num_iters):
+        incoming = (
+            ranks.join(fanout, ranks.node == fanout.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(incoming, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    nodes.unpersist()
+    fanout.unpersist()
+    return ranks.select("node", F.col("rank").alias("rank_fp"))
+
+
 def canonicalize_near_dups(
     doc_ids: DataFrame,
     pairs: DataFrame,

@@ -65,3 +65,73 @@ def test_component_plan_shuffles_on_node_only(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
     plan = connected_components(pairs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# -- pagerank (integer fixed-point) -----------------------------------------
+
+
+def _pagerank_python(edges, num_iters=3, damping_pct=85, scale=10**12):
+    """Independent reference: the documented integer recurrence, computed
+    with plain dicts — no Spark, no SQL."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: init for v in nodes}
+    for _ in range(num_iters):
+        incoming = {}
+        for a, b in edges:
+            incoming[b] = incoming.get(b, 0) + rank[a] // outdeg[a]
+        rank = {
+            v: base + (damping_pct * incoming.get(v, 0)) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from kermit_spark.ops.graph import pagerank
+
+    # a hub (1 -> everyone) plus a cycle and a dangling node (6 has no
+    # out-edges: its mass leaks, per the documented semantics)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 5), (5, 1), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df, num_iters=4).collect()}
+    assert got == _pagerank_python(edges, num_iters=4)
+    # sanity: the cycle hub 1 outranks the dangler 6
+    assert got[1] > got[6]
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    from kermit_spark.ops.graph import pagerank
+
+    # fixed-point arithmetic promise: same bits regardless of partition count
+    edges = [(i, (i * 7 + 1) % 97) for i in range(97)] + [
+        (i, (i * 13 + 3) % 97) for i in range(97)
+    ]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        got = sorted(pagerank(df, num_iters=3).collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    assert {r["node"] for r in base} == set(range(97))
+
+
+def test_pagerank_total_mass_bounded(spark):
+    from kermit_spark.ops.graph import pagerank
+
+    # floor divisions only ever drop mass: sum(rank) <= scale always holds,
+    # which is the no-BIGINT-overflow argument in the docstring
+    edges = [(i, j) for i in range(12) for j in (2 * i % 12, (3 * i + 1) % 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    total = (
+        pagerank(df, num_iters=5)
+        .agg(F.sum("rank_fp").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert 0 < total <= 10**12
