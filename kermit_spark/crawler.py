@@ -126,6 +126,11 @@ class CrawlConfig:
     # all). Long crawls otherwise accumulate one version dir per touched
     # partition per wave forever (catalog.expire_snapshots maintenance).
     expire_keep_last: int = 0
+    # recompute scheduled-row priorities from link importance (integer
+    # fixed-point PageRank over the referer graph, Frontier.reprioritize)
+    # every k waves. 0 = never. An O(frontier) maintenance rewrite, so pick
+    # k like a compaction cadence, not 1; ordering stays bit-reproducible.
+    reprioritize_every: int = 0
 
 
 @dataclass
@@ -563,6 +568,11 @@ class Crawler:
                     break
                 if self.config.compact_every and len(stats) % self.config.compact_every == 0:
                     self.compact()
+                if (
+                    self.config.reprioritize_every
+                    and len(stats) % self.config.reprioritize_every == 0
+                ):
+                    self.reprioritize()
         finally:
             if _ab_pin:
                 if _ab_orig is None:
@@ -583,6 +593,26 @@ class Crawler:
     def lineage(self) -> DataFrame:
         self.flush_lineage()
         return self.spark.read.parquet(self._lineage_path())
+
+    def reprioritize(self, num_iters: int = 3) -> None:
+        """Recompute scheduled-row dequeue priorities from link importance
+        (integer fixed-point PageRank, ops.graph.pagerank) over the FULL
+        link graph — every (document → outlink) edge extracted from the
+        fetched documents' spans (X3), cleaned exactly like discovery.
+        The frontier's own referer column would NOT do: within-batch dedup
+        keeps one parent per URL, so it is the first-discovery tree with
+        in-degree ≤ 1 — no importance signal. Parallel edges are kept
+        (a page linking twice passes 2/outdeg of its mass — deterministic
+        link-multiplicity weighting; a distinct() here would add an
+        edge-set-sized shuffle for no ordering benefit)."""
+        edges = None
+        if self.catalog.exists(DOCUMENTS_TABLE):
+            links = discover_links(self.documents())
+            edges = links.select(
+                F.xxhash64(F.col("referer")).alias("src"),
+                F.xxhash64(F.col("url")).alias("dst"),
+            )
+        self.frontier.reprioritize(edges, num_iters=num_iters)
 
     def compact(self) -> None:
         """Maintenance: fold fast-appended frontier file sets back to one

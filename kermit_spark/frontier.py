@@ -601,6 +601,71 @@ class Frontier:
             self._pending_cache.unpersist()
             self._pending_cache = None
 
+    def reprioritize(
+        self,
+        edges: DataFrame | None = None,
+        num_iters: int = 3,
+        damping_pct: int = 85,
+    ) -> int:
+        """Maintenance: recompute the dequeue priority of every SCHEDULED row
+        from link importance — integer fixed-point PageRank (ops.graph.
+        pagerank) over a (src, dst) link table keyed by url_hash. The
+        reference exposes per-item priority but leaves scoring to user
+        extensions (RequestItem.coffee:178-186); importance-ordered
+        frontiers (OPIC/PageRank) are the standard at web scale, and the
+        fixed-point arithmetic keeps the resulting crawl order
+        bit-reproducible across runs, resumes and cluster sizes (the
+        SURVEY §2.8 contract — float ranks would break it).
+
+        ``edges``: (src long, dst long) url_hash pairs. Pass the FULL link
+        graph from the documents table (Crawler.reprioritize does) — the
+        frontier's own referer column is only the first-discovery TREE
+        (within-batch dedup keeps one parent per URL), which flattens
+        in-degree to ≤1 and carries no importance signal. When omitted,
+        that tree is used as a last resort (documents table absent).
+
+        Node identity is the 64-bit url_hash (xxhash64 of the URL — the
+        same hash the frontier keys on, so parent and child ids agree). A
+        64-bit collision could merge two URLs' rank mass; that can only
+        perturb PRIORITY, never URL-seen membership, which always keys on
+        (p, url_hash, url).
+
+        Cost: O(frontier) read + full-table rewrite, like compact() — run
+        it every k waves (CrawlConfig.reprioritize_every), not per wave.
+        Rows without in-links (seeds, sitemap entries) keep their current
+        priority; visited/error/blocked rows are untouched. Membership,
+        n_rows and url_epoch are unchanged and carried forward, so the
+        Bloom blobs stay in sync. Returns the new snapshot id."""
+        from .ops.graph import pagerank
+
+        prev_props = self.catalog.snapshot_property(FRONTIER_TABLE)
+        fr = self.read()
+        if edges is None:
+            edges = fr.filter(F.col("referer").isNotNull()).select(
+                F.xxhash64(F.col("referer")).alias("src"),
+                F.col("url_hash").alias("dst"),
+            )
+        ranks = pagerank(edges, num_iters=num_iters, damping_pct=damping_pct)
+        # rank_fp <= 10^12 < 2^53: the double cast below is exact, so the
+        # deterministic-ordering promise survives the priority column's type
+        updated = (
+            fr.join(ranks.withColumnRenamed("node", "url_hash"), "url_hash", "left")
+            .withColumn(
+                "priority",
+                F.when(
+                    (F.col("status") == SCHEDULED) & F.col("rank_fp").isNotNull(),
+                    F.col("rank_fp").cast("double"),
+                ).otherwise(F.col("priority")),
+            )
+            .select(*FRONTIER_COLS)
+        )
+        carry = {
+            k: prev_props[k] for k in ("n_rows", "url_epoch", "wave") if k in prev_props
+        }
+        return self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, updated, range(self.num_partitions), properties=carry
+        )
+
     def schedule(self, candidates: DataFrame, wave: int, properties: dict | None = None) -> int:
         """Q1: insert candidate URLs not already seen (thin wrapper over
         commit_wave). Returns the number of newly scheduled URLs."""

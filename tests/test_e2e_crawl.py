@@ -360,3 +360,36 @@ def test_arrow_batch_pinned_during_crawl(spark, corpus_df, tmp_path_factory, mon
         assert spark.conf.get(key) == "2048"
     finally:
         spark.conf.set(key, orig)
+
+
+def test_reprioritize_changes_order_not_closure(spark, corpus_df, corpus_map, url_hashes, tmp_path_factory):
+    """PageRank reprioritization reorders dequeue WITHIN the politeness
+    budget but never loses URLs: run to exhaustion and the visited set is
+    exactly the oracle's reachable closure, with importance-fed priorities
+    visible in the frontier."""
+    root = str(tmp_path_factory.mktemp("reprio"))
+    cfg = CrawlConfig(
+        num_partitions=8,
+        politeness=Politeness((Limit(r".*", BUDGET),)),
+        sub_salts=4,
+        reprioritize_every=1,
+        max_waves=40,
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
+    c.seed(SEEDS)
+    c.crawl()
+
+    oracle = oracle_crawl(
+        corpus_map, SEEDS, url_hashes, limits=[(".*", BUDGET)], max_waves=40
+    )
+    got = {
+        r["url"]
+        for r in c.frontier.read().filter(F.col("status") == "visited").collect()
+    }
+    want = {u for u, rec in oracle.frontier.items() if rec["status"] == "visited"}
+    assert got == want
+    assert not c.has_work()
+    # reprioritization actually wrote importance scores: multi-in-link pages
+    # exist in the corpus, so some priorities must now be > 0
+    n_ranked = c.frontier.read().filter(F.col("priority") > 0).count()
+    assert n_ranked > 0

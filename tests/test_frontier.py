@@ -270,3 +270,77 @@ def test_two_level_topk_equals_single_window(spark):
         .collect()
     }
     assert fast == naive
+
+
+# -- reprioritize (PageRank-fed priorities) ----------------------------------
+
+
+def test_reprioritize_wires_pagerank_into_priorities(spark, frontier):
+    from kermit_spark.ops.graph import pagerank
+
+    seeds = ["http://h0.test/a", "http://h1.test/b"]
+    frontier.init(_urls(spark, seeds))
+    # discovered children: a -> {c, d}, b -> {c}; c is the 2-in-link hub
+    cands = spark.createDataFrame(
+        [
+            ("http://h0.test/c", "http://h0.test/a"),
+            ("http://h0.test/d", "http://h0.test/a"),
+            ("http://h0.test/c", "http://h1.test/b"),
+        ],
+        "url string, referer string",
+    )
+    frontier.schedule(cands, wave=1)
+    # mark a visited so the untouched-priority branch is exercised too
+    upd = (
+        frontier.read()
+        .filter(F.col("url") == "http://h0.test/a")
+        .select("p", "url_hash", "url", F.lit(VISITED).alias("new_status"))
+    )
+    frontier.update_status(upd)
+    props_before = frontier.catalog.snapshot_property("frontier")
+
+    # the FULL link graph (what Crawler.reprioritize extracts from document
+    # spans): both a->c and b->c survive here, unlike the frontier's
+    # first-discovery referer tree, which keeps one parent per URL
+    full_edges = spark.createDataFrame(
+        [
+            ("http://h0.test/a", "http://h0.test/c"),
+            ("http://h0.test/a", "http://h0.test/d"),
+            ("http://h1.test/b", "http://h0.test/c"),
+        ],
+        "referer string, url string",
+    ).select(F.xxhash64("referer").alias("src"), F.xxhash64("url").alias("dst"))
+    frontier.reprioritize(full_edges, num_iters=3)
+
+    fr = frontier.read()
+    # expected ranks from the (already independently verified) pagerank op
+    # over the same graph — this test checks the WIRING: join on url_hash,
+    # scheduled-only updates, carried-forward snapshot props
+    want = {
+        r["node"]: float(r["rank_fp"])
+        for r in pagerank(full_edges, num_iters=3).collect()
+    }
+    rows = {r["url"]: r for r in fr.collect()}
+    for u in ("http://h0.test/c", "http://h0.test/d"):
+        r = rows[u]
+        assert r["priority"] == want[r["url_hash"]]
+    # hub c has two in-links, d one -> c must outrank d
+    assert rows["http://h0.test/c"]["priority"] > rows["http://h0.test/d"]["priority"]
+    # visited row 'a': priority untouched even though it is a graph node —
+    # the guard is on status
+    assert rows["http://h0.test/a"]["priority"] == 0.0
+    # scheduled seed 'b' has no in-links: it gets exactly the teleport base
+    assert rows["http://h1.test/b"]["priority"] == want[rows["http://h1.test/b"]["url_hash"]]
+    assert rows["http://h1.test/b"]["priority"] < rows["http://h0.test/d"]["priority"]
+    # membership stats carried forward (bloom sync depends on these)
+    props_after = frontier.catalog.snapshot_property("frontier")
+    for k in ("n_rows", "url_epoch"):
+        assert props_after.get(k) == props_before.get(k)
+    # and the hub is now dequeued first within its host
+    got = dequeue(
+        fr.filter(F.col("status") == SCHEDULED), Politeness((Limit(".*", 10),))
+    )
+    first_h0 = (
+        got.filter(F.col("host") == "h0.test").orderBy("rank").first()
+    )
+    assert first_h0["url"] == "http://h0.test/c"
