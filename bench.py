@@ -254,6 +254,70 @@ def bench_dedup_vs_frontier_size(
     }
 
 
+def bench_dequeue_skew(spark, n: int = 4_000_000, budget: int = 100) -> dict:
+    """Hot-domain skew probe: dequeue from a frontier where 90 % of all
+    rows belong to ONE host, A/B-ing the two-level top-k (sub_salts=16)
+    against the degenerate single-window plan (sub_salts=1 — level 1
+    partitions by (host, 1 salt) = host, so one task sorts the whole hot
+    domain; exactly the naive window a straightforward implementation
+    would write). A uniform frontier of the same size is the control.
+    The design claim (README 'Scale design'): skewed wall ≈ uniform wall
+    under salting, while the naive plan degrades with the hot host's size."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.frontier import Limit, Politeness, dequeue
+
+    def frontier_rows(skewed: bool):
+        host = (
+            F.when(
+                F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("hot.test")
+            ).otherwise(
+                F.concat(F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"), F.lit(".test"))
+            )
+            if skewed
+            else F.concat(F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"), F.lit(".test"))
+        )
+        return spark.range(0, n).select(
+            host.alias("host"),
+            F.xxhash64(F.col("id")).alias("url_hash"),
+            F.concat(F.lit("http://x/"), F.col("id").cast("string")).alias("url"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1000)) / 1000.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("wave"),
+        )
+
+    pol = Politeness((Limit(".*", budget),))
+    legs = {}
+    for name, skewed, salts in (
+        ("skewed_salted", True, 16),
+        ("skewed_naive_window", True, 1),
+        ("uniform_salted", False, 16),
+    ):
+        rows = frontier_rows(skewed).persist()
+        rows.count()  # materialize input off the timed path
+
+        def run_once(rows=rows, salts=salts):
+            t0 = time.time()
+            got = dequeue(rows, pol, sub_salts=salts).count()
+            return {"sec": round(time.time() - t0, 3), "selected": got}
+
+        res = _timed_leg(run_once)
+        if res["steal_pct"] is not None and res["steal_pct"] > 3.0:
+            trials = [res, _timed_leg(run_once)]
+            res = min(trials, key=lambda d: d["sec"])
+        legs[name] = res
+        rows.unpersist()
+        _log(f"dequeue-skew {name}: {res['sec']}s ({res['selected']} selected)")
+    return {
+        "metric": "dequeue wall on a 90%-one-host frontier (two-level top-k vs naive window vs uniform control)",
+        "rows": n,
+        "budget_per_host": budget,
+        "legs": legs,
+        "salted_vs_uniform": round(legs["skewed_salted"]["sec"] / legs["uniform_salted"]["sec"], 2),
+        "naive_vs_salted": round(legs["skewed_naive_window"]["sec"] / legs["skewed_salted"]["sec"], 2),
+    }
+
+
 def bench_parse(spark, n_docs: int = 150_000) -> dict:
     """Span-parse + link-discovery scaling leg: the engine's per-URL compute
     (regex span tokenizer + URL cleaning, both Arrow-batched pandas UDFs)
@@ -494,6 +558,11 @@ if __name__ == "__main__":
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
                              shuffle_partitions=64)
         print(json.dumps(bench_dedup_vs_frontier_size(spark)))
+        spark.stop()
+    elif "--skew" in sys.argv:
+        spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                             shuffle_partitions=64)
+        print(json.dumps(bench_dequeue_skew(spark)))
         spark.stop()
     elif "--scaling-primary" in sys.argv:
         # §3a resource-adding regime: N=1 vs 4N=4 on the two data-parallel
