@@ -70,7 +70,7 @@ def _run_crawl(spark: SparkSession, sf_dir: str, waves: int, budget: int) -> "ob
     from kermit_spark.frontier import Limit, Politeness
 
     corpus = _corpus_from_documents(spark, sf_dir).cache()
-    root = tempfile.mkdtemp(prefix="kermit_entry_")
+    root = tempfile.mkdtemp(prefix="kermit_entry_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
     cfg = CrawlConfig(
         num_partitions=8,
         politeness=Politeness((Limit(r".*", budget),)),
@@ -140,7 +140,7 @@ def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_of(F.col("o_orderkey")).alias("url")
     )
     cand = li.select(url_of(F.col("l_orderkey")).alias("url"))
-    tmp = tempfile.mkdtemp(prefix="kermit_corr_")
+    tmp = tempfile.mkdtemp(prefix="kermit_corr_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
     try:
         fr = Frontier(SnapshotCatalog(spark, tmp), num_partitions=8)
         fr.init(seen)
@@ -585,7 +585,7 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kermit_spark.streaming import stream_sessionize_events
 
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ckpt = tempfile.mkdtemp(prefix="kermit_sess_ck_")
+    ckpt = tempfile.mkdtemp(prefix="kermit_sess_ck_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
     qname = f"kermit_sess_stream_{uuid.uuid4().hex[:8]}"
     try:
         # the file stream source needs a DIRECTORY; stage the table file in
