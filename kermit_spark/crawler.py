@@ -131,6 +131,12 @@ class CrawlConfig:
     # every k waves. 0 = never. An O(frontier) maintenance rewrite, so pick
     # k like a compaction cadence, not 1; ordering stays bit-reproducible.
     reprioritize_every: int = 0
+    # per-partition fetch-outcome lineage rows (north_rule "per-partition
+    # lineage"). Per-partition DEQUEUE counts are always recorded — they
+    # fall out of the per-host collect the wave already does (zero extra
+    # jobs). This flag adds ok/error breakdowns per partition: one small
+    # aggregation job per wave over the cached documents batch.
+    lineage_per_partition: bool = False
 
 
 @dataclass
@@ -488,6 +494,30 @@ class Crawler:
 
         wall = time.time() - t0
         self._append_lineage(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
+        # per-partition lineage (north_rule): dequeue split is free — it is
+        # the per_host collect aggregated driver-side; fetch outcomes are an
+        # opt-in aggregation over the still-cached docs batch
+        part_sel: dict[int, int] = {}
+        for r in per_host:
+            part_sel[r["p"]] = part_sel.get(r["p"], 0) + r["count"]
+        self._lineage_buffer += [
+            (wave, phases.READY, "dequeue_part", p, n, wall)
+            for p, n in sorted(part_sel.items())
+        ]
+        if cfg.lineage_per_partition:
+            pp = (
+                docs.groupBy("p")
+                .agg(
+                    F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+                    F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+                )
+                .collect()
+            )
+            self._lineage_buffer += [
+                (wave, phases.COMPLETE, "store_part", r["p"], r["ok"], wall) for r in pp
+            ] + [
+                (wave, phases.ERROR, "fetch_error_part", r["p"], r["err"], wall) for r in pp
+            ]
         docs.unpersist()
         selected.unpersist()
         if verify_cache is not None:
@@ -510,19 +540,20 @@ class Crawler:
         most the unflushed buffer, never queue correctness, and the per-wave
         fixed cost drops by one write job."""
         self._lineage_buffer += [
-            (wave, phases.READY, "dequeue", n_sel, wall),
-            (wave, phases.CANCELED, "robots_blocked", n_blocked, wall),
-            (wave, phases.FETCHED, "fetch", n_ok + n_err, wall),
-            (wave, phases.COMPLETE, "store", n_ok, wall),
-            (wave, phases.ERROR, "fetch_error", n_err, wall),
-            (wave, phases.SPOOLED, "discovered_new", n_new, wall),
+            (wave, phases.READY, "dequeue", None, n_sel, wall),
+            (wave, phases.CANCELED, "robots_blocked", None, n_blocked, wall),
+            (wave, phases.FETCHED, "fetch", None, n_ok + n_err, wall),
+            (wave, phases.COMPLETE, "store", None, n_ok, wall),
+            (wave, phases.ERROR, "fetch_error", None, n_err, wall),
+            (wave, phases.SPOOLED, "discovered_new", None, n_new, wall),
         ]
 
     def flush_lineage(self) -> None:
         if not self._lineage_buffer:
             return
         df = self.spark.createDataFrame(
-            self._lineage_buffer, "wave int, phase string, stage string, n long, wall_s double"
+            self._lineage_buffer,
+            "wave int, phase string, stage string, part int, n long, wall_s double",
         )
         df.coalesce(1).write.mode("append").parquet(self._lineage_path())
         self._lineage_buffer = []

@@ -218,6 +218,15 @@ def test_lineage_ledger_rows(engine_result):
     assert waves == {s.wave for s in stats}
     deq = {r["wave"]: r["n"] for r in lin.filter(F.col("stage") == "dequeue").collect()}
     assert deq == {s.wave: s.n_selected for s in stats}
+    # per-partition lineage (north rule): the dequeue split is always
+    # recorded, sums to the wave total, and every part id is a real
+    # partition of the configured frontier
+    pp = lin.filter(F.col("stage") == "dequeue_part").collect()
+    by_wave: dict[int, int] = {}
+    for r in pp:
+        assert r["part"] is not None and 0 <= r["part"] < 8
+        by_wave[r["wave"]] = by_wave.get(r["wave"], 0) + r["n"]
+    assert by_wave == deq
 
 
 def test_auto_compaction_preserves_results(spark, corpus_df, oracle_result, tmp_path_factory):
@@ -373,6 +382,7 @@ def test_reprioritize_changes_order_not_closure(spark, corpus_df, corpus_map, ur
         politeness=Politeness((Limit(r".*", BUDGET),)),
         sub_salts=4,
         reprioritize_every=1,
+        lineage_per_partition=True,
         max_waves=40,
     )
     c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus_df), cfg)
@@ -393,3 +403,12 @@ def test_reprioritize_changes_order_not_closure(spark, corpus_df, corpus_map, ur
     # exist in the corpus, so some priorities must now be > 0
     n_ranked = c.frontier.read().filter(F.col("priority") > 0).count()
     assert n_ranked > 0
+    # opt-in per-partition fetch lineage: store_part counts sum to the
+    # wave-level store counts
+    lin = c.lineage()
+    store = {r["wave"]: r["n"] for r in lin.filter(F.col("stage") == "store").collect()}
+    store_pp: dict[int, int] = {}
+    for r in lin.filter(F.col("stage") == "store_part").collect():
+        assert r["part"] is not None
+        store_pp[r["wave"]] = store_pp.get(r["wave"], 0) + r["n"]
+    assert store_pp == store
