@@ -330,6 +330,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the REAL library op
+    (ops.dedup.ngram_contamination): the truncated mutants play the eval
+    set (every 10th), the original documents the training corpus; a
+    training doc containing ≥ 80 % of an eval doc's 20-char shingles is
+    contaminated — each mutant's true source is a guaranteed hit
+    (containment 1.0), exact-duplicate corpus docs surface as extra hits.
+    k=20 keeps shingles rare (the published decontamination recipes use
+    8-13 TOKEN windows for the same reason — short shingles explode the
+    join on stop-word grams); eval shingles are broadcast, and only
+    genuinely-sharing (train, eval) pairs ever shuffle."""
+    from kermit_spark.ops.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    evals = (
+        _docs_with_mutants(docs)
+        .filter((F.col("doc_id") >= 100000) & (F.pmod(F.col("doc_id"), F.lit(10)) == 0))
+    )
+    return ngram_contamination(
+        docs, evals, id_col="doc_id", eval_id_col="doc_id", k=20, threshold=0.8
+    ).orderBy("train_id", "eval_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs through the REAL library pipeline
     (add_minhash with stride-4 shingle sampling + lsh_candidates banding with
@@ -713,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_contamination": q_dedup_contamination,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "curation_pipeline": q_curation_pipeline,
@@ -759,7 +783,15 @@ def _pagerank_iter_cte(prev: str, cur: str) -> str:
             )"""
 
 
-_SHINGLE_DUCK = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+def _shingle_duck(k: int) -> str:
+    """DuckDB twin of ops.dedup.shingles(text, k, stride=1)."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substring(text, i, {k})))"
+    )
+
+
+_SHINGLE_DUCK = _shingle_duck(5)
 
 _LSH_FOLD = "(acc, x) -> acc + x"
 
@@ -1051,6 +1083,27 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
             ORDER BY doc_a
+        """,
+        "dedup_contamination": f"""
+            WITH {_MUTANTS_DUCK},
+            ev AS (
+                SELECT doc_id AS eval_id, {_shingle_duck(20)} AS s
+                FROM docs WHERE doc_id >= 100000 AND doc_id % 10 = 0
+            ),
+            tr AS (SELECT doc_id AS train_id, {_shingle_duck(20)} AS s FROM documents),
+            ev_x AS (SELECT eval_id, len(s) AS n_eval, unnest(s) AS sh FROM ev),
+            tr_x AS (SELECT train_id, unnest(s) AS sh FROM tr),
+            shared AS (
+                SELECT train_id, eval_id,
+                       count(*) AS n_shared, any_value(n_eval) AS n_eval
+                FROM tr_x JOIN ev_x USING (sh)
+                GROUP BY train_id, eval_id
+            )
+            SELECT train_id, eval_id, n_shared::BIGINT AS n_shared,
+                   round(n_shared::DOUBLE / n_eval, 6) AS containment
+            FROM shared
+            WHERE n_shared::DOUBLE / n_eval >= 0.8
+            ORDER BY train_id, eval_id
         """,
         "dedup_minhash_lsh": f"""
             WITH {_MUTANTS_DUCK},

@@ -47,6 +47,83 @@ def exact_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Da
 
 
 # ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    k: int = 20,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that CONTAIN an
+    evaluation document's n-grams (the asymmetric cousin of Jaccard dedup:
+    a 100-token eval question buried in a 10k-token training page has tiny
+    Jaccard but containment ≈ 1).
+
+    For every (train doc, eval doc) pair sharing k-gram shingles:
+    ``containment = |shared shingles| / |eval shingles|``; pairs at or above
+    ``threshold`` are returned as (train_id, eval_id, n_shared, containment
+    rounded to 6 dp), thresholded on the unrounded ratio.
+
+    ``k`` must be LONG (default 20 chars, the character analog of the
+    8-13-token windows the published decontamination recipes use): the join
+    output is Σ_shingle (train occurrences × eval docs containing it), so
+    short shingles ("e th…") that appear in every document on both sides
+    multiply into a row explosion — measured 10× slower at k=5 than k=20 on
+    the same corpus — while long shingles only collide on genuine overlap.
+    For corpora with boilerplate (headers, license blocks) that is long AND
+    ubiquitous, ``max_df`` additionally drops shingles contained in more
+    than that many eval docs (computed on the eval side — eval-set-sized,
+    never a train-corpus job); dropped shingles shrink each eval's
+    denominator too, keeping containment a fraction of the shingles
+    actually searched for.
+
+    Scale shape (100 TB train corpus, benchmark-suite-sized eval set): the
+    eval shingle table is eval-set-sized — **broadcast** — so the join is
+    map-side against the exploded train shingles; the only aggregation
+    shuffles (train_id, eval_id) pairs that actually share a shingle. The
+    train side streams through one scan; nothing is ever all-pairs and the
+    train text never leaves the JVM."""
+    ev = evals.select(
+        F.col(eval_id_col).alias("eval_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+    )
+    ev_x = ev.select("eval_id", F.explode("_sh").alias("sh"))
+    if max_df is not None:
+        df_counts = ev_x.groupBy("sh").agg(
+            F.count_distinct("eval_id").alias("_df")
+        )
+        ev_x = (
+            ev_x.join(df_counts, "sh")
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = ev_x.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    ev_x = ev_x.join(sizes, "eval_id")
+    tr_x = train.select(
+        F.col(id_col).alias("train_id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    shared = (
+        tr_x.join(F.broadcast(ev_x), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.first("n_eval").alias("n_eval"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_eval")
+    return shared.filter(ratio >= threshold).select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        F.round(ratio, 6).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash + LSH (JVM-side)
 # ---------------------------------------------------------------------------
 

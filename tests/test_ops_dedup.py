@@ -109,3 +109,44 @@ def test_embedding_near_dups_bucket_cap_bounds_pairs(spark):
     # uncapped on a small slice still yields the full pair set
     small = embedding_near_dups(emb.filter(F.col("id") < 10), threshold=0.99, max_bucket=None)
     assert small.count() == 10 * 9 // 2
+
+
+def test_ngram_contamination_detects_buried_eval(spark):
+    """A short eval doc buried verbatim inside a long training doc must be
+    flagged (containment 1.0) even though its Jaccard vs the page is tiny;
+    unrelated pairs stay below threshold; the eval side is broadcast."""
+    from kermit_spark.ops.dedup import ngram_contamination
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} paragraph token" for i in range(80))
+    train = spark.createDataFrame(
+        [
+            (1, filler + " " + eval_text + " " + filler),  # contaminated
+            (2, filler + " entirely unrelated training content " + filler),
+            (3, eval_text),  # exact copy
+        ],
+        "id long, text string",
+    )
+    evals = spark.createDataFrame([(100, eval_text)], "eval_id long, text string")
+    out = ngram_contamination(train, evals, k=5, threshold=0.8)
+    rows = {(r["train_id"], r["eval_id"]): r for r in out.collect()}
+    assert set(rows) == {(1, 100), (3, 100)}
+    assert rows[(1, 100)]["containment"] == 1.0
+    assert rows[(3, 100)]["containment"] == 1.0
+    # jaccard of the buried pair really is tiny — the op is not dedup
+    from kermit_spark.ops.dedup import shingles
+    import pyspark.sql.functions as F
+
+    sets = {
+        r["id"]: set(r["s"])
+        for r in train.select("id", shingles(F.col("text"), 5).alias("s")).collect()
+    }
+    ev_set = set(
+        evals.select(shingles(F.col("text"), 5).alias("s")).collect()[0]["s"]
+    )
+    jac = len(sets[1] & ev_set) / len(sets[1] | ev_set)
+    assert jac < 0.2
+    # plan: the eval side must broadcast (no shuffle of the train shingles
+    # onto eval keys)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
