@@ -256,6 +256,64 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("depth")
 
 
+def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint per-row invariant — span-sequence equality over
+    (kind, text, media_ref, order) — as a HARD oracle row: HTML bodies are
+    synthesized from the documents table by a fixed template interleaving
+    two prose slices with an anchor (single-quoted href), an <img>
+    (unquoted src) and a <link> (double-quoted href) — all three HTML5
+    attribute-quoting forms — and parsed by the REAL engine surface
+    (kermit_spark.parse.parse_documents → Arrow-batched span tokenizer).
+    The oracle does not parse: it CONSTRUCTS the expected five-span
+    sequence per document from the same template, so any tokenizer drift
+    (kind order, offset numbering, whitespace collapse, quoting handling)
+    hash-mismatches. Angle brackets/quotes are scrubbed from the prose on
+    both sides so the template is the only markup."""
+    from kermit_spark.parse import parse_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") >= 140)
+        .select("doc_id", F.regexp_replace("text", "[<>\"']", " ").alias("t"))
+    )
+    body = F.concat(
+        F.lit("<html><body><p>"), F.substring("t", 1, 60),
+        F.lit("</p><a href='/n/"), (F.col("doc_id") + 1).cast("string"),
+        F.lit(".html'>next "), F.col("doc_id").cast("string"),
+        F.lit("</a><img src=/img/"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit('.png><link href="/css/'), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit('.css"><p>'), F.substring("t", 61, 60), F.lit("</p></body></html>"),
+    )
+    fetched = docs.select(
+        F.col("doc_id"),
+        F.lit(0).alias("p"),
+        F.xxhash64(F.col("doc_id")).alias("url_hash"),
+        F.concat(F.lit("http://h0.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("h0.test").alias("host"),
+        F.lit(0).alias("wave"),
+        F.lit(0).alias("rank"),
+        F.lit(0).alias("depth"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        body.alias("body"),
+    )
+    parsed = parse_documents(fetched.drop("doc_id")).withColumn(
+        "orig_id",
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long"),
+    )
+    return (
+        parsed.select("orig_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .orderBy("doc_id", "offset")
+    )
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl prioritization by link importance through the REAL library
     operator (kermit_spark.ops.graph.pagerank — integer fixed-point
@@ -731,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "wave_bfs": q_wave_bfs,
         "link_pagerank": q_link_pagerank,
+        "parse_spans": q_parse_spans,
         "crawl_wave": q_crawl_wave,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -1044,6 +1103,25 @@ def oracle_sql() -> dict[str, str]:
             first_seen AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
             SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
             FROM first_seen WHERE depth <= 6 GROUP BY depth ORDER BY depth
+        """,
+        "parse_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 1, 60), '\\s+', ' ', 'g')) AS t1,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 61, 60), '\\s+', ' ', 'g')) AS t2
+                FROM documents WHERE n_chars >= 140
+            )
+            SELECT doc_id, "offset", kind, text, media_ref FROM (
+                SELECT doc_id, 0 AS "offset", 'text' AS kind, t1 AS text, NULL AS media_ref FROM d
+                UNION ALL
+                SELECT doc_id, 1, 'link', 'next ' || doc_id, '/n/' || (doc_id + 1) || '.html' FROM d
+                UNION ALL
+                SELECT doc_id, 2, 'media', NULL, '/img/' || (doc_id % 50) || '.png' FROM d
+                UNION ALL
+                SELECT doc_id, 3, 'resource', NULL, '/css/' || (doc_id % 7) || '.css' FROM d
+                UNION ALL
+                SELECT doc_id, 4, 'text', t2, NULL FROM d
+            ) ORDER BY doc_id, "offset"
         """,
         "link_pagerank": f"""
             WITH
