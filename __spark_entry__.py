@@ -699,6 +699,49 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WATERMARKED streaming windowed aggregation
+    (streaming.stream_windowed_event_counts) over the events table as an
+    availableNow file stream, update output mode. F.window boundaries are
+    epoch-aligned like the batch op's floor arithmetic, so the last
+    emission per (window, type) equals the batch row — certified by the
+    SAME DuckDB oracle as events_windowed."""
+    import uuid
+
+    from kermit_spark.streaming import stream_windowed_event_counts
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ckpt = tempfile.mkdtemp(prefix="kermit_win_ck_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    qname = f"kermit_win_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(ckpt, "src")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = spark.readStream.schema(ev_schema).parquet(src_dir)
+        q = (
+            stream_windowed_event_counts(stream, window_s=3600)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(600)
+        pdf = spark.sql(f"select * from {qname}").toPandas()
+        latest = pdf.drop_duplicates(["window_start", "event_type"], keep="last")
+        out = spark.createDataFrame(
+            latest,
+            "window_start long, event_type string, n long, sum_v double",
+        )
+        return out.orderBy("window_start", "event_type")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation through the REAL library op
     (streaming.windowed_event_counts, batch form of the watermarked agg)."""
@@ -813,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
+        "events_windowed_stream": q_events_windowed_stream,
         "events_windowed": q_events_windowed,
         # monitoring
         "headers_histogram": q_headers_histogram,
@@ -1473,6 +1517,13 @@ def oracle_sql() -> dict[str, str]:
         # op (see q_events_sessionize_stream), so both share one oracle
         "events_sessionize_stream": _SESSIONIZE_ORACLE,
         "events_windowed": """
+            SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        # the streaming twin converges to the identical batch result (update
+        # mode, last emission per window) -- same oracle by construction
+        "events_windowed_stream": """
             SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_v
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type

@@ -231,6 +231,45 @@ def windowed_event_counts(
     )
 
 
+def stream_windowed_event_counts(
+    events: DataFrame,
+    window_s: int = 3600,
+    watermark_s: int = 7200,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    digits: int = 4,
+) -> DataFrame:
+    """Watermarked STREAMING form of ``windowed_event_counts`` — the same
+    tumbling-window semantics over a streaming DataFrame. ``F.window``
+    boundaries are epoch-aligned exactly like the batch op's
+    floor(ts/window)*window arithmetic, so in update output mode the final
+    emission per (window, type) equals the batch result row — the property
+    the q_events_windowed_stream oracle relies on. The watermark bounds
+    state (windows older than ``watermark_s`` behind the max event time are
+    evicted), which is what keeps an endless crawl's metrics aggregation at
+    O(active windows) memory instead of O(stream length)."""
+    ts_t = F.col(ts_col).cast("timestamp")
+    return (
+        events.withColumn("_ts", ts_t)
+        .withWatermark("_ts", f"{watermark_s} seconds")
+        .groupBy(
+            F.window("_ts", f"{window_s} seconds").alias("_w"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), digits).alias("sum_v"),
+        )
+        .select(
+            F.col("_w.start").cast("double").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
 def fetch_metrics_stream(
     events: DataFrame,
     window: str = "1 minute",

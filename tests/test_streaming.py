@@ -156,3 +156,66 @@ def test_fetch_metrics_batch_equivalence(spark):
     got = {(str(r["w"]["start"]), r["host"]): (r["n"], r["b"]) for r in out}
     assert got[("2024-01-01 10:00:00", "a.test")] == (2, 100)
     assert got[("2024-01-01 10:01:00", "b.test")] == (1, 300)
+
+
+def test_stream_windowed_counts_match_batch_op(spark, tmp_path):
+    """stream_windowed_event_counts (watermarked F.window, update mode) ==
+    windowed_event_counts (floor-bucket batch op): last emission per
+    (window, type) across micro-batches equals the batch row, including a
+    window that accumulates across the batch boundary; a late-but-within-
+    watermark event still lands in its window."""
+    import pandas as pd
+
+    from kermit_spark.streaming import (
+        stream_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    rows1 = [
+        ("fetch", "2024-01-01 10:05:00", 1.0),
+        ("fetch", "2024-01-01 10:50:00", 2.0),
+        ("parse", "2024-01-01 10:10:00", 3.0),
+    ]
+    rows2 = [
+        ("fetch", "2024-01-01 11:10:00", 4.0),   # next window
+        ("fetch", "2024-01-01 10:20:00", 8.0),   # late, within watermark
+        ("parse", "2024-01-01 11:59:00", 5.0),
+    ]
+    src = tmp_path / "evw"
+    src.mkdir()
+    for i, rows in enumerate([rows1, rows2], 1):
+        p = src / f"b{i}.csv"
+        p.write_text("\n".join(f"{k},{ts},{v}" for k, ts, v in rows))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_windowed_event_counts(stream, window_s=3600, watermark_s=7200)
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_win"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from win_stream").toPandas()
+    latest = got.drop_duplicates(["window_start", "event_type"], keep="last")
+    batch = windowed_event_counts(
+        spark.createDataFrame(rows1 + rows2, "event_type string, ts string, value double"),
+        window_s=3600,
+    ).toPandas()
+    cols = ["window_start", "event_type", "n", "sum_v"]
+    a = latest[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = batch[cols].sort_values(cols[:2]).reset_index(drop=True)
+    a = a.astype({"window_start": "int64", "n": "int64"})
+    b = b.astype({"window_start": "int64", "n": "int64"})
+    pd.testing.assert_frame_equal(a, b)
+    # the late event updated the 10:00 fetch window to n=3, sum 11.0
+    ten = a[(a.event_type == "fetch") & (a.window_start == a.window_start.min())]
+    assert int(ten["n"].iloc[0]) == 3 and float(ten["sum_v"].iloc[0]) == 11.0
