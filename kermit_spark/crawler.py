@@ -98,6 +98,29 @@ class ResultVerification:
 
 
 @dataclass(frozen=True)
+class ErrorBackoff:
+    """Adaptive politeness: a host whose error rate in a wave reaches
+    ``threshold`` gets its per-wave budget cut to
+    max(min_budget, selected // factor) for ``cooldown_waves`` waves;
+    repeated bad waves keep dividing by ``factor``. A recovered host's cap
+    expires and the configured budget resumes.
+
+    The reference's RateLimits are static (core.queues.coffee:28-34);
+    production crawlers back off failing hosts dynamically — a host
+    returning 5xx storms is either unhealthy (hammering it is impolite) or
+    rate-limiting us (hammering it wastes budget). Caps ride the same
+    ``host_budgets`` join as robots Crawl-delay, so the dequeue plan is
+    unchanged; state is a driver dict bounded by ``max_hosts`` (counts come
+    from the budget-bounded fetched batch, never a frontier scan)."""
+
+    threshold: float = 0.5
+    factor: int = 2
+    min_budget: int = 1
+    cooldown_waves: int = 4
+    max_hosts: int = 100_000
+
+
+@dataclass(frozen=True)
 class CrawlConfig:
     num_partitions: int = 32
     politeness: Politeness = field(default_factory=Politeness)
@@ -137,6 +160,9 @@ class CrawlConfig:
     # jobs). This flag adds ok/error breakdowns per partition: one small
     # aggregation job per wave over the cached documents batch.
     lineage_per_partition: bool = False
+    # adaptive politeness: back off hosts with elevated error rates (one
+    # batch-sized aggregation per wave when enabled). None = static budgets.
+    error_backoff: ErrorBackoff | None = None
 
 
 @dataclass
@@ -184,6 +210,10 @@ class Crawler:
         # — observability data, not queue state; buffering removes one small
         # write job per wave from the fixed cost.
         self._lineage_buffer: list[tuple] = []
+        # adaptive error backoff state: host -> (budget_cap, expires_wave).
+        # Driver-held and bounded (ErrorBackoff.max_hosts); derived from the
+        # budget-bounded fetched batch each wave, never a frontier scan.
+        self._backoff: dict[str, tuple[int, int]] = {}
 
     # -- setup -------------------------------------------------------------
 
@@ -331,6 +361,49 @@ class Crawler:
             )
         return self._delay_caps
 
+    def _error_backoff_caps(self, wave: int) -> DataFrame | None:
+        """(host, budget_cap) rows for hosts currently under error backoff;
+        None when the feature is off or no cap is active (the steady-state
+        answer costs no Spark job)."""
+        if self.config.error_backoff is None or not self._backoff:
+            return None
+        rows = [(h, cap) for h, (cap, exp) in self._backoff.items() if exp >= wave]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(rows, "host string, budget_cap int")
+
+    def _update_error_backoff(self, wave: int, docs: DataFrame, per_host) -> None:
+        """Post-wave backoff bookkeeping: hosts at/above the error-rate
+        threshold get (further) budget cuts with a fresh cooldown. One
+        aggregation over the cached, budget-bounded docs batch."""
+        eb = self.config.error_backoff
+        sel_by_host: dict[str, int] = {}
+        for r in per_host:
+            sel_by_host[r["host"]] = sel_by_host.get(r["host"], 0) + r["count"]
+        outcome = (
+            docs.groupBy("host")
+            .agg(
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+                F.count(F.lit(1)).alias("tot"),
+            )
+            .collect()
+        )
+        for r in outcome:
+            if r["tot"] and r["err"] / r["tot"] >= eb.threshold:
+                prev = self._backoff.get(r["host"])
+                base = (
+                    prev[0]
+                    if prev is not None and prev[1] >= wave
+                    else sel_by_host.get(r["host"], r["tot"])
+                )
+                cap = max(eb.min_budget, base // eb.factor)
+                self._backoff[r["host"]] = (cap, wave + eb.cooldown_waves)
+        if len(self._backoff) > eb.max_hosts:
+            self._backoff = {h: v for h, v in self._backoff.items() if v[1] >= wave}
+            if len(self._backoff) > eb.max_hosts:
+                keep = sorted(self._backoff.items(), key=lambda kv: -kv[1][1])
+                self._backoff = dict(keep[: eb.max_hosts])
+
     # -- one wave ----------------------------------------------------------
 
     def run_wave(self) -> WaveStats:
@@ -348,14 +421,24 @@ class Crawler:
             eligible = eligible.filter(~cfg.delay.defer_expr(wave))
 
         # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9; robots Crawl-delay
-        # caps — fetched in an earlier wave — tighten per-host budgets)
+        # caps — fetched in an earlier wave — and error-backoff caps tighten
+        # per-host budgets; both ride the same single host_budgets join)
         delay_caps = self._crawl_delay_caps()
+        backoff_caps = self._error_backoff_caps(wave)
+        if delay_caps is not None and backoff_caps is not None:
+            host_budgets = (
+                delay_caps.unionByName(backoff_caps)
+                .groupBy("host")
+                .agg(F.min("budget_cap").alias("budget_cap"))
+            )
+        else:
+            host_budgets = delay_caps if delay_caps is not None else backoff_caps
         selected = dequeue(
             eligible,
             cfg.politeness,
             sub_salts=cfg.sub_salts,
             global_cap=cfg.global_cap,
-            host_budgets=delay_caps,
+            host_budgets=host_budgets,
         ).persist()
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
@@ -371,7 +454,7 @@ class Crawler:
             )
             selected = dequeue(
                 undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
-                global_cap=cfg.global_cap, host_budgets=delay_caps,
+                global_cap=cfg.global_cap, host_budgets=host_budgets,
             ).persist()
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)
@@ -504,6 +587,8 @@ class Crawler:
             (wave, phases.READY, "dequeue_part", p, n, wall)
             for p, n in sorted(part_sel.items())
         ]
+        if cfg.error_backoff is not None:
+            self._update_error_backoff(wave, docs, per_host)
         if cfg.lineage_per_partition:
             pp = (
                 docs.groupBy("p")

@@ -412,3 +412,46 @@ def test_reprioritize_changes_order_not_closure(spark, corpus_df, corpus_map, ur
         assert r["part"] is not None
         store_pp[r["wave"]] = store_pp.get(r["wave"], 0) + r["n"]
     assert store_pp == store
+
+
+def test_error_backoff_halves_failing_host_budget(spark, tmp_path_factory):
+    """Adaptive politeness: a host erroring on every fetch gets its budget
+    cut geometrically (4 -> 2 -> 1 -> 1 ...) while a healthy host keeps the
+    configured budget; caps expire by wave."""
+    from kermit_spark.crawler import ErrorBackoff
+
+    rows = [
+        (f"http://bad.test/p/{i}", 500, "text/html", "server error") for i in range(10)
+    ] + [
+        (f"http://good.test/p/{i}", 200, "text/html", "plain page no links") for i in range(10)
+    ]
+    corpus = spark.createDataFrame(rows, "url string, status int, content_type string, body string")
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 4),)),
+        sub_salts=2,
+        obey_robots=False,
+        error_backoff=ErrorBackoff(threshold=0.5, factor=2, min_budget=1, cooldown_waves=10),
+        max_waves=8,
+    )
+    root = str(tmp_path_factory.mktemp("backoff"))
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed([r[0] for r in rows])
+    c.crawl()
+
+    per = {
+        (r["p"], r["host"]): r["count"]
+        for r in c.documents().groupBy("p", "host").count().collect()
+    }
+    bad = [per.get((w, "bad.test"), 0) for w in range(8)]
+    good = [per.get((w, "good.test"), 0) for w in range(8)]
+    # healthy host: full budget until exhausted
+    assert good[:3] == [4, 4, 2]
+    # failing host: 4 at wave 0, then 2, then pinned at min_budget 1
+    assert bad[0] == 4 and bad[1] == 2
+    assert all(n == 1 for n in bad[2:6])
+    assert sum(bad) == 10  # backoff slows, never loses, the host's URLs
+    # cap bookkeeping: expiry honors the wave horizon
+    assert c._error_backoff_caps(wave=5) is not None
+    last_exp = max(exp for _, exp in c._backoff.values())
+    assert c._error_backoff_caps(wave=last_exp + 1) is None
