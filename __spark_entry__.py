@@ -628,6 +628,18 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition + word-shape quality rules (Rae et al. 2021 §A1.1)
+    through the REAL library op (ops.text.gopher_features). Every fraction
+    is integer arithmetic + one IEEE division rounded half-up, and the top
+    n-gram tie-break is the documented (count, char-length, value) MAX — so
+    the DuckDB oracle reproduces features AND the pass flag bit-for-bit."""
+    from kermit_spark.ops.text import gopher_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return gopher_features(docs).orderBy("doc_id")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher": q_text_gopher,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1511,6 +1524,102 @@ def oracle_sql() -> dict[str, str]:
                            generate_series(1, greatest(length(text) - 7, 1)),
                            i -> md5(substring(text, i, 8))))))[1:4], '') AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # Gopher rules: same word/line/gram definitions as ops.text
+        # .gopher_features (split on \s+, lines on \n, grams joined with one
+        # space); rounding is the portable half-up form; the top-2-gram
+        # tie-break is (count, char-length, value) DESC in both engines.
+        "text_gopher": r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                   w -> length(w) > 0) AS words,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ),
+            scal AS (
+                SELECT doc_id,
+                       length(t) AS n_chars,
+                       len(words) AS n_words,
+                       len(lines) AS n_lines,
+                       floor((length(array_to_string(words, ''))::DOUBLE
+                              / greatest(len(words), 1)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+                       floor((len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                              / greatest(len(words), 1)) * 10000.0 + 0.5) / 10000.0 AS frac_alpha_words,
+                       floor((len(regexp_extract_all(t, '#|\.\.\.|…'))::DOUBLE
+                              / greatest(len(words), 1)) * 10000.0 + 0.5) / 10000.0 AS symbol_ratio,
+                       len(list_filter(words, w -> list_contains(
+                           ['the','be','to','of','and','that','have','with'], lower(w)))) AS stop_hits,
+                       floor((len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+                              / len(lines)) * 10000.0 + 0.5) / 10000.0 AS frac_bullet_lines,
+                       floor((len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+                              / len(lines)) * 10000.0 + 0.5) / 10000.0 AS frac_ellipsis_lines
+                FROM base
+            ),
+            lc AS (
+                SELECT doc_id, l AS value, count(*) AS cnt, length(l) AS vlen
+                FROM base, unnest(lines) AS u(l) GROUP BY doc_id, l
+            ),
+            g2 AS (
+                SELECT doc_id, g AS value, count(*) AS cnt, length(g) AS vlen
+                FROM base, unnest(list_transform(generate_series(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+1], ' '))) AS u(g)
+                GROUP BY doc_id, g
+            ),
+            g5 AS (
+                SELECT doc_id, g AS value, count(*) AS cnt, length(g) AS vlen
+                FROM base, unnest(list_transform(generate_series(1, len(words) - 4),
+                                  i -> array_to_string(words[i:i+4], ' '))) AS u(g)
+                GROUP BY doc_id, g
+            ),
+            linestats AS (
+                SELECT doc_id, sum(cnt)::BIGINT AS ltot, count(*) AS ldist,
+                       sum(CASE WHEN cnt > 1 THEN cnt * vlen ELSE 0 END)::BIGINT AS dupchars
+                FROM lc GROUP BY doc_id
+            ),
+            toprow AS (
+                SELECT doc_id, cnt, vlen FROM (
+                    SELECT doc_id, cnt, vlen,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, vlen DESC, value DESC) AS rn
+                    FROM g2
+                ) WHERE rn = 1
+            ),
+            g5stats AS (
+                SELECT doc_id,
+                       sum(CASE WHEN cnt > 1 THEN cnt * vlen ELSE 0 END)::BIGINT AS dupchars
+                FROM g5 GROUP BY doc_id
+            ),
+            feats AS (
+                SELECT s.*,
+                       floor(((ls.ltot - ls.ldist)::DOUBLE
+                              / greatest(ls.ltot, 1)) * 10000.0 + 0.5) / 10000.0 AS dup_line_frac,
+                       least(floor((ls.dupchars::DOUBLE / greatest(s.n_chars, 1))
+                                   * 10000.0 + 0.5) / 10000.0, 1.0) AS dup_line_char_frac,
+                       least(floor((coalesce(tr.cnt * tr.vlen, 0)::DOUBLE
+                                    / greatest(s.n_chars, 1))
+                                   * 10000.0 + 0.5) / 10000.0, 1.0) AS top_ngram_char_frac,
+                       least(floor((coalesce(g5s.dupchars, 0)::DOUBLE
+                                    / greatest(s.n_chars, 1))
+                                   * 10000.0 + 0.5) / 10000.0, 1.0) AS dup_ngram_char_frac
+                FROM scal s
+                JOIN linestats ls USING (doc_id)
+                LEFT JOIN toprow tr USING (doc_id)
+                LEFT JOIN g5stats g5s USING (doc_id)
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND frac_bullet_lines < 0.9
+                    AND frac_ellipsis_lines < 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND stop_hits >= 2
+                    AND dup_line_frac <= 0.3
+                    AND dup_line_char_frac <= 0.2
+                    AND top_ngram_char_frac <= 0.2
+                    AND dup_ngram_char_frac <= 0.15) AS gopher_pass
+            FROM feats ORDER BY doc_id
         """,
         "events_sessionize": _SESSIONIZE_ORACLE,
         # the streaming op's latest-row-per-session output equals the batch

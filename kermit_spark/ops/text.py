@@ -106,6 +106,167 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher document-shape rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public). The
+# paper's 8 high-frequency English stopwords for the ≥2-stopwords rule:
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+) -> DataFrame:
+    """Gopher repetition + word-shape quality rules, fully engine-portable
+    (every fraction is integer-arithmetic + one IEEE division, rounded
+    half-up — a DuckDB oracle reproduces the output bit-for-bit).
+
+    Word-shape rules are pure JVM array/regexp expressions. The repetition
+    rules (duplicate lines, top-``top_ngram``-gram and duplicate-
+    ``dup_ngram``-gram character fractions) need per-value occurrence
+    counts, which are computed the scalable way: ONE explode of tagged
+    (unit, value) tokens -> groupBy (doc, unit, value) -> per-doc
+    conditional aggregation — shuffle keys are fine-grained, no O(len²)
+    per-document work, no driver collection. Thresholds are the paper's:
+    50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol/word < 0.1,
+    <90% bullet lines, <30% ellipsis lines, ≥80% alpha words, ≥2
+    stopwords, dup-line ≤ 0.30, dup-line-chars ≤ 0.20, top-2-gram chars
+    ≤ 0.20, dup-5-gram chars ≤ 0.15.
+
+    Ties for the top n-gram resolve by (count, char-length, value) MAX —
+    deterministic and identical under Spark struct-max and the oracle's
+    ORDER BY ... DESC window."""
+    did = F.col(id_col)
+    words = F.expr("filter(split(_t, '\\\\s+'), w -> length(w) > 0)")
+    lines = F.split(F.col("_t"), "\n")
+
+    def grams(n: int) -> Column:
+        return F.expr(
+            f"case when size(_words) >= {n} then "
+            f"transform(sequence(1, size(_words) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_words, i, {n}))) "
+            "else array() end"
+        )
+
+    n_words = F.size(F.col("_words"))
+    base = (
+        df.select(did, F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+        .select(did, F.col("_t"), words.alias("_words"), lines.alias("_lines"))
+        .select(
+            did,
+            F.length("_t").alias("n_chars"),
+            n_words.alias("n_words"),
+            F.size("_lines").alias("n_lines"),
+            round_half_up(
+                F.length(F.array_join("_words", "")) / F.greatest(n_words, F.lit(1))
+            ).alias("mean_word_len"),
+            round_half_up(
+                F.size(F.expr("filter(_words, w -> w rlike '[A-Za-z]')"))
+                / F.greatest(n_words, F.lit(1))
+            ).alias("frac_alpha_words"),
+            round_half_up(
+                F.regexp_count("_t", F.lit(r"#|\.\.\.|…")) / F.greatest(n_words, F.lit(1))
+            ).alias("symbol_ratio"),
+            F.size(
+                F.expr(
+                    "filter(_words, w -> array_contains(array("
+                    + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+                    + "), lower(w)))"
+                )
+            ).alias("stop_hits"),
+            round_half_up(
+                F.size(F.expr(r"filter(_lines, l -> l rlike '^\\s*[-*•]')"))
+                / F.size("_lines")
+            ).alias("frac_bullet_lines"),
+            round_half_up(
+                F.size(F.expr(r"filter(_lines, l -> l rlike '(\\.\\.\\.|…)\\s*$')"))
+                / F.size("_lines")
+            ).alias("frac_ellipsis_lines"),
+            grams(top_ngram).alias("_gtop"),
+            grams(dup_ngram).alias("_gdup"),
+            F.col("_lines").alias("_lines"),
+        )
+    )
+    tagged = base.select(
+        did,
+        F.explode(
+            F.concat(
+                F.expr("transform(_lines, v -> struct('line' as unit, v as value))"),
+                F.expr("transform(_gtop, v -> struct('gtop' as unit, v as value))"),
+                F.expr("transform(_gdup, v -> struct('gdup' as unit, v as value))"),
+            )
+        ).alias("u"),
+    ).select(did, F.col("u.unit").alias("unit"), F.col("u.value").alias("value"))
+    counts = tagged.groupBy(id_col, "unit", "value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.length(F.first("value")).alias("vlen")
+    )
+    is_line, is_top, is_dup = (F.col("unit") == u for u in ("line", "gtop", "gdup"))
+    rep = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_line, F.col("cnt")).otherwise(0)).alias("_lines_tot"),
+        F.sum(F.when(is_line, 1).otherwise(0)).alias("_lines_distinct"),
+        F.sum(
+            F.when(is_line & (F.col("cnt") > 1), F.col("cnt") * F.col("vlen")).otherwise(0)
+        ).alias("_dup_line_chars"),
+        F.max(
+            F.when(is_top, F.struct(F.col("cnt"), F.col("vlen"), F.col("value")))
+        ).alias("_top"),
+        F.sum(
+            F.when(is_dup & (F.col("cnt") > 1), F.col("cnt") * F.col("vlen")).otherwise(0)
+        ).alias("_dup_gram_chars"),
+    )
+    feats = (
+        base.drop("_gtop", "_gdup", "_lines")
+        .join(rep, id_col, "left")
+        .select(
+            "*",
+            round_half_up(
+                (F.col("_lines_tot") - F.col("_lines_distinct"))
+                / F.greatest(F.col("_lines_tot"), F.lit(1))
+            ).alias("dup_line_frac"),
+            F.least(
+                round_half_up(F.col("_dup_line_chars") / F.greatest("n_chars", F.lit(1))),
+                F.lit(1.0),
+            ).alias("dup_line_char_frac"),
+            F.least(
+                round_half_up(
+                    F.coalesce(F.col("_top.cnt") * F.col("_top.vlen"), F.lit(0))
+                    / F.greatest("n_chars", F.lit(1))
+                ),
+                F.lit(1.0),
+            ).alias("top_ngram_char_frac"),
+            F.least(
+                round_half_up(F.col("_dup_gram_chars") / F.greatest("n_chars", F.lit(1))),
+                F.lit(1.0),
+            ).alias("dup_ngram_char_frac"),
+        )
+        .drop("_lines_tot", "_lines_distinct", "_dup_line_chars", "_top", "_dup_gram_chars")
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("frac_bullet_lines") < 0.9)
+        & (F.col("frac_ellipsis_lines") < 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+        & (F.col("top_ngram_char_frac") <= 0.2)
+        & (F.col("dup_ngram_char_frac") <= 0.15)
+    )
+    return feats.withColumn("gopher_pass", passes)
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only documents passing all Gopher rules (the curation form).
+    Original columns are preserved via a semi-join on the id (the features
+    frame carries only the computed columns)."""
+    keep = gopher_features(df, text_col, id_col).filter(F.col("gopher_pass")).select(id_col)
+    return df.join(keep, id_col, "semi")
+
+
 def min_shingle_fingerprint(text: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Portable document fingerprint: the n smallest md5(shingle) digests,
     concatenated. Engine-independent (md5 + sort) — the oracle-checkable

@@ -101,3 +101,101 @@ def test_analyze_documents_surface(docs):
     cols = set(out.columns)
     assert {"lang_pred", "bpe_tokens", "fingerprint", "q_score"} <= cols
     assert out.count() == len(SENTS)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition + word-shape rules
+# ---------------------------------------------------------------------------
+
+GOPHER_DOCS = [
+    (0, "the cat sat on the mat with a hat and that is that to be sure of it " * 3),
+    (1, "foo bar\nfoo bar\nfoo bar\nbaz qux quux corge"),
+    (2, "- bullet one\n- bullet two\n* bullet three\nplain line...\nanother…"),
+    (3, ""),
+    (4, None),
+    (5, "aaa bbb " * 60),
+    (6, "# heading ## other ### more hashes everywhere # again # and # again"),
+    (7, "the and of to is that have with " + "unique%d " % 0 + " ".join(f"w{i}" for i in range(60))),
+]
+
+
+def _gopher_oracle(text):
+    """Independent per-doc reference (plain Python, no Spark constructs)."""
+    import re
+    from collections import Counter
+
+    t = text or ""
+    words = [w for w in re.split(r"\s+", t) if w]
+    lines = t.split("\n")
+    nw, nl, nc = len(words), len(lines), len(t)
+
+    def rh(x):
+        import math
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def frac(a, b):
+        return rh(a / max(b, 1))
+
+    def grams(n):
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    lc = Counter(lines)
+    g2, g5 = Counter(grams(2)), Counter(grams(5))
+    top = max(g2.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]), default=None)
+    return {
+        "n_chars": nc,
+        "n_words": nw,
+        "n_lines": nl,
+        "mean_word_len": frac(sum(len(w) for w in words), nw),
+        "frac_alpha_words": frac(sum(bool(re.search("[A-Za-z]", w)) for w in words), nw),
+        "symbol_ratio": frac(len(re.findall(r"#|\.\.\.|…", t)), nw),
+        "stop_hits": sum(
+            w.lower() in ("the", "be", "to", "of", "and", "that", "have", "with")
+            for w in words
+        ),
+        "frac_bullet_lines": frac(sum(bool(re.match(r"^\s*[-*•]", l)) for l in lines), nl),
+        "frac_ellipsis_lines": frac(
+            sum(bool(re.search(r"(\.\.\.|…)\s*$", l)) for l in lines), nl
+        ),
+        "dup_line_frac": frac(nl - len(lc), nl),
+        "dup_line_char_frac": min(
+            frac(sum(n * len(v) for v, n in lc.items() if n > 1), nc), 1.0
+        ),
+        "top_ngram_char_frac": min(
+            frac(top[1] * len(top[0]) if top else 0, nc), 1.0
+        ),
+        "dup_ngram_char_frac": min(
+            frac(sum(n * len(v) for v, n in g5.items() if n > 1), nc), 1.0
+        ),
+    }
+
+
+def test_gopher_features_match_python_oracle(spark):
+    from kermit_spark.ops.text import gopher_features
+
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_features(df).collect()}
+    assert set(got) == {d for d, _ in GOPHER_DOCS}
+    for doc_id, text in GOPHER_DOCS:
+        want = _gopher_oracle(text)
+        row = got[doc_id]
+        for k, v in want.items():
+            assert row[k] == pytest.approx(v, abs=0), (doc_id, k, row[k], v)
+
+
+def test_gopher_pass_thresholds(spark):
+    """Rule wiring: a long healthy doc passes; short/reps/bullets fail."""
+    from kermit_spark.ops.text import gopher_features, gopher_filter
+
+    healthy = "the quick brown fox jumps over that lazy dog to be seen with " + " ".join(
+        f"word{i:03d}" for i in range(50)
+    )
+    df = spark.createDataFrame(
+        [(0, healthy), (1, "too short"), (2, "foo bar\n" * 40)],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r["gopher_pass"] for r in gopher_features(df).collect()}
+    assert flags == {0: True, 1: False, 2: False}
+    kept = gopher_filter(df)
+    assert kept.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in kept.collect()] == [0]
