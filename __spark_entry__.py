@@ -640,6 +640,41 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_features(docs).orderBy("doc_id")
 
 
+_PII_INJECT = (
+    " contact user{id}@example.com or 10.0.{oct}.7 card 4111111111111111 tel +1 555 0001942"
+)
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction through the REAL library op (ops.text.redact_pii).
+    The synthetic corpus carries no PII, so every third doc gets a
+    deterministic identifier suffix injected — in the query AND the oracle
+    — making counts and replacements non-vacuous. Patterns live in the
+    single PII_PATTERNS constant; the oracle chain is generated from it."""
+    from kermit_spark.ops.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 card 4111111111111111 tel +1 555 0001942"),
+            ),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    return (
+        redact_pii(injected)
+        .select("doc_id", "n_email", "n_ipv4", "n_idnum", "n_phone", "text_redacted")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -866,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
+        "text_redact": q_text_redact,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1098,6 +1134,39 @@ _MUTANTS_DUCK = """
             FROM documents WHERE length(substring(text, 1, 160)) >= 40
         )
 """
+
+
+def _pii_redact_oracle() -> str:
+    """DuckDB twin of q_text_redact, generated from PII_PATTERNS so query
+    and oracle can never drift: one chained CTE per pattern counting
+    (regexp_extract_all) then replacing (regexp_replace ... 'g'), applied
+    in the constant's order — exactly redact_pii's semantics."""
+    from kermit_spark.ops.text import PII_PATTERNS
+
+    inject = (
+        "coalesce(text, '') || ' contact user' || doc_id || '@example.com or 10.0.' "
+        "|| (doc_id % 256) || '.7 card 4111111111111111 tel +1 555 0001942'"
+    )
+    ctes = [
+        f"inj AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN {inject} "
+        "ELSE coalesce(text, '') END AS t FROM documents)"
+    ]
+    prev, carried = "inj", []
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        keep = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"r{i} AS (SELECT {keep}, "
+            f"len(regexp_extract_all(t, '{p}')) AS n_{kind}, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"r{i}"
+    cols = ", ".join(carried)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {cols}, t AS text_redacted "
+        f"FROM {prev} ORDER BY doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1525,6 +1594,9 @@ def oracle_sql() -> dict[str, str]:
                            i -> md5(substring(text, i, 8))))))[1:4], '') AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        # PII redaction: generated from the SAME PII_PATTERNS constant the
+        # library op applies, in the same order, with the same injection.
+        "text_redact": _pii_redact_oracle(),
         # Gopher rules: same word/line/gram definitions as ops.text
         # .gopher_features (split on \s+, lines on \n, grams joined with one
         # space); rounding is the portable half-up form; the top-2-gram

@@ -267,6 +267,35 @@ def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.join(keep, id_col, "semi")
 
 
+# PII redaction — regex patterns restricted to the Java-regex ∩ RE2 common
+# subset (no backreferences/lookaround) so Spark and the DuckDB oracle
+# replace identically. Order matters and is fixed: email → IPv4 → long
+# digit runs (card/account-ish) → phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b",
+        "<IP>",
+    ),
+    ("idnum", r"\b[0-9]{13,19}\b", "<ID>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII shapes from a text column, keeping per-kind match
+    counts (counted on the text as each pattern sees it, i.e. after the
+    preceding replacements). Pure JVM regexp codegen — no Python, no
+    shuffle; scales as a map-only stage."""
+    out = df
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    for kind, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(f"{text_col}_redacted", cur)
+
+
 def min_shingle_fingerprint(text: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Portable document fingerprint: the n smallest md5(shingle) digests,
     concatenated. Engine-independent (md5 + sort) — the oracle-checkable

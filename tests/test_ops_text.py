@@ -199,3 +199,40 @@ def test_gopher_pass_thresholds(spark):
     kept = gopher_filter(df)
     assert kept.columns == ["doc_id", "text"]
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    (0, "contact alice.smith+dev@example.co.uk or bob@test.io today"),
+    (1, "server at 192.168.0.1 and 255.255.255.255 but not 999.1.1.1"),
+    (2, "card 4111111111111111 and id 12345678901234567 but order 12345"),
+    (3, "call +1 (555) 123-4567 or +49-89-1234567 now"),
+    (4, "clean text with no identifiers at all"),
+    (5, None),
+    (6, "mixed: a@b.com at 10.0.0.7 card 4111111111111111 tel +44 20 7946 0958"),
+]
+
+
+def test_redact_pii_matches_python_re(spark):
+    import re
+
+    from kermit_spark.ops.text import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    for doc_id, text in PII_DOCS:
+        cur = text or ""
+        for kind, pat, repl in PII_PATTERNS:
+            assert got[doc_id][f"n_{kind}"] == len(re.findall(pat, cur)), (doc_id, kind)
+            cur = re.sub(pat, repl, cur)
+        assert got[doc_id]["text_redacted"] == cur, doc_id
+    # spot-check the semantics, not just engine parity
+    assert got[0]["text_redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert got[1]["text_redacted"] == "server at <IP> and <IP> but not 999.1.1.1"
+    assert got[2]["text_redacted"] == "card <ID> and id <ID> but order 12345"
+    assert got[3]["n_phone"] == 2 and "<PHONE>" in got[3]["text_redacted"]
+    assert got[4]["text_redacted"] == PII_DOCS[4][1]
+    assert got[5]["text_redacted"] == ""
