@@ -20,10 +20,11 @@ Implementation: numpy bitsets inside Arrow-batched ``applyInPandas`` /
 (h1 + i*h2 mod m, Kirsch–Mitzenmacher) derives k probe positions from the
 64-bit url_hash without rehashing strings.
 
-A cuckoo-filter variant would support deletions (UrlStore.reschedule removes
-nothing in the reference either — reschedule flips status, the URL stays
-*seen* — so Bloom's no-delete property matches the actual semantics; see
-QueueSystem.coffee:189-191).
+The cuckoo-filter variant (cuckoo.py, ``Frontier(seen_filter="cuckoo")``)
+supports deletions for re-crawl/eviction policies (``Frontier.evict``).
+The reference never needs them — UrlStore.reschedule flips status, the URL
+stays *seen* (QueueSystem.coffee:189-191) — so Bloom's smaller no-delete
+bitset remains the default.
 """
 
 from __future__ import annotations

@@ -138,6 +138,11 @@ class CrawlConfig:
     # delay seconds into batch budget; 0 disables Crawl-delay handling.
     politeness_window_s: float = 60.0
     bloom: BloomSpec = field(default_factory=BloomSpec)
+    # URL-seen probe structure: 'bloom' (default; smallest, no deletions —
+    # matches reference semantics) or 'cuckoo' (deletable fingerprints:
+    # Frontier.evict removes keys in place instead of forcing a blob
+    # rebuild — pick this when running re-crawl/aging policies)
+    seen_filter: str = "bloom"
     verification: ResultVerification | None = None
     # Q10: defer a deterministic pseudo-random fraction of due URLs per wave
     delay: RandomizedDelay | None = None
@@ -191,7 +196,8 @@ class Crawler:
         self.fetcher = fetcher
         self.config = config or CrawlConfig()
         self.frontier = Frontier(
-            catalog, self.config.num_partitions, self.config.bloom
+            catalog, self.config.num_partitions, self.config.bloom,
+            seen_filter=self.config.seen_filter,
         )
         # driver-side cache of hosts KNOWN to have robots state. Filled
         # lazily from the hosts this run actually touches (never a full

@@ -20,6 +20,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
 
 _EMPTY = 0  # fingerprints are 1..255; 0 marks an empty slot
 _SLOTS = 4
@@ -129,3 +134,181 @@ class CuckooFilter:
         f.table = np.frombuffer(blob, dtype=np.uint8).reshape(f.n_buckets, _SLOTS).copy()
         f.n_items = int((f.table != _EMPTY).sum())
         return f
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-blob layer (frontier url_seen integration)
+#
+# Cuckoo blobs ride the SAME url_seen table layout as Bloom blobs
+# (bloom.BLOOM_SCHEMA): ``filter`` = the bucket table bytes, ``m_bits`` =
+# n_buckets, and ``k_hashes = 0`` as the cuckoo marker (a Bloom filter always
+# has k >= 1). That keeps the catalog, flush and collect plumbing shared.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CuckooSpec:
+    """Buckets sized for the expected per-partition URL count at ~95% max
+    load (4 slots/bucket)."""
+
+    n_buckets: int = 1 << 17
+
+    @staticmethod
+    def for_capacity(n_keys_per_partition: int) -> "CuckooSpec":
+        return CuckooSpec(n_buckets=max(1 << 8, int(n_keys_per_partition / (_SLOTS * 0.95))))
+
+
+def _blob_row(p: int, f: CuckooFilter) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "p": [p],
+            "filter": [f.to_bytes()],
+            "n_items": [f.n_items],
+            "m_bits": [f.n_buckets],
+            "k_hashes": [0],
+        }
+    )
+
+
+def build_cuckoo(frontier: DataFrame, spec: CuckooSpec) -> DataFrame:
+    """One cuckoo blob per partition from (p, url_hash) rows — the
+    O(frontier) rebuild path, distributed exactly like bloom.build_bloom.
+    Insert placement is a per-key loop (the deletability price vs Bloom's
+    vectorized OR); it runs inside executor Arrow groups, never on the
+    driver."""
+    from .bloom import BLOOM_SCHEMA
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter(spec.n_buckets)
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(h):
+            f.insert(h)
+        return _blob_row(int(pdf["p"].iloc[0]), f)
+
+    return frontier.select("p", "url_hash").groupBy("p").applyInPandas(make, BLOOM_SCHEMA)
+
+
+def merge_cuckoo(existing: DataFrame, new_rows: DataFrame, spec: CuckooSpec) -> DataFrame:
+    """Insert new url_hashes into per-partition blobs (distributed fallback
+    when the blob set exceeds the driver cap — bloom.merge_bloom analog)."""
+    from .bloom import BLOOM_SCHEMA
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            f = CuckooFilter.from_bytes(left["filter"].iloc[0], int(left["m_bits"].iloc[0]))
+        else:
+            f = CuckooFilter(spec.n_buckets)
+        if len(right):
+            f.insert(right["url_hash"].to_numpy(dtype=np.int64))
+        return _blob_row(int(key[0]), f)
+
+    return (
+        existing.groupBy("p")
+        .cogroup(new_rows.select("p", "url_hash").groupBy("p"))
+        .applyInPandas(merge, BLOOM_SCHEMA)
+    )
+
+
+def filters_from_blobs(
+    blobs: dict[int, tuple[np.ndarray, int, int]]
+) -> dict[int, CuckooFilter]:
+    """Rehydrate driver-held CuckooFilter objects from bloom.collect_blobs
+    output ((bits, m_bits, k_hashes) with k_hashes == 0)."""
+    return {p: CuckooFilter.from_bytes(bits.tobytes(), m) for p, (bits, m, _k) in blobs.items()}
+
+
+def cuckoo_prefilter_filters(
+    candidates: DataFrame, filters: dict[int, CuckooFilter]
+) -> DataFrame:
+    """Shuffle-free probe against driver-held filters (broadcast + scalar
+    pandas UDF — bloom.bloom_prefilter_blobs analog). Tags ``maybe_seen``:
+    False ⇒ definitely new (cuckoo has no false negatives for present
+    keys); True ⇒ checked exactly by the anti-join."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {p: (f.table.copy(), f.n_buckets) for p, f in filters.items()}
+    )
+
+    def probe(p: pd.Series, h: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(p), dtype=bool)
+        pv = p.to_numpy(dtype=np.int64)
+        hv = h.to_numpy(dtype=np.int64)
+        for part in np.unique(pv):
+            entry = table.get(int(part))
+            if entry is None:
+                continue
+            bits, n_buckets = entry
+            f = CuckooFilter.__new__(CuckooFilter)
+            f.n_buckets = n_buckets
+            f.table = bits
+            mask = pv == part
+            out[mask] = f.contains(hv[mask])
+        return pd.Series(out)
+
+    probe_udf = pandas_udf(probe, BooleanType())
+    return candidates.withColumn("maybe_seen", probe_udf(F.col("p"), F.col("url_hash")))
+
+
+def cuckoo_prefilter(candidates: DataFrame, blobs: DataFrame) -> DataFrame:
+    """Cogroup probe for blob sets beyond the driver broadcast cap
+    (bloom.bloom_prefilter analog): each Arrow group pairs the partition's
+    candidate batch with its one blob."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def test(key, cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        if not len(blob) or blob["filter"].iloc[0] is None:
+            cand = cand.copy()
+            cand["maybe_seen"] = False
+            return cand
+        f = CuckooFilter.from_bytes(blob["filter"].iloc[0], int(blob["m_bits"].iloc[0]))
+        cand = cand.copy()
+        cand["maybe_seen"] = f.contains(cand["url_hash"].to_numpy(dtype=np.int64))
+        return cand
+
+    return candidates.groupBy("p").cogroup(blobs.groupBy("p")).applyInPandas(test, out_schema)
+
+
+def insert_filters_inplace(
+    filters: dict[int, CuckooFilter],
+    parts: np.ndarray,
+    hashes: np.ndarray,
+    spec: CuckooSpec,
+    counts: dict[int, int],
+) -> None:
+    """Driver-side steady-state maintenance: insert the wave's new
+    (budget-bounded) keys into the held filters — bloom.merge_blobs_inplace
+    analog; mutates ``filters`` and ``counts``."""
+    for part in np.unique(parts):
+        f = filters.get(int(part))
+        if f is None:
+            f = CuckooFilter(spec.n_buckets)
+            filters[int(part)] = f
+        mask = parts == part
+        f.insert(hashes[mask])
+        counts[int(part)] = f.n_items
+
+
+def delete_filters_inplace(
+    filters: dict[int, CuckooFilter],
+    parts: np.ndarray,
+    hashes: np.ndarray,
+    counts: dict[int, int],
+) -> None:
+    """THE operation Bloom cannot do: remove evicted URLs' fingerprints in
+    place — O(evicted), no rebuild. Callers only delete keys previously
+    inserted (standard cuckoo deletion contract)."""
+    for part in np.unique(parts):
+        f = filters.get(int(part))
+        if f is None:
+            continue
+        mask = parts == part
+        f.delete(hashes[mask])
+        counts[int(part)] = f.n_items

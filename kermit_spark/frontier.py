@@ -54,6 +54,16 @@ from .bloom import (
     merge_blobs_inplace,
 )
 from .catalog import SnapshotCatalog
+from .cuckoo import (
+    CuckooSpec,
+    cuckoo_prefilter,
+    cuckoo_prefilter_filters,
+    build_cuckoo,
+    delete_filters_inplace,
+    filters_from_blobs,
+    insert_filters_inplace,
+    merge_cuckoo,
+)
 from .functions.urls import host_of
 
 FRONTIER_TABLE = "frontier"
@@ -272,11 +282,26 @@ class Frontier:
         bloom_spec: BloomSpec | None = None,
         bloom_min_frontier: int = BLOOM_MIN_FRONTIER,
         bloom_commit_every: int = 8,
+        seen_filter: str = "bloom",
+        cuckoo_spec: CuckooSpec | None = None,
     ):
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         self.catalog = catalog
         self.num_partitions = num_partitions
         self.bloom_spec = bloom_spec or BloomSpec()
         self.bloom_min_frontier = bloom_min_frontier
+        # probe-structure choice (north rule: "bloom/cuckoo URL-seen, cuckoo
+        # fallback for deletions"). Bloom = default: smaller blobs, vectorized
+        # OR-merge; matches reference semantics where nothing is ever
+        # un-seen. Cuckoo = deletable fingerprints: evict() removes keys in
+        # place (O(evicted)) where Bloom must mark the blobs stale and pay
+        # one O(frontier) rebuild. Both ride the same url_seen blob table
+        # (k_hashes=0 marks cuckoo rows) and the same exactness contract —
+        # the filter is a shuffle-reduction prefilter, the anti-join is
+        # membership truth.
+        self.seen_filter = seen_filter
+        self.cuckoo_spec = cuckoo_spec or CuckooSpec()
         # blob maintenance is DEFERRED: the driver already collects the blobs
         # for the broadcast probe each wave, so new keys are OR-ed into that
         # in-process copy (zero Spark jobs) and the url_seen table is only
@@ -289,6 +314,36 @@ class Frontier:
         self._blobs_epoch = -1
         self._dirty_parts: set[int] = set()
         self._pending_cache = None  # intra-commit cache (see _dedup_candidates)
+
+    # -- seen-filter strategy (bloom | cuckoo) -----------------------------
+
+    def _build_seen(self, rows: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            return build_cuckoo(rows, self.cuckoo_spec)
+        return build_bloom(rows, self.bloom_spec)
+
+    def _probe_seen_driver(self, rows: DataFrame, state) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            return cuckoo_prefilter_filters(rows, state)
+        return bloom_prefilter_blobs(rows, state)
+
+    def _probe_seen_cogroup(self, rows: DataFrame, blob_table: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            return cuckoo_prefilter(rows, blob_table)
+        return bloom_prefilter(rows, blob_table)
+
+    def _merge_seen_inplace(self, parts, hashes) -> None:
+        if self.seen_filter == "cuckoo":
+            insert_filters_inplace(
+                self._blobs, parts, hashes, self.cuckoo_spec, self._blob_counts
+            )
+        else:
+            merge_blobs_inplace(self._blobs, parts, hashes, self.bloom_spec, self._blob_counts)
+
+    def _merge_seen_distributed(self, existing: DataFrame, new_rows: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            return merge_cuckoo(existing, new_rows, self.cuckoo_spec)
+        return merge_bloom(existing, new_rows, self.bloom_spec)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -304,7 +359,7 @@ class Frontier:
             properties={"n_rows": n, "url_epoch": 0},
         )
         if self._use_bloom(n):
-            bloom = build_bloom(rows, self.bloom_spec)
+            bloom = self._build_seen(rows)
             self.catalog.create(
                 URL_SEEN_TABLE, bloom, self.num_partitions,
                 properties={"synced_epoch": 0},
@@ -312,7 +367,7 @@ class Frontier:
         else:
             # small frontier: dedup is a plain anti-join; blobs are built on
             # demand the first time the frontier crosses the threshold
-            empty = build_bloom(rows.limit(0), self.bloom_spec)
+            empty = self._build_seen(rows.limit(0))
             self.catalog.create(
                 URL_SEEN_TABLE, empty, self.num_partitions,
                 properties={"synced_epoch": -1},
@@ -340,7 +395,7 @@ class Frontier:
             return self._blobs
         synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
         if synced != epoch:
-            bloom = build_bloom(self.read().select("p", "url_hash"), self.bloom_spec)
+            bloom = self._build_seen(self.read().select("p", "url_hash"))
             self.catalog.overwrite_partitions(
                 URL_SEEN_TABLE, bloom, range(self.num_partitions),
                 properties={"synced_epoch": epoch},
@@ -350,6 +405,8 @@ class Frontier:
             self._blobs = None
             return None
         self._blobs, self._blob_counts = state
+        if self.seen_filter == "cuckoo":
+            self._blobs = filters_from_blobs(self._blobs)
         self._blobs_epoch = epoch
         self._dirty_parts = set()
         return self._blobs
@@ -362,16 +419,28 @@ class Frontier:
         if self._blobs is None or not self._dirty_parts:
             return
         dirty = sorted(self._dirty_parts)
-        rows = [
-            (
-                p,
-                self._blobs[p][0].tobytes(),
-                self._blob_counts.get(p, 0),
-                self._blobs[p][1],
-                self._blobs[p][2],
-            )
-            for p in dirty
-        ]
+        if self.seen_filter == "cuckoo":
+            rows = [
+                (
+                    p,
+                    self._blobs[p].to_bytes(),
+                    self._blob_counts.get(p, 0),
+                    self._blobs[p].n_buckets,
+                    0,
+                )
+                for p in dirty
+            ]
+        else:
+            rows = [
+                (
+                    p,
+                    self._blobs[p][0].tobytes(),
+                    self._blob_counts.get(p, 0),
+                    self._blobs[p][1],
+                    self._blobs[p][2],
+                )
+                for p in dirty
+            ]
         df = self.catalog.spark.createDataFrame(rows, BLOOM_SCHEMA)
         self.catalog.overwrite_partitions(
             URL_SEEN_TABLE, df, dirty, properties={"synced_epoch": self._blobs_epoch}
@@ -427,11 +496,11 @@ class Frontier:
         if blobs is not None:
             # broadcast probe from the driver-held blobs keeps the candidate
             # batch un-shuffled (and skips a per-wave blob table read)
-            tagged = bloom_prefilter_blobs(rows, blobs)
+            tagged = self._probe_seen_driver(rows, blobs)
         else:
             # blob set beyond the driver cap: cogroup probe, blob shipped
             # once per partition
-            tagged = bloom_prefilter(rows, self.catalog.read(URL_SEEN_TABLE))
+            tagged = self._probe_seen_cogroup(rows, self.catalog.read(URL_SEEN_TABLE))
         # persisted: materialized once for the candidate-bloom build, reused
         # for the final union (commit_wave unpersists after the commit)
         tagged = tagged.persist()
@@ -556,12 +625,9 @@ class Frontier:
                     import numpy as np
 
                     pdf = new_rows.select("p", "url_hash").toPandas()
-                    merge_blobs_inplace(
-                        self._blobs,
+                    self._merge_seen_inplace(
                         pdf["p"].to_numpy(np.int64),
                         pdf["url_hash"].to_numpy(np.int64),
-                        self.bloom_spec,
-                        self._blob_counts,
                     )
                     self._blobs_epoch = prev_epoch + 1
                     self._dirty_parts.update(int(p) for p in pdf["p"].unique())
@@ -581,10 +647,9 @@ class Frontier:
                     if synced == prev_epoch:
                         tl = sorted(written)
                         bloom = self.catalog.read(URL_SEEN_TABLE, snapshot=None)
-                        new_bloom = merge_bloom(
+                        new_bloom = self._merge_seen_distributed(
                             bloom.filter(F.col("p").isin(tl)),
                             new_rows.select("p", "url_hash"),
-                            self.bloom_spec,
                         )
                         self.catalog.overwrite_partitions(
                             URL_SEEN_TABLE, new_bloom, tl,
@@ -677,6 +742,73 @@ class Frontier:
         partitions are rewritten."""
         self.commit_wave(updates, None, wave=0, properties=properties)
         return self.catalog.current_snapshot(FRONTIER_TABLE)
+
+    def evict(self, match: Column) -> int:
+        """Re-crawl policy: REMOVE matching rows from the frontier so those
+        URLs become *unseen* — re-discoverable and re-fetchable as if never
+        crawled. This is the operation the north rule's "cuckoo fallback for
+        deletions" exists for (the reference never un-sees a URL:
+        UrlStore.reschedule only flips status, QueueSystem.coffee:189-191 —
+        evict is the beyond-reference aging/re-crawl primitive).
+
+        Copy-on-write and partition-pruned: only partitions containing
+        matches are rewritten; ``url_epoch`` bumps so every derived
+        structure notices. Probe-filter maintenance follows the filter's
+        capability:
+
+          * ``seen_filter='cuckoo'``: evicted url_hash fingerprints are
+            deleted from the driver-held filters IN PLACE — O(evicted),
+            no rebuild; blobs flush on the normal deferred schedule.
+          * ``seen_filter='bloom'``: bitsets cannot delete, so the blobs go
+            stale and the next above-threshold use pays the one
+            O(frontier) rebuild (_ensure_blobs_current) — correct either
+            way, since the filter is only ever a prefilter and the
+            anti-join is membership truth.
+
+        Returns the number of rows evicted."""
+        import numpy as np
+
+        prev_n, epoch = self._frontier_stats()
+        hits = self.read().filter(match).select("p", "url_hash").persist()
+        per_part = hits.groupBy("p").count().collect()
+        n_evicted = int(sum(r["count"] for r in per_part))
+        if not n_evicted:
+            hits.unpersist()
+            return 0
+        parts = sorted(int(r["p"]) for r in per_part)
+        remaining = self.read().filter(F.col("p").isin(parts)).filter(~match)
+        props: dict = {"url_epoch": epoch + 1}
+        if prev_n is not None:
+            props["n_rows"] = prev_n - n_evicted
+        cuckoo_current = (
+            self.seen_filter == "cuckoo"
+            and self._blobs is not None
+            and self._blobs_epoch == epoch
+        )
+        if cuckoo_current:
+            pdf = hits.toPandas()
+        self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, remaining.select(*FRONTIER_COLS), parts, properties=props
+        )
+        if cuckoo_current:
+            delete_filters_inplace(
+                self._blobs,
+                pdf["p"].to_numpy(np.int64),
+                pdf["url_hash"].to_numpy(np.int64),
+                self._blob_counts,
+            )
+            self._blobs_epoch = epoch + 1
+            self._dirty_parts.update(parts)
+            synced = int(self.catalog.snapshot_property(URL_SEEN_TABLE).get("synced_epoch", -1))
+            if self._blobs_epoch - synced >= self.bloom_commit_every:
+                self.flush_bloom()
+        else:
+            # bloom (or stale driver state): drop the held copy; the epoch
+            # mismatch forces the documented one-time rebuild on next use
+            self._blobs = None
+            self._blobs_epoch = -1
+        hits.unpersist()
+        return n_evicted
 
     def reschedule_errors(self, max_tries: int, wave: int) -> int:
         """Q4 retry path: error rows with tries < max_tries go back to

@@ -344,3 +344,93 @@ def test_reprioritize_wires_pagerank_into_priorities(spark, frontier):
         got.filter(F.col("host") == "h0.test").orderBy("rank").first()
     )
     assert first_h0["url"] == "http://h0.test/c"
+
+
+# -- eviction / re-crawl (bloom vs cuckoo seen-filter) ----------------------
+
+
+@pytest.mark.parametrize("mode", ["bloom", "cuckoo"])
+def test_evict_unseens_urls(spark, tmp_path, mode):
+    """Frontier.evict removes matching rows AND un-sees them: the same URLs
+    re-schedule as brand new, while everything else stays deduped. Same
+    semantics under both probe filters (the filter is never membership
+    truth)."""
+    cat = SnapshotCatalog(spark, str(tmp_path / mode))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0,
+                  bloom_commit_every=100, seen_filter=mode)
+    fr.init(_urls(spark, _range_urls(0, 30)))
+    fr.schedule(_urls(spark, _range_urls(30, 60)), wave=1)
+    h0 = [u for u in _range_urls(0, 60) if u.startswith("http://h0.test/")]
+
+    n = fr.evict(F.col("host") == "h0.test")
+    assert n == len(h0) == 20
+    left = {r["url"] for r in fr.read().collect()}
+    assert left == set(_range_urls(0, 60)) - set(h0)
+    # evicted URLs are unseen again: full re-accept; the rest still dedup
+    assert fr.schedule(_urls(spark, h0), wave=2) == len(h0)
+    assert fr.schedule(_urls(spark, _range_urls(0, 60)), wave=3) == 0
+    # row-count bookkeeping survived the round trip
+    assert fr.read().count() == 60
+    # no-op evict
+    assert fr.evict(F.col("host") == "nosuch.test") == 0
+
+
+def test_evict_cuckoo_deletes_in_place_without_rebuild(spark, tmp_path):
+    """The cuckoo payoff: evict maintains the driver-held filters by
+    deleting fingerprints — no url_seen table write, no O(frontier)
+    rebuild — and dedup stays exact across the eviction."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0,
+                  bloom_commit_every=100, seen_filter="cuckoo")
+    fr.init(_urls(spark, _range_urls(0, 40)))
+    fr.schedule(_urls(spark, _range_urls(40, 50)), wave=1)  # warm driver blobs
+
+    builds = 0
+    orig = Frontier._build_seen
+
+    def counting(self, rows):
+        nonlocal builds
+        builds += 1
+        return orig(self, rows)
+
+    Frontier._build_seen = counting
+    try:
+        from kermit_spark.frontier import URL_SEEN_TABLE
+
+        seen_snap = cat.current_snapshot(URL_SEEN_TABLE)
+        assert fr.evict(F.col("host") == "h1.test") == 17
+        # deferred flush: table untouched, no rebuild triggered
+        assert cat.current_snapshot(URL_SEEN_TABLE) == seen_snap
+        assert builds == 0
+        # dedup exact THROUGH the held filters (no rebuild on schedule)
+        assert fr.schedule(_urls(spark, _range_urls(0, 50)), wave=2) == 17
+        assert builds == 0
+    finally:
+        Frontier._build_seen = orig
+
+
+def test_evict_bloom_marks_stale_then_rebuilds_once(spark, tmp_path):
+    """Bloom cannot delete: evict drops the held blobs and the next use
+    pays exactly one rebuild — correctness unchanged."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, bloom_commit_every=100)
+    fr.init(_urls(spark, _range_urls(0, 40)))
+    fr.schedule(_urls(spark, _range_urls(40, 50)), wave=1)
+
+    builds = 0
+    orig = Frontier._build_seen
+
+    def counting(self, rows):
+        nonlocal builds
+        builds += 1
+        return orig(self, rows)
+
+    Frontier._build_seen = counting
+    try:
+        assert fr.evict(F.col("host") == "h1.test") == 17
+        assert fr.schedule(_urls(spark, _range_urls(0, 50)), wave=2) == 17
+        assert builds == 1  # the one documented rebuild
+        assert fr.schedule(_urls(spark, _range_urls(0, 50)), wave=3) == 0
+        assert builds == 1  # and only one
+    finally:
+        Frontier._build_seen = orig
