@@ -254,6 +254,70 @@ def bench_dedup_vs_frontier_size(
     }
 
 
+def bench_evict(spark, sizes=(2_000_000, 8_000_000), evict_hosts: int = 25) -> dict:
+    """Re-crawl eviction probe (`python bench.py --evict`): evict 5% of the
+    frontier (25 of 500 hosts) under both seen-filter modes and time (a) the
+    evict commit and (b) the NEXT schedule, at growing frontier sizes. The
+    partition-pruned copy-on-write rewrite costs the same either way; the
+    modes diverge on probe-filter maintenance — cuckoo deletes the evicted
+    fingerprints from the driver-held filters in place (O(evicted),
+    frontier-size-independent), Bloom's stale blobs force the next schedule
+    to pay one O(frontier) rebuild that GROWS with the frontier. At 10^10
+    scale that rebuild is the difference between an aging policy you can run
+    every wave and one you batch up nightly."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import Frontier
+
+    def urls(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://h"), F.pmod(F.col("id"), F.lit(500)).cast("string"),
+                F.lit(".test/p/"), F.col("id").cast("string"), F.lit(".html"),
+            ).alias("url")
+        )
+
+    hosts = [f"h{i}.test" for i in range(evict_hosts)]
+    out: dict = {
+        "metric": "evict 5% of the frontier + next schedule, cuckoo vs bloom, vs size",
+        "points": [],
+    }
+    for n in sizes:
+        point: dict = {"frontier_size": n}
+        for mode in ("cuckoo", "bloom"):
+            root = tempfile.mkdtemp(
+                prefix=f"kermit_evict_{mode}_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+            )
+            try:
+                fr = Frontier(
+                    SnapshotCatalog(spark, root), num_partitions=32,
+                    seen_filter=mode, bloom_min_frontier=0, bloom_commit_every=10**9,
+                )
+                fr.init(urls(0, n))
+                fr.schedule(urls(n, n + 10_000), wave=1)  # warm the driver blobs
+
+                def leg_evict():
+                    t0 = time.time()
+                    n_ev = fr.evict(F.col("host").isin(hosts))
+                    return {"sec": round(time.time() - t0, 3), "evicted": n_ev}
+
+                def leg_schedule():
+                    t0 = time.time()
+                    n_new = fr.schedule(urls(n + 10_000, n + 20_000), wave=2)
+                    return {"sec": round(time.time() - t0, 3), "new": n_new}
+
+                ev = _timed_leg(leg_evict)
+                sc = _timed_leg(leg_schedule)  # bloom pays its rebuild here
+                point[mode] = {"evict": ev, "next_schedule": sc}
+                _log(f"evict[{mode} n={n}]: evict {ev['sec']}s "
+                     f"({ev['evicted']} rows), next schedule {sc['sec']}s")
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        out["points"].append(point)
+    return out
+
+
 def bench_dequeue_skew(spark, n: int = 4_000_000, budget: int = 100) -> dict:
     """Hot-domain skew probe: dequeue from a frontier where 90 % of all
     rows belong to ONE host, A/B-ing the two-level top-k (sub_salts=16)
@@ -558,6 +622,12 @@ if __name__ == "__main__":
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
                              shuffle_partitions=64)
         print(json.dumps(bench_dedup_vs_frontier_size(spark)))
+        spark.stop()
+    elif "--evict" in sys.argv:
+        os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
+        spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                             shuffle_partitions=64)
+        print(json.dumps(bench_evict(spark)))
         spark.stop()
     elif "--skew" in sys.argv:
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -61,14 +61,46 @@ class CuckooFilter:
 
     # -- operations --------------------------------------------------------
 
+    def _claim_empty_slots(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized bulk placement: write each fp into an empty slot of its
+        bucket, one winner per (bucket, slot) per round (losers retry against
+        the updated table — each round fills at least one contested slot, so
+        the loop terminates). Returns the placed mask."""
+        placed = np.zeros(len(buckets), dtype=bool)
+        pending = np.arange(len(buckets))
+        while len(pending):
+            bb = buckets[pending]
+            empties = self.table[bb] == _EMPTY  # (m, 4)
+            has = empties.any(axis=1)
+            if not has.any():
+                break
+            idx = pending[has]
+            slot = empties[has].argmax(axis=1)
+            key = bb[has] * _SLOTS + slot
+            _, first = np.unique(key, return_index=True)
+            winners, wslot = idx[first], slot[first]
+            self.table[buckets[winners], wslot] = fps[winners]
+            placed[winners] = True
+            pending = idx[~np.isin(idx, winners)]
+        return placed
+
     def insert(self, keys: np.ndarray) -> int:
         """Insert keys; returns number inserted (raises if the filter is too
-        full to place a key after MAX_KICKS evictions)."""
+        full to place a key after MAX_KICKS evictions). Bulk-vectorized:
+        empty-slot placement in bucket1 then bucket2 handles ~everything at
+        sane load factors; only keys finding both buckets full take the
+        per-key cuckoo kick loop."""
         fps = self._fingerprint(keys)
         b1s = self._bucket1(keys)
-        inserted = 0
-        for fp, b1 in zip(fps, b1s):
-            if self._insert_one(np.uint8(fp), int(b1)):
+        b2s = self._alt_bucket(b1s, fps)
+        placed = self._claim_empty_slots(b1s, fps)
+        rem = ~placed
+        if rem.any():
+            placed2 = self._claim_empty_slots(b2s[rem], fps[rem])
+            placed[np.flatnonzero(rem)[placed2]] = True
+        inserted = int(placed.sum())
+        for i in np.flatnonzero(~placed):
+            if self._insert_one(np.uint8(fps[i]), int(b1s[i])):
                 inserted += 1
         self.n_items += inserted
         return inserted
@@ -101,25 +133,44 @@ class CuckooFilter:
         in2 = (self.table[b2] == fps[:, None]).any(axis=1)
         return in1 | in2
 
+    def _clear_matching_slots(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized bulk deletion: clear ONE slot matching fp per request,
+        one winner per (bucket, slot) per round (losers retry — a second
+        request for the same fp either finds another matching slot next
+        round or drops out). Returns the cleared mask."""
+        cleared = np.zeros(len(buckets), dtype=bool)
+        pending = np.arange(len(buckets))
+        while len(pending):
+            bb = buckets[pending]
+            matches = self.table[bb] == fps[pending][:, None]  # (m, 4)
+            has = matches.any(axis=1)
+            if not has.any():
+                break
+            idx = pending[has]
+            slot = matches[has].argmax(axis=1)
+            key = bb[has] * _SLOTS + slot
+            _, first = np.unique(key, return_index=True)
+            winners, wslot = idx[first], slot[first]
+            self.table[buckets[winners], wslot] = _EMPTY
+            cleared[winners] = True
+            pending = idx[~np.isin(idx, winners)]
+        return cleared
+
     def delete(self, keys: np.ndarray) -> int:
         """Remove one matching fingerprint per key; returns number removed.
         (Deleting a never-inserted key can evict a colliding entry — the
-        standard cuckoo caveat; callers only delete keys they inserted.)"""
+        standard cuckoo caveat; callers only delete keys they inserted.)
+        Bulk-vectorized like insert: bucket1 pass, then bucket2 for the
+        remainder."""
         fps = self._fingerprint(keys)
         b1s = self._bucket1(keys)
         b2s = self._alt_bucket(b1s, fps)
-        removed = 0
-        for fp, b1, b2 in zip(fps, b1s, b2s):
-            done = False
-            for b in (int(b1), int(b2)):
-                slots = np.where(self.table[b] == fp)[0]
-                if len(slots):
-                    self.table[b, slots[0]] = _EMPTY
-                    removed += 1
-                    done = True
-                    break
-            if done:
-                continue
+        cleared = self._clear_matching_slots(b1s, fps)
+        rem = ~cleared
+        if rem.any():
+            cleared2 = self._clear_matching_slots(b2s[rem], fps[rem])
+            cleared[np.flatnonzero(rem)[cleared2]] = True
+        removed = int(cleared.sum())
         self.n_items -= removed
         return removed
 
