@@ -168,6 +168,11 @@ class CrawlConfig:
     # adaptive politeness: back off hosts with elevated error rates (one
     # batch-sized aggregation per wave when enabled). None = static budgets.
     error_backoff: ErrorBackoff | None = None
+    # re-crawl freshness policy: visited rows older than k waves flip back
+    # to scheduled (Frontier.recrawl — URL stays seen; wave clock resets on
+    # flip so each URL re-fetches every ~k waves). 0 = off. With a policy
+    # active the crawl is perpetual — bounded by max_waves, not hasWork.
+    recrawl_after_waves: int = 0
 
 
 @dataclass
@@ -676,11 +681,29 @@ class Crawler:
         if _ab_pin:
             self.spark.conf.set(_ab_key, "512")
         try:
-            while len(stats) < cap:
+            # Under a recrawl policy the crawl is perpetual: an empty wave is
+            # an idle TICK (the virtual clock `last_wave + 1 + idle` keeps
+            # advancing so visited rows still age while the frontier is
+            # drained), not termination. Every iteration — fetching or idle —
+            # consumes cap, so the loop always terminates. Without a policy
+            # the classic Q11 hasWork semantics are unchanged.
+            idle = 0
+            ticks = 0
+            while ticks < cap:
+                ticks += 1
                 if remote is not None:
                     remote.drain_schedules(wave=self.last_wave + 1)
+                if self.config.recrawl_after_waves:
+                    clock = self.last_wave + 1 + idle
+                    self.frontier.recrawl(
+                        F.col("wave") <= clock - self.config.recrawl_after_waves,
+                        wave=clock,
+                    )
                 s = self.run_wave()
                 if s.n_selected == 0:
+                    if self.config.recrawl_after_waves:
+                        idle += 1
+                        continue
                     break
                 stats.append(s)
                 if s.stop_requested:

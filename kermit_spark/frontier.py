@@ -598,8 +598,25 @@ class Frontier:
         for piece in pieces[1:]:
             out = out.unionByName(piece)
 
+        observed = {}
+
+        def n_new_of() -> int:
+            if obs is None:
+                return 0
+            if "n_new" not in observed:
+                try:
+                    observed["n_new"] = int(obs.get["n_new"])
+                except Exception:
+                    # AQE's empty-relation propagation can elide the
+                    # CollectMetrics node when the dedup output is provably
+                    # empty (plain anti-join path, all candidates seen) —
+                    # the metrics row never materializes and obs.get throws.
+                    # Recount the plan: one cheap job, only on this rare path.
+                    observed["n_new"] = new_rows.count()
+            return observed["n_new"]
+
         def stats_props() -> dict:
-            n = int(obs.get["n_new"]) if obs is not None else 0
+            n = n_new_of()
             extra = {"url_epoch": prev_epoch + (1 if n else 0)}
             if prev_n is not None:
                 extra["n_rows"] = prev_n + n
@@ -613,7 +630,7 @@ class Frontier:
             FRONTIER_TABLE, out, replace_parts,
             properties=dict(properties or {}), extra_properties=stats_props,
         )
-        n_new = int(obs.get["n_new"]) if obs is not None else 0
+        n_new = n_new_of()
         if new_rows is not None:
             if use_bloom and n_new:
                 if self._blobs is not None and self._blobs_epoch == prev_epoch:
@@ -777,7 +794,10 @@ class Frontier:
             return 0
         parts = sorted(int(r["p"]) for r in per_part)
         remaining = self.read().filter(F.col("p").isin(parts)).filter(~match)
-        props: dict = {"url_epoch": epoch + 1}
+        # carry the current snapshot's properties forward (wave, stats —
+        # per-snapshot in the catalog, an overwrite would drop them)
+        props = dict(self.catalog.snapshot_property(FRONTIER_TABLE))
+        props["url_epoch"] = epoch + 1
         if prev_n is not None:
             props["n_rows"] = prev_n - n_evicted
         cuckoo_current = (
@@ -809,6 +829,45 @@ class Frontier:
             self._blobs_epoch = -1
         hits.unpersist()
         return n_evicted
+
+    def recrawl(self, match: Column, wave: int) -> int:
+        """Re-crawl WITHOUT forgetting: matching VISITED rows flip back to
+        scheduled with their ``wave`` reset to ``wave`` (restarting the age
+        clock), keeping the URL seen — dedup semantics untouched, no probe-
+        filter maintenance at all (the reference's reschedule is exactly
+        this status flip, QueueSystem.coffee:189-191). Use evict() instead
+        when the URL must be re-DISCOVERABLE (content gone, host reset).
+
+        Partition-pruned copy-on-write like every frontier mutation; cost
+        is one rewrite of the partitions containing aged rows, so run it at
+        the policy cadence (CrawlConfig.recrawl_after_waves), not per wave.
+        Returns the number of rows rescheduled."""
+        flip = match & (F.col("status") == VISITED)
+        hits = self.read().filter(flip).select("p")
+        per_part = hits.groupBy("p").count().collect()
+        n = int(sum(r["count"] for r in per_part))
+        if not n:
+            return 0
+        parts = sorted(int(r["p"]) for r in per_part)
+        # materialize the flip predicate BEFORE mutating wave/status: match
+        # may reference either column (age policies match on wave)
+        rewritten = (
+            self.read()
+            .filter(F.col("p").isin(parts))
+            .withColumn("_flip", flip)
+            .withColumn("wave", F.when(F.col("_flip"), F.lit(wave)).otherwise(F.col("wave")))
+            .withColumn(
+                "status",
+                F.when(F.col("_flip"), F.lit(SCHEDULED)).otherwise(F.col("status")),
+            )
+        )
+        self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, rewritten.select(*FRONTIER_COLS), parts,
+            # membership unchanged: same epoch/stats; properties are
+            # per-snapshot so they must be restated or they vanish
+            properties=dict(self.catalog.snapshot_property(FRONTIER_TABLE)),
+        )
+        return n
 
     def reschedule_errors(self, max_tries: int, wave: int) -> int:
         """Q4 retry path: error rows with tries < max_tries go back to

@@ -199,8 +199,13 @@ def gopher_features(
             )
         ).alias("u"),
     ).select(did, F.col("u.unit").alias("unit"), F.col("u.value").alias("value"))
-    counts = tagged.groupBy(id_col, "unit", "value").agg(
-        F.count(F.lit(1)).alias("cnt"), F.length(F.first("value")).alias("vlen")
+    # count() only: a long buffer keeps this stage a HashAggregate (a
+    # first(value) here would drag it to SortAggregate); vlen derives from
+    # the group key afterwards for free
+    counts = (
+        tagged.groupBy(id_col, "unit", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("vlen", F.length("value"))
     )
     is_line, is_top, is_dup = (F.col("unit") == u for u in ("line", "gtop", "gdup"))
     rep = counts.groupBy(id_col).agg(

@@ -455,3 +455,39 @@ def test_error_backoff_halves_failing_host_budget(spark, tmp_path_factory):
     assert c._error_backoff_caps(wave=5) is not None
     last_exp = max(exp for _, exp in c._backoff.values())
     assert c._error_backoff_caps(wave=last_exp + 1) is None
+
+
+def test_recrawl_policy_refetches_aged_pages(spark, tmp_path_factory):
+    """Freshness policy e2e: with recrawl_after_waves=2 the same URLs are
+    re-fetched every ~2 waves (documents accumulate one row per fetch),
+    politeness budget still bounds every wave, and the crawl runs to the
+    max_waves cap instead of draining."""
+    rows = [
+        (f"http://fresh.test/p/{i}", 200, "text/html", f"page {i} plain") for i in range(4)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 4),)),
+        sub_salts=2,
+        obey_robots=False,
+        recrawl_after_waves=2,
+        max_waves=5,
+    )
+    root = str(tmp_path_factory.mktemp("recrawl"))
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed([r[0] for r in rows])
+    stats = c.crawl()
+    # 5 ticks = fetch, idle, re-fetch, idle, re-fetch (idle ticks advance the
+    # virtual age clock; only fetching waves produce stats)
+    assert len(stats) == 3
+    fetch_counts = {
+        r["url"]: r["count"] for r in c.documents().groupBy("url").count().collect()
+    }
+    assert set(fetch_counts) == {r[0] for r in rows}
+    assert all(n >= 2 for n in fetch_counts.values())  # every page re-fetched
+    # politeness never exceeded in any wave
+    per_wave = c.documents().groupBy("p", "host").count().collect()
+    assert all(r["count"] <= 4 for r in per_wave)

@@ -434,3 +434,28 @@ def test_evict_bloom_marks_stale_then_rebuilds_once(spark, tmp_path):
         assert builds == 1  # and only one
     finally:
         Frontier._build_seen = orig
+
+
+def test_recrawl_flips_visited_and_resets_age_clock(spark, tmp_path):
+    """Frontier.recrawl: matching VISITED rows go back to scheduled with
+    wave reset; URL stays seen (dedup unchanged); scheduled/error rows and
+    non-matching rows untouched."""
+    fr = Frontier(SnapshotCatalog(spark, str(tmp_path / "cat")), num_partitions=4)
+    fr.init(_urls(spark, _range_urls(0, 12)))  # wave 0
+    rows = fr.read().filter(F.col("url") < "http://h0.test/9")  # subset
+    fr.update_status(rows.select("p", "url_hash", "url", F.lit(VISITED).alias("new_status")))
+    visited = {r["url"] for r in fr.read().filter(F.col("status") == VISITED).collect()}
+    assert visited
+
+    n = fr.recrawl(F.col("wave") <= 0, wave=5)
+    assert n == len(visited)
+    after = {r["url"]: (r["status"], r["wave"]) for r in fr.read().collect()}
+    for u in visited:
+        assert after[u] == (SCHEDULED, 5)  # flipped, clock reset
+    for u, (st, w) in after.items():
+        if u not in visited:
+            assert (st, w) == (SCHEDULED, 0)  # untouched
+    # still seen: re-scheduling the same URLs adds nothing
+    assert fr.schedule(_urls(spark, _range_urls(0, 12)), wave=6) == 0
+    # age predicate respects the reset clock: nothing older than wave 4 now
+    assert fr.recrawl(F.col("wave") <= 4, wave=7) == 0

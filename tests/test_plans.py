@@ -159,3 +159,28 @@ def test_wholestage_codegen_covers_frontier_scan(frontier):
     df = frontier.read().filter(F.col("status") == "scheduled")
     # '*(n)' prefixes mark whole-stage-codegen stages in the compact plan
     assert "*(1)" in _plan(df)
+
+
+def test_gopher_features_plan_shape(spark, tmp_path_factory):
+    """Gopher rules at scale: the plan must (a) stay fully JVM-side (no
+    Python evaluation nodes), (b) prune the parquet scan to (doc_id, text),
+    (c) use hash aggregates for both occurrence-count stages (no sort-based
+    fallback on the hot path)."""
+    from kermit_spark.ops.text import gopher_features
+
+    path = str(tmp_path_factory.mktemp("gopher")) + "/docs.parquet"
+    spark.createDataFrame(
+        [(i, f"some words {i} here", "x" * 10, i) for i in range(50)],
+        "doc_id long, text string, extra string, n long",
+    ).write.parquet(path)
+    df = gopher_features(spark.read.parquet(path).select("doc_id", "text"))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    formatted = _explain_formatted(df)
+    # column pruning reaches the scan: the untouched columns never load
+    assert "extra" not in formatted.split("ReadSchema")[1][:200]
+    # occurrence counting (the big stage — one row per line/gram) is a
+    # HashAggregate; the tiny per-doc rollup uses a struct-max tie-break
+    # whose string-bearing buffer legitimately plans as SortAggregate
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
