@@ -561,6 +561,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT IVF path (ops.similarity.build_ivf_index +
+    ivf_index_topk): the corpus is written into catalog tables partitioned
+    BY CELL, and the search reads only the probed cells (partition-pruned
+    scan — no full-corpus join, no assignment recompute). Output is
+    bit-identical to ivf_topk with the same parameters, so this row shares
+    the SAME DuckDB oracle as ann_ivf_topk — certifying that the index
+    round-trip changes the plan, never the answer."""
+    import tempfile
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.similarity import build_ivf_index, ivf_index_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("id") < 8)
+    tmp = tempfile.mkdtemp(prefix="kermit_ivf_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    try:
+        cat = SnapshotCatalog(spark, tmp)
+        build_ivf_index(cat, emb, n_centroids=16)
+        out = ivf_index_topk(cat, queries, k=5, n_probe=4).orderBy("query_id", "rnk")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed multi-probe ANN through the REAL library op
     (ops.similarity.lsh_topk). The hyperplanes are md5-derived (engine-
@@ -895,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index": q_ann_ivf_index,
         # text analysis
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1543,6 +1572,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle(num_planes=6, k=5),
         "ann_ivf_topk": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),
+        # the persistent-index path returns bit-identical results, so it
+        # shares the transient IVF oracle (index round-trip certified)
+        "ann_ivf_index": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id,

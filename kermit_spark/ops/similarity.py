@@ -157,6 +157,36 @@ def ivf_topk(
     table), assignment is one JVM scan of the corpus, the probe join is an
     equi-join on the cell id with the (tiny) probe set broadcast.
     """
+    # deterministic md5-sample centroids; LEFT-fold norms (not numpy
+    # pairwise sums) keep the scores bit-identical to the DuckDB oracle's
+    # list_reduce association. Corpus cell = FIRST index of the max
+    # similarity (ties -> lowest cell, the same order the oracle's
+    # (sim DESC, cell ASC) window picks). Shared with the persistent index
+    # (build_ivf_index) so the two paths cannot drift.
+    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    cell_expr, probes_of = _cell_and_probes(cents, vec_col, n_probe)
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("cvec"),
+        cell_expr.alias("cell"),
+    )
+    probes = probes_of(queries, id_col)
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qvec", "cvec"), round_digits).alias("score"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def _centroids_of(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """The deterministic centroid sample shared by ivf_topk and the
+    persistent index: corpus vectors with the smallest md5(id)."""
     cent_rows = (
         corpus.select(
             F.col(id_col).alias("cid"),
@@ -167,7 +197,13 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
-    cents = [list(r["cv"]) for r in cent_rows]
+    return [list(r["cv"]) for r in cent_rows]
+
+
+def _cell_and_probes(cents, vec_col: str, n_probe: int):
+    """(corpus cell expr, probe-per-query builder) for a fixed centroid list
+    — one code path for transient ivf_topk and the persistent index."""
+    import math
 
     def cos_lit(vcol, cent):
         plane = F.array(*[F.lit(float(x)) for x in cent])
@@ -175,37 +211,92 @@ def ivf_topk(
             F.zip_with(vcol, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
         nv = F.sqrt(F.aggregate(vcol, F.lit(0.0), lambda a, x: a + x * x))
-        # LEFT-fold norm (not numpy pairwise sum): bit-identical to the
-        # DuckDB oracle's list_reduce association
         sq = 0.0
         for x in cent:
             sq += float(x) * float(x)
-        import math
-
         return dot / (nv * F.lit(math.sqrt(sq)))
 
     v = F.col(vec_col).cast("array<double>")
     sims_arr = F.array(*[cos_lit(v, c) for c in cents])
-    # corpus cell = FIRST index of the max similarity (ties -> lowest cell,
-    # the same order the oracle's (sim DESC, cell ASC) window picks)
-    c = corpus.select(
+    cell_expr = (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int")
+
+    def probes_of(queries: DataFrame, id_col: str) -> DataFrame:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            v.alias("qvec"),
+            F.posexplode(sims_arr).alias("cell", "sim"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        return (
+            q.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "qvec", "cell")
+        )
+
+    return cell_expr, probes_of
+
+
+def build_ivf_index(
+    catalog,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    prefix: str = "ivf",
+) -> None:
+    """Persist an IVF index into the snapshot catalog — the build-once /
+    search-many form of :func:`ivf_topk`:
+
+      {prefix}_centroids  (p=cell, cell, centroid:array<double>) — tiny.
+      {prefix}_cells      (p=cell, neighbor_id, cvec) — the corpus
+                          PARTITIONED BY CELL.
+
+    The at-scale payoff is the partitioning: a search reads ONLY the probed
+    cells' files (catalog partition pruning — the same mechanism the
+    frontier's p column uses), so per-query scan cost is
+    ~n_probe/n_centroids of the corpus with no assignment recompute and no
+    full-corpus join. Rebuild on corpus snapshot changes (centroids are the
+    deterministic md5 sample, so rebuilds are reproducible)."""
+    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    cell_expr, _ = _cell_and_probes(cents, vec_col, n_probe=1)
+    cent_df = spark.createDataFrame(
+        [(i, i, c) for i, c in enumerate(cents)],
+        "p int, cell int, centroid array<double>",
+    )
+    catalog.create(f"{prefix}_centroids", cent_df, n_centroids)
+    assigned = corpus.select(
+        cell_expr.alias("p"),
         F.col(id_col).alias("neighbor_id"),
-        v.alias("cvec"),
-        (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        v.alias("qvec"),
-        F.posexplode(sims_arr).alias("cell", "sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    probes = (
-        q.withColumn("_pr", F.row_number().over(wp))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qvec", "cell")
-    )
+    catalog.create(f"{prefix}_cells", assigned, n_centroids)
+
+
+def ivf_index_topk(
+    catalog,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    prefix: str = "ivf",
+) -> DataFrame:
+    """Search a :func:`build_ivf_index` index. Output is IDENTICAL to
+    ivf_topk(corpus, queries, ...) with the same parameters (same centroid
+    sample, assignment, probe order, scoring) — but the corpus side is a
+    partition-pruned read of the probed cells only."""
+    cent_rows = catalog.read("%s_centroids" % prefix).orderBy("cell").collect()
+    cents = [list(r["centroid"]) for r in cent_rows]
+    _, probes_of = _cell_and_probes(cents, vec_col, n_probe)
+    probes = probes_of(queries, id_col)
+    # the distinct probed cells (≤ n_centroids values) drive partition
+    # pruning on the cells table — the scan never touches unprobed cells
+    probe_cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    cells = catalog.read(f"{prefix}_cells").filter(F.col("p").isin(probe_cells))
     scored = (
-        c.join(F.broadcast(probes), on="cell")
+        cells.join(F.broadcast(probes), cells["p"] == probes["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

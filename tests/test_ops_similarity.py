@@ -106,3 +106,29 @@ def test_ivf_full_probe_equals_exact(spark, emb):
     exact = brute_force_topk(emb, queries, k=K)
     full = ivf_topk(emb, queries, k=K, n_centroids=8, n_probe=8)
     assert recall_at_k(exact, full) == 1.0
+
+
+def test_ivf_index_matches_transient_ivf(spark, emb, tmp_path):
+    """The persistent index (build_ivf_index + ivf_index_topk) returns the
+    EXACT same result as the transient ivf_topk — same centroids,
+    assignments, probes, scores — while reading only probed cells."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.similarity import build_ivf_index, ivf_index_topk, ivf_topk
+
+    queries = emb.filter(F.col("id") < 8)
+    transient = sorted(
+        tuple(r) for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).collect()
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "ivf"))
+    build_ivf_index(cat, emb, n_centroids=8)
+    indexed = sorted(
+        tuple(r) for r in ivf_index_topk(cat, queries, k=5, n_probe=3).collect()
+    )
+    assert indexed == transient
+    # the probe scan is partition-pruned: fewer probed cells than centroids
+    # means a filtered read plan with a p-restricted PartitionFilters set
+    probes = ivf_index_topk(cat, queries.limit(1), k=5, n_probe=2)
+    plan = probes._sc._jvm.PythonSQLUtils.explainString(
+        probes._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
