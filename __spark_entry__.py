@@ -703,6 +703,41 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking through the REAL library op
+    (ops.text.chunk_documents: 16-token windows, 4-token overlap, covered
+    tail windows dropped) — same word/window definitions as the oracle's
+    generate_series construction."""
+    from kermit_spark.ops.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4).orderBy("doc_id", "chunk_id")
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics through the REAL library op
+    (ops.text.corpus_vocabulary): top-50 lowercased terms by total
+    occurrences (ties by term), with document frequency; Gopher stopwords
+    excluded — the oracle repeats the same exclusion list."""
+    from kermit_spark.ops.text import corpus_vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return corpus_vocabulary(docs, top_k=50)
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing through the REAL library op
+    (ops.text.pack_sequences, 256-token bins, sharded by source) — the
+    inherently-sequential per-shard scan runs as applyInPandas; the DuckDB
+    oracle replays the identical greedy recurrence as a recursive CTE."""
+    from kermit_spark.ops.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "text"
+    )
+    return pack_sequences(docs, max_tokens=256, by="source").orderBy("source", "doc_id")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -931,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
         "text_redact": q_text_redact,
+        "text_chunks": q_text_chunks,
+        "corpus_vocab": q_corpus_vocab,
+        "text_pack": q_text_pack,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1625,6 +1663,69 @@ def oracle_sql() -> dict[str, str]:
                            generate_series(1, greatest(length(text) - 7, 1)),
                            i -> md5(substring(text, i, 8))))))[1:4], '') AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # chunking: same word split + window starts as chunk_documents
+        # (16-token windows, step 12, covered-tail filter)
+        "text_chunks": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                   w -> length(w) > 0) AS words
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, words, s
+                FROM base, unnest(generate_series(1, greatest(len(words), 1), 12)) AS u(s)
+                WHERE len(words) > 0
+            )
+            SELECT doc_id,
+                   (s - 1) // 12 AS chunk_id,
+                   least(16, len(words) - s + 1) AS n_tokens,
+                   array_to_string(words[s:s+15], ' ') AS chunk
+            FROM st
+            WHERE (s - 1) // 12 = 0 OR least(16, len(words) - s + 1) > 4
+            ORDER BY doc_id, chunk_id
+        """,
+        # vocabulary: same lowercased word tokens and stopword exclusion as
+        # corpus_vocabulary; deterministic top-k (tf DESC, term ASC)
+        "corpus_vocab": r"""
+            WITH t AS (
+                SELECT doc_id, lower(w) AS term
+                FROM documents,
+                     unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                        w -> length(w) > 0)) AS u(w)
+            )
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df_count
+            FROM t
+            WHERE term NOT IN ('the','be','to','of','and','that','have','with')
+            GROUP BY term
+            ORDER BY tf DESC, term ASC
+            LIMIT 50
+        """,
+        # packing: the identical greedy recurrence (per source, doc_id
+        # order, 256-token bins, overflow starts a new bin) replayed as a
+        # recursive CTE — one recursion row per (source, rank) step
+        "text_pack": r"""
+            WITH RECURSIVE toks AS (
+                SELECT source, doc_id,
+                       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0))::INT AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            rec(source, rn, doc_id, n_tokens, bin_id, bin_tokens) AS (
+                SELECT source, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                            THEN r.bin_id ELSE r.bin_id + 1 END,
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                            THEN r.bin_tokens + t.n_tokens ELSE t.n_tokens END
+                FROM rec r JOIN toks t ON t.source = r.source AND t.rn = r.rn + 1
+            )
+            SELECT source, doc_id, n_tokens, bin_id
+            FROM rec ORDER BY source, doc_id
         """,
         # PII redaction: generated from the SAME PII_PATTERNS constant the
         # library op applies, in the same order, with the same injection.

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from ..udf import session_safe_pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 # small, discriminative stopword sets (word-boundary regexes below).
 # THE canonical marker constant: __spark_entry__ queries and their DuckDB
@@ -270,6 +270,126 @@ def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     frame carries only the computed columns)."""
     keep = gopher_features(df, text_col, id_col).filter(F.col("gopher_pass")).select(id_col)
     return df.join(keep, id_col, "semi")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into word-token windows of ``chunk_tokens`` with
+    ``overlap`` tokens of context carried between consecutive chunks — the
+    standard pre-training / RAG chunking step. Pure JVM (split + sequence +
+    posexplode): map-side only, no shuffle, no Python.
+
+    Chunk starts are 1, 1+step, 1+2*step, ... (step = chunk_tokens -
+    overlap) up to the last index holding at least one token; docs with no
+    tokens yield no rows, and a tail window of ≤ overlap tokens is dropped
+    (it is entirely contained in its predecessor). Output: (doc_id,
+    chunk_id, n_tokens, chunk)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.expr(
+        f"filter(split(coalesce({text_col}, '')," + r" '\\s+'), w -> length(w) > 0)"
+    )
+    starts = F.expr(
+        f"case when size(_words) > 0 then sequence(1, size(_words), {step}) "
+        "else array() end"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_words"))
+        .select(F.col(id_col), F.col("_words"), F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.least(
+                F.lit(chunk_tokens), F.size("_words") - F.col("_start") + 1
+            ).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("_words", F.col("_start"), chunk_tokens)).alias("chunk"),
+        )
+        .filter((F.col("chunk_id") == 0) | (F.col("n_tokens") > overlap))
+    )
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Corpus-level vocabulary statistics: per-term total occurrences and
+    document frequency (lowercased word tokens, stopwords excluded), as a
+    deterministic top-k (tf DESC, term ASC). Explode → hash aggregate on
+    the fine-grained term key → TakeOrdered top-k; the per-(doc, term)
+    distinct for df_count is a partial-aggregated hash agg, never a global
+    sort. Output: (term, tf, df_count)."""
+    words = F.expr(
+        f"filter(split(coalesce({text_col}, '')," + r" '\\s+'), w -> length(w) > 0)"
+    )
+    terms = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(words).alias("_w"))
+        .select("_doc", F.lower(F.col("_w")).alias("term"))
+        .filter(~F.col("term").isin(*exclude))
+    )
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col("_doc")).alias("df_count"),
+    )
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_k)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 256,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing — the pre-training batching step that fills
+    fixed-size token budgets with whole documents. Within each ``by`` group
+    (the packing shard — sources, or any sharding column), documents in
+    ``id_col`` order are appended to the current bin; a document that would
+    overflow ``max_tokens`` starts the next bin (an oversized document gets
+    a bin of its own). Deterministic by construction.
+
+    Packing is inherently sequential WITHIN a shard, so the scan runs as
+    ``applyInPandas`` per group — one Arrow batch per shard, a tight loop
+    over per-document token counts (counted JVM-side beforehand; Python
+    never touches text). Shards are the parallelism unit at scale: 10⁵
+    shards pack concurrently. Output: (by, id, n_tokens, bin_id)."""
+    import pandas as pd
+
+    words = F.expr(
+        f"filter(split(coalesce({text_col}, '')," + r" '\\s+'), w -> length(w) > 0)"
+    )
+    base = df.select(
+        F.col(by), F.col(id_col), F.size(words).cast("int").alias("n_tokens")
+    )
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("bin_id", LongType(), False)]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = np.zeros(len(pdf), dtype=np.int64)
+        cur, tot = 0, 0
+        for i, n in enumerate(pdf["n_tokens"].to_numpy()):
+            if i == 0:
+                tot = int(n)
+            elif tot + int(n) <= max_tokens:
+                tot += int(n)
+            else:
+                cur += 1
+                tot = int(n)
+            bins[i] = cur
+        pdf["bin_id"] = bins
+        return pdf
+
+    return base.groupBy(by).applyInPandas(pack, out_schema)
 
 
 # PII redaction — regex patterns restricted to the Java-regex ∩ RE2 common

@@ -236,3 +236,84 @@ def test_redact_pii_matches_python_re(spark):
     assert got[3]["n_phone"] == 2 and "<PHONE>" in got[3]["text_redacted"]
     assert got[4]["text_redacted"] == PII_DOCS[4][1]
     assert got[5]["text_redacted"] == ""
+
+
+# ---------------------------------------------------------------------------
+# chunking / vocabulary / sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from kermit_spark.ops.text import chunk_documents
+
+    words20 = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, words20), (1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 0: starts 1,7,13,19 -> last has 2 tokens <= overlap, dropped
+    assert sorted(c for d, c in rows if d == 0) == [0, 1, 2]
+    assert rows[(0, 0)]["chunk"] == " ".join(f"w{i}" for i in range(8))
+    assert rows[(0, 1)]["chunk"] == " ".join(f"w{i}" for i in range(6, 14))
+    assert rows[(0, 2)]["n_tokens"] == 8
+    # short doc: one chunk, its own size
+    assert rows[(1, 0)]["chunk"] == "a b c" and rows[(1, 0)]["n_tokens"] == 3
+    # empty/null docs: no rows
+    assert not any(d in (2, 3) for d, _ in rows)
+    # overlap tokens are shared between consecutive chunks
+    tail = rows[(0, 0)]["chunk"].split()[-2:]
+    head = rows[(0, 1)]["chunk"].split()[:2]
+    assert tail == head
+
+
+def test_corpus_vocabulary_topk(spark):
+    from kermit_spark.ops.text import corpus_vocabulary
+
+    df = spark.createDataFrame(
+        [
+            (0, "Apple banana apple CHERRY the and"),
+            (1, "apple cherry cherry dates"),
+            (2, "banana apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r["term"], r["tf"], r["df_count"]) for r in corpus_vocabulary(df, top_k=3).collect()]
+    # 'the'/'and' excluded; apple tf=4 df=3; cherry tf=3 df=2; banana tf=2 df=2
+    assert out == [("apple", 4, 3), ("cherry", 3, 2), ("banana", 2, 2)]
+
+
+def test_pack_sequences_greedy_bins(spark):
+    from kermit_spark.ops.text import pack_sequences
+
+    def doc(n):  # n whitespace tokens
+        return " ".join("x" for _ in range(n))
+
+    rows = [
+        ("s1", 0, doc(100)), ("s1", 1, doc(100)), ("s1", 2, doc(60)),
+        ("s1", 3, doc(300)),  # oversized: own bin
+        ("s1", 4, doc(10)),
+        ("s2", 0, doc(256)), ("s2", 1, doc(1)),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in pack_sequences(df, max_tokens=256).collect()
+    }
+    # s1: [100+100+60... 100+100=200, +60=260>256 -> doc2 starts bin1; doc3
+    # 300 overflows bin1 (60+300) -> bin2 alone; doc4 10 overflows? 300+10
+    # > 256 -> bin3
+    assert out[("s1", 0)] == 0 and out[("s1", 1)] == 0
+    assert out[("s1", 2)] == 1
+    assert out[("s1", 3)] == 2
+    assert out[("s1", 4)] == 3
+    # s2: exact fit keeps bin, next doc overflows
+    assert out[("s2", 0)] == 0 and out[("s2", 1)] == 1
+    # invariant: no bin exceeds max_tokens unless it is a single oversized doc
+    from collections import defaultdict
+    tot = defaultdict(int); cnt = defaultdict(int)
+    for r in pack_sequences(df, max_tokens=256).collect():
+        tot[(r["source"], r["bin_id"])] += r["n_tokens"]
+        cnt[(r["source"], r["bin_id"])] += 1
+    for k, t in tot.items():
+        assert t <= 256 or cnt[k] == 1
