@@ -184,3 +184,17 @@ def test_gopher_features_plan_shape(spark, tmp_path_factory):
     # whose string-bearing buffer legitimately plans as SortAggregate
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    """Chunking must stay a zero-shuffle JVM map stage: no Python nodes,
+    no Exchange — at 100 TB it pipelines with the scan."""
+    from kermit_spark.ops.text import chunk_documents
+
+    df = chunk_documents(
+        spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string"),
+        chunk_tokens=4, overlap=1,
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
