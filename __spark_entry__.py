@@ -738,6 +738,18 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, max_tokens=256, by="source").orderBy("source", "doc_id")
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF through the REAL library op (ops.text.tfidf_terms,
+    smoothed-idf, portable half-up rounding); corpus size rides the plan as
+    a broadcast one-row count. The oracle repeats tf * (ln((N+1)/(df+1))+1)
+    with explicit DOUBLE casts (DuckDB '/' on integers is integer
+    division)."""
+    from kermit_spark.ops.text import tfidf_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return tfidf_terms(docs, min_df=2).orderBy("doc_id", "term")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -969,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
+        "text_tfidf": q_text_tfidf,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1726,6 +1739,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tokens, bin_id
             FROM rec ORDER BY source, doc_id
+        """,
+        # TF-IDF: same tokenization; smoothed idf with explicit DOUBLE
+        # casts (integer '/' differs between engines); half-up rounding
+        "text_tfidf": r"""
+            WITH t AS (
+                SELECT doc_id, lower(w) AS term
+                FROM documents,
+                     unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                        w -> length(w) > 0)) AS u(w)
+            ),
+            dt AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            tdf AS (
+                SELECT term, count(*) AS df_count FROM dt GROUP BY term
+                HAVING count(*) >= 2
+            ),
+            n AS (SELECT count(*) AS _n FROM documents)
+            SELECT doc_id, term, tf, df_count,
+                   floor((tf * (ln((_n + 1)::DOUBLE / (df_count + 1)) + 1.0))
+                         * 10000.0 + 0.5) / 10000.0 AS score
+            FROM dt JOIN tdf USING (term), n
+            ORDER BY doc_id, term
         """,
         # PII redaction: generated from the SAME PII_PATTERNS constant the
         # library op applies, in the same order, with the same injection.

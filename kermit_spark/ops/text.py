@@ -342,6 +342,53 @@ def corpus_vocabulary(
     return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_k)
 
 
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF scores over lowercased word tokens — the
+    classic sparse text representation (feeds keyword extraction, BM25-ish
+    ranking, linear quality classifiers).
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style);
+    score = tf * idf, rounded half-up for engine portability. N (corpus
+    size) rides the plan as a broadcast scalar subquery via a crossJoin of
+    the one-row count — no driver round-trip, no collect. Shuffles on the
+    fine-grained (doc, term) and term keys only; all hash aggregates.
+    Output: (doc_id, term, tf, df_count, score)."""
+    words = F.expr(
+        f"filter(split(coalesce({text_col}, '')," + r" '\\s+'), w -> length(w) > 0)"
+    )
+    terms = (
+        df.select(F.col(id_col), F.explode(words).alias("_w"))
+        .select(id_col, F.lower(F.col("_w")).alias("term"))
+    )
+    doc_tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    term_df = doc_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    if min_df > 1:
+        term_df = term_df.filter(F.col("df_count") >= min_df)
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        doc_tf.join(term_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_count",
+            round_half_up(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df_count") + 1)) + F.lit(1.0)),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return scored
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 256,

@@ -317,3 +317,75 @@ def test_pack_sequences_greedy_bins(spark):
         cnt[(r["source"], r["bin_id"])] += 1
     for k, t in tot.items():
         assert t <= 256 or cnt[k] == 1
+
+
+def test_tfidf_matches_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from kermit_spark.ops.text import tfidf_terms
+
+    texts = {0: "apple banana apple", 1: "banana cherry", 2: "apple dates dates"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r for r in tfidf_terms(df).collect()}
+    n = len(texts)
+    dfc = Counter(t for body in texts.values() for t in set(body.split()))
+    for d, body in texts.items():
+        for term, tf in Counter(body.split()).items():
+            row = got[(d, term)]
+            score = math.floor(tf * (math.log((n + 1) / (dfc[term] + 1)) + 1.0) * 10000 + 0.5) / 10000
+            assert row["tf"] == tf and row["df_count"] == dfc[term]
+            assert row["score"] == pytest.approx(score, abs=0)
+    assert len(got) == sum(len(set(b.split())) for b in texts.values())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chunk_and_pack_properties(spark, seed):
+    """Invariants under random corpora: chunking covers every token exactly
+    (reassembling chunks minus overlaps == the token stream) and packing
+    assigns every doc exactly once to monotone bins that never overflow
+    except for singleton oversized docs."""
+    import random
+
+    from kermit_spark.ops.text import chunk_documents, pack_sequences
+
+    rng = random.Random(seed)
+    docs = [
+        ("s%d" % (i % 3), i, " ".join("t%d_%d" % (i, j) for j in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+
+    chunk, overlap = 7, 3
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for _, i, text in docs:
+        words = text.split()
+        chunks = [c.split() for _, c in sorted(by_doc.get(i, []))]
+        if not words:
+            assert chunks == []
+            continue
+        rebuilt = list(chunks[0]) if chunks else []
+        for c in chunks[1:]:
+            rebuilt.extend(c[overlap:])
+        # full coverage, no token lost or duplicated beyond the overlap rule
+        assert rebuilt == words, i
+
+    packed = pack_sequences(df, max_tokens=50).collect()
+    seen = {}
+    tot, cnt = {}, {}
+    for r in packed:
+        key = (r["source"], r["doc_id"])
+        assert key not in seen  # exactly-once assignment
+        seen[key] = r["bin_id"]
+        tot[(r["source"], r["bin_id"])] = tot.get((r["source"], r["bin_id"]), 0) + r["n_tokens"]
+        cnt[(r["source"], r["bin_id"])] = cnt.get((r["source"], r["bin_id"]), 0) + 1
+    assert len(seen) == len(docs)
+    for k, t in tot.items():
+        assert t <= 50 or cnt[k] == 1, k
+    # bins are monotone in doc order within each source
+    for src in {s for s, _ in seen}:
+        ordered = [seen[(s, d)] for s, d in sorted(seen) if s == src]
+        assert ordered == sorted(ordered)
