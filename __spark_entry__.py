@@ -750,6 +750,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(docs, min_df=2).orderBy("doc_id", "term")
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking through the REAL library op (ops.text.bm25_rank) for a
+    fixed query over the corpus. Every float association is mirrored in the
+    oracle (literal (1.2 + 1.0) folding, (0.75*dl)/avgdl order, term-sorted
+    left-fold of contributions) so the scores are bit-identical."""
+    from kermit_spark.ops.text import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bm25_rank(docs, ("table", "scan", "query"), k=25).orderBy("rnk")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -982,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
         "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1760,6 +1772,47 @@ def oracle_sql() -> dict[str, str]:
                          * 10000.0 + 0.5) / 10000.0 AS score
             FROM dt JOIN tdf USING (term), n
             ORDER BY doc_id, term
+        """,
+        # BM25: float associations mirror the Spark expression exactly —
+        # (1.2 + 1.0) folded by the engine, k1*(0.25 + (0.75*dl)/avgdl)
+        # with python-prefolded 1.0-0.75=0.25, term-sorted left fold seeded
+        # at 0.0 (list_reduce seeds at the first element; 0.0 + x == x)
+        "text_bm25": r"""
+            WITH b2 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                   w -> length(w) > 0) AS words
+                FROM documents
+            ),
+            b3 AS (SELECT doc_id, words, len(words) AS dl FROM b2),
+            stats AS (SELECT count(*) AS _n, avg(dl) AS _avgdl FROM b3),
+            hits AS (
+                SELECT doc_id, dl, lower(w) AS term, count(*) AS tf
+                FROM b3, unnest(words) AS u(w)
+                WHERE lower(w) IN ('table', 'scan', 'query')
+                GROUP BY doc_id, dl, lower(w)
+            ),
+            tdf AS (SELECT term, count(*) AS df_count FROM hits GROUP BY term),
+            per AS (
+                SELECT h.doc_id, h.term,
+                       (ln((s._n - t.df_count + 0.5) / (t.df_count + 0.5) + 1.0)
+                        * ((h.tf * (1.2 + 1.0))
+                           / (h.tf + 1.2 * (0.25 + ((0.75 * h.dl) / s._avgdl))))) AS c
+                FROM hits h JOIN tdf t USING (term), stats s
+            ),
+            scored AS (
+                SELECT doc_id,
+                       floor(list_reduce(
+                                 list_transform(list(struct_pack(term := term, c := c)
+                                                     ORDER BY term),
+                                                x -> x.c),
+                                 (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS score
+                FROM per GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk,
+                   score
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         # PII redaction: generated from the SAME PII_PATTERNS constant the
         # library op applies, in the same order, with the same injection.

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from ..udf import session_safe_pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -387,6 +388,81 @@ def tfidf_terms(
         )
     )
     return scored
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 document ranking for a fixed bag of query terms (Robertson/
+    Sparck Jones, public) — the lexical-retrieval complement to the ANN
+    ops. idf = ln((N - df + 0.5)/(df + 0.5) + 1); per-term contribution
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); score = sum over matched
+    query terms, rounded half-up.
+
+    Corpus statistics (N, avgdl) ride the plan as a broadcast one-row
+    aggregate; term df comes from one hash-agg over the (doc, term) pairs
+    restricted to the query terms — work is proportional to documents
+    CONTAINING a query term, not the corpus vocabulary. Deterministic
+    top-k: (score DESC, doc id ASC). Output: (doc_id, rnk, score)."""
+    terms_lit = [t.lower() for t in query_terms]
+    words = F.expr(
+        f"filter(split(coalesce({text_col}, '')," + r" '\\s+'), w -> length(w) > 0)"
+    )
+    base = df.select(
+        F.col(id_col), words.alias("_words")
+    ).select(F.col(id_col), F.col("_words"), F.size("_words").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    hits = (
+        base.select(F.col(id_col), "dl", F.explode("_words").alias("_w"))
+        .select(F.col(id_col), "dl", F.lower(F.col("_w")).alias("term"))
+        .filter(F.col("term").isin(*terms_lit))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    term_df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    idf = F.log(
+        (F.col("_n") - F.col("df_count") + 0.5) / (F.col("df_count") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    )
+    per_term = (
+        hits.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), "term", contrib.alias("_c"))
+    )
+    # per-doc score folds contributions IN TERM ORDER (sorted struct array,
+    # left fold) — a plain sum()'s float addition order is partition-
+    # dependent; the fold is bit-reproducible and mirrored by the oracle's
+    # ORDER BY term list_reduce
+    scored = per_term.groupBy(id_col).agg(
+        round_half_up(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("_c")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ),
+            round_digits,
+        ).alias("score")
+    )
+    # TakeOrdered top-k first (per-partition top-k + bounded merge), then
+    # rank the k survivors — never a partitionless window over all docs
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        topk.withColumn("rnk", F.row_number().over(w))
+        .select(id_col, "rnk", "score")
+    )
 
 
 def pack_sequences(

@@ -389,3 +389,43 @@ def test_chunk_and_pack_properties(spark, seed):
     for src in {s for s, _ in seen}:
         ordered = [seen[(s, d)] for s, d in sorted(seen) if s == src]
         assert ordered == sorted(ordered)
+
+
+def test_bm25_rank_matches_python_oracle(spark):
+    import math
+
+    from kermit_spark.ops.text import bm25_rank
+
+    texts = {
+        0: "spark table scan table join",
+        1: "table",
+        2: "cats and dogs play outside all day long",
+        3: "scan scan scan table",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    terms = ("table", "scan")
+    got = [(r["doc_id"], r["rnk"], r["score"]) for r in bm25_rank(df, terms, k=3).collect()]
+
+    n = len(texts)
+    dls = {d: len(t.split()) for d, t in texts.items()}
+    avgdl = sum(dls.values()) / n
+    dfc = {t: sum(1 for b in texts.values() if t in b.split()) for t in terms}
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, body in texts.items():
+        contribs = []
+        for t in sorted(terms):
+            tf = body.split().count(t)
+            if not tf:
+                continue
+            idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+            contribs.append(idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))))
+        if contribs:
+            acc = 0.0
+            for c in contribs:
+                acc += c
+            scores[d] = math.floor(acc * 10000 + 0.5) / 10000
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(d, i + 1, s) for i, (d, s) in enumerate(want)]
+    assert got[0][0] in (0, 3)  # docs with both terms outrank the rest
+    assert all(d != 2 for d, _, _ in got)  # no query term -> unranked
