@@ -198,3 +198,21 @@ def test_chunk_documents_plan_is_map_only(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's top-k must plan as TakeOrdered over the scored docs — the
+    rank window runs only on the k survivors, never over the corpus."""
+    from kermit_spark.ops.text import bm25_rank
+
+    df = bm25_rank(
+        spark.createDataFrame(
+            [(i, "table scan query row %d" % i) for i in range(30)],
+            "doc_id long, text string",
+        ),
+        ("table", "scan"),
+        k=5,
+    )
+    plan = _plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
