@@ -732,6 +732,18 @@ class Crawler:
 
     # -- outputs -----------------------------------------------------------
 
+    def evict(self, match) -> int:
+        """Forget matching URLs (rows removed AND un-seen → re-discoverable;
+        Frontier.evict — cuckoo seen_filter deletes fingerprints in place,
+        Bloom pays one epoch-tracked blob rebuild)."""
+        return self.frontier.evict(match)
+
+    def recrawl(self, match) -> int:
+        """Reschedule matching visited URLs without forgetting them
+        (Frontier.recrawl; the age clock restarts at the next wave). For
+        the automated per-wave policy use CrawlConfig.recrawl_after_waves."""
+        return self.frontier.recrawl(match, wave=self.last_wave + 1)
+
     def documents(self) -> DataFrame:
         return self.catalog.read(DOCUMENTS_TABLE)
 

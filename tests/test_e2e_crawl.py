@@ -491,3 +491,8 @@ def test_recrawl_policy_refetches_aged_pages(spark, tmp_path_factory):
     # politeness never exceeded in any wave
     per_wave = c.documents().groupBy("p", "host").count().collect()
     assert all(r["count"] <= 4 for r in per_wave)
+    # Crawler-level passthroughs: manual recrawl flips the visited rows;
+    # evict then forgets the host entirely
+    assert c.recrawl(F.col("host") == "fresh.test") == 4
+    assert c.evict(F.col("host") == "fresh.test") == 4
+    assert c.frontier.read().count() == 0
