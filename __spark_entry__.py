@@ -256,6 +256,92 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("depth")
 
 
+def q_url_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap gate through the REAL library rules
+    (kermit_spark.filters.TrapRules.reason_expr — the pure-JVM URL-shape
+    classifier the crawler applies at discovery admission): synthetic URLs
+    in four shape families (long paths, deep paths, repeated segments,
+    query-param explosions) with per-row size jitter so every rule fires on
+    BOTH sides of its threshold. The oracle re-implements the classifier in
+    SQL (list lambdas over split paths), never the generator labels."""
+    from kermit_spark.filters import TrapRules
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.expr(
+        "CASE CAST(o_orderkey % 4 AS INT) "
+        "WHEN 0 THEN 'http://h' || CAST(o_custkey % 20 AS STRING) || '.test/p/' "
+        "  || repeat('x', CAST(80 + o_orderkey % 60 AS INT)) "
+        "WHEN 1 THEN 'http://h' || CAST(o_custkey % 20 AS STRING) || '.test/' "
+        "  || repeat('a/b/', CAST(o_orderkey % 9 AS INT)) || 'p' "
+        "WHEN 2 THEN 'http://h' || CAST(o_custkey % 20 AS STRING) || '.test/s/' "
+        "  || repeat('loop/', CAST(o_orderkey % 5 AS INT)) || 'p' "
+        "ELSE 'http://h' || CAST(o_custkey % 20 AS STRING) || '.test/p?' "
+        "  || repeat('k=1&', CAST(o_orderkey % 12 AS INT)) || 'z=9' END"
+    )
+    rules = TrapRules(max_url_len=120, max_path_depth=12, max_query_params=8)
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("okey"),
+            rules.reason_expr(url).alias("reason"),
+        )
+        .orderBy("okey")
+        .limit(2000)
+    )
+
+
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional re-fetch (RFC 9110 revalidation) through the REAL
+    CorpusFetcher: a batch whose rows carry stored ETag validators fetches
+    against a corpus that declares current ETags — a matching validator
+    revalidates as 304 with no body, a stale/absent one transfers the full
+    200. The oracle restates the match rule in SQL."""
+    from kermit_spark.fetch import CorpusFetcher
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.concat(
+        F.lit("http://h"), F.pmod(F.col("o_custkey"), F.lit(20)).cast("string"),
+        F.lit(".test/o/"), F.col("o_orderkey").cast("string"),
+    )
+    corpus = orders.select(
+        url.alias("url"),
+        F.lit(200).alias("status"),
+        F.lit("text/plain").alias("content_type"),
+        F.concat(F.lit("body "), F.col("o_orderkey").cast("string")).alias("body"),
+        F.concat(
+            F.lit('W/"'), F.pmod(F.col("o_orderkey"), F.lit(7)).cast("string"), F.lit('"')
+        ).alias("etag"),
+    )
+    selected = orders.select(
+        F.lit(0).alias("p"),
+        F.xxhash64(url).alias("url_hash"),
+        url.alias("url"),
+        F.concat(F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(20)).cast("string"), F.lit(".test")).alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("referer"),
+        F.lit(0).alias("wave"),
+        F.lit(1).alias("rank"),
+        # stored validator: absent for every 5th row, otherwise matches the
+        # corpus ETag iff custkey and orderkey agree mod 7
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(5)) == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit('W/"'), F.pmod(F.col("o_custkey"), F.lit(7)).cast("string"), F.lit('"')
+            )
+        )
+        .alias("etag"),
+    )
+    out = CorpusFetcher(corpus).fetch(selected)
+    return (
+        out.select(
+            F.regexp_extract("url", r"/o/(\d+)", 1).cast("long").alias("okey"),
+            F.col("status"),
+            F.col("body").isNotNull().alias("has_body"),
+        )
+        .orderBy("okey")
+        .limit(2000)
+    )
+
+
 def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint per-row invariant — span-sequence equality over
     (kind, text, media_ref, order) — as a HARD oracle row: HTML bodies are
@@ -965,6 +1051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "wave_bfs": q_wave_bfs,
         "link_pagerank": q_link_pagerank,
+        "url_trap_filter": q_url_trap_filter,
+        "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -1269,6 +1357,55 @@ def oracle_sql() -> dict[str, str]:
                        'HTTP://H' || (o_custkey % 50) || '.TEST:80/o/' || o_orderkey,
                        ':80/', '/')) AS canon_url
             FROM orders ORDER BY okey LIMIT 1000
+        """,
+        "conditional_fetch": """
+            SELECT o_orderkey AS okey,
+                   CASE WHEN (o_orderkey % 5) <> 0
+                             AND (o_custkey % 7) = (o_orderkey % 7)
+                        THEN 304 ELSE 200 END AS status,
+                   NOT ((o_orderkey % 5) <> 0
+                        AND (o_custkey % 7) = (o_orderkey % 7)) AS has_body
+            FROM orders ORDER BY okey LIMIT 2000
+        """,
+        "url_trap_filter": """
+            WITH u AS (
+                SELECT o_orderkey AS okey,
+                    CASE CAST(o_orderkey % 4 AS INT)
+                      WHEN 0 THEN 'http://h' || (o_custkey % 20) || '.test/p/'
+                        || repeat('x', CAST(80 + o_orderkey % 60 AS INT))
+                      WHEN 1 THEN 'http://h' || (o_custkey % 20) || '.test/'
+                        || repeat('a/b/', CAST(o_orderkey % 9 AS INT)) || 'p'
+                      WHEN 2 THEN 'http://h' || (o_custkey % 20) || '.test/s/'
+                        || repeat('loop/', CAST(o_orderkey % 5 AS INT)) || 'p'
+                      ELSE 'http://h' || (o_custkey % 20) || '.test/p?'
+                        || repeat('k=1&', CAST(o_orderkey % 12 AS INT)) || 'z=9'
+                    END AS url
+                FROM orders
+            ),
+            parts AS (
+                SELECT okey, url,
+                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                    regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u
+            ),
+            segd AS (
+                SELECT okey, url, query,
+                    list_filter(string_split(path, '/'), x -> x <> '') AS segs
+                FROM parts
+            )
+            SELECT okey,
+                CASE
+                  WHEN length(url) > 120 THEN 'too_long'
+                  WHEN len(segs) > 12 THEN 'too_deep'
+                  WHEN len(list_filter(range(1, len(segs) - 1),
+                           i -> segs[i] = segs[i+1] AND segs[i+1] = segs[i+2])) > 0
+                       THEN 'repeat_segment'
+                  WHEN (CASE WHEN query = '' THEN 0
+                        ELSE len(string_split(query, '&')) END) > 8
+                       THEN 'param_explosion'
+                  ELSE 'ok'
+                END AS reason
+            FROM segd ORDER BY okey LIMIT 2000
         """,
         "frontier_dedup": """
             WITH cand AS (

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from . import phases
 from .bloom import BloomSpec
 from .catalog import SnapshotCatalog
-from .filters import UrlFilter
+from .filters import TrapRules, UrlFilter
 from .frontier import (
     ERROR,
     ROBOTS_BLOCKED,
@@ -60,8 +60,9 @@ from .frontier import (
     Politeness,
     RandomizedDelay,
     dequeue,
+    partition_of,
 )
-from .functions.urls import clean_urls
+from .functions.urls import clean_urls, host_of
 from .parse import discover_links, parse_documents
 from .robots import robots_gate, robots_rules_from_fetch, sitemap_candidates_from_fetch
 
@@ -173,6 +174,18 @@ class CrawlConfig:
     # flip so each URL re-fetches every ~k waves). 0 = off. With a policy
     # active the crawl is perpetual — bounded by max_waves, not hasWork.
     recrawl_after_waves: int = 0
+    # crawler-trap defense (filters.TrapRules): URL-shape limits applied at
+    # the same admission points as url_filter — trap URLs never enter the
+    # frontier (discovery) and never burn budget (F5 second check). None =
+    # off (reference behavior: no trap handling anywhere).
+    trap_rules: TrapRules | None = None
+
+    def admit_expr(self, url) -> F.Column:
+        """url_filter AND trap defense — the combined admission predicate."""
+        e = self.url_filter.expr(url)
+        if self.trap_rules is not None:
+            e = e & self.trap_rules.expr(url)
+        return e
 
 
 @dataclass
@@ -186,6 +199,9 @@ class WaveStats:
     wall_s: float
     n_verify_failed: int = 0
     stop_requested: bool = False
+    # conditional re-fetch: rows revalidated with 304 Not Modified (counted
+    # as visits; their stored documents remain authoritative)
+    n_not_modified: int = 0
 
 
 class Crawler:
@@ -232,7 +248,7 @@ class Crawler:
         """S1/S2 entry: seed URLs become the initial scheduled frontier."""
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
-        filtered = urls.filter(self.config.url_filter.expr(F.col("url")))
+        filtered = urls.filter(self.config.admit_expr(F.col("url")))
         self.frontier.init(filtered, wave=0)
 
     @property
@@ -326,7 +342,35 @@ class Crawler:
                 F.lit(0).alias("rank"),
             )
             raw = sitemap_candidates_from_fetch(self.fetcher.fetch(to_fetch))
-            sitemap_cands = raw.select(
+            # one level of sitemapindex expansion — spec-complete (an index
+            # must not list other index files, sitemaps.org) — with the
+            # child-sitemap fetch COMPOSED into the same lazy plan: still no
+            # extra driver job; everything materializes inside the wave's
+            # frontier commit.
+            child_fetch = (
+                raw.filter(F.col("is_index"))
+                .select(
+                    clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url")
+                )
+                .filter(F.col("url").isNotNull())
+                .select(
+                    partition_of(
+                        host_of(F.col("url")), self.config.num_partitions
+                    ).alias("p"),
+                    F.xxhash64(F.col("url")).alias("url_hash"),
+                    "url",
+                    host_of(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    F.lit(None).cast("string").alias("referer"),
+                    F.lit(-1).alias("wave"),
+                    F.lit(0).alias("rank"),
+                )
+            )
+            raw1 = sitemap_candidates_from_fetch(self.fetcher.fetch(child_fetch))
+            pages = raw.filter(~F.col("is_index")).unionByName(
+                raw1.filter(~F.col("is_index"))  # double nesting: spec-invalid, dropped
+            )
+            sitemap_cands = pages.select(
                 clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url"),
                 F.col("sitemap_url").alias("referer"),
                 F.lit(0).alias("depth"),
@@ -394,7 +438,9 @@ class Crawler:
         outcome = (
             docs.groupBy("host")
             .agg(
-                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+                F.sum(
+                    F.when(~F.col("status").isin(200, 304), 1).otherwise(0)
+                ).alias("err"),
                 F.count(F.lit(1)).alias("tot"),
             )
             .collect()
@@ -424,7 +470,7 @@ class Crawler:
 
         # INITIAL→SPOOLED: admission (status + URL filter; F5 second check)
         eligible = self.frontier.read().filter(
-            (F.col("status") == SCHEDULED) & cfg.url_filter.expr(F.col("url"))
+            (F.col("status") == SCHEDULED) & cfg.admit_expr(F.col("url"))
         )
         if cfg.delay is not None:
             # Q10 RandomizedDelay: deferred rows stay 'scheduled' and are
@@ -461,7 +507,7 @@ class Crawler:
             # stalls the crawl; genuinely-empty frontiers still terminate
             selected.unpersist()
             undelayed = self.frontier.read().filter(
-                (F.col("status") == SCHEDULED) & cfg.url_filter.expr(F.col("url"))
+                (F.col("status") == SCHEDULED) & cfg.admit_expr(F.col("url"))
             )
             selected = dequeue(
                 undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
@@ -522,7 +568,8 @@ class Crawler:
         docs = parse_documents(fetched).observe(
             obs,
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_err"),
+            F.sum(F.when(F.col("status") == 304, 1).otherwise(0)).alias("n_notmod"),
+            F.sum(F.when(~F.col("status").isin(200, 304), 1).otherwise(0)).alias("n_err"),
         ).persist()
         # align=False: the write covers ONE partition value (the wave) — an
         # aligned write would funnel every document through a single task's
@@ -537,20 +584,22 @@ class Crawler:
         metrics = obs.get
         n_ok = int(metrics["n_ok"] or 0)
         n_err = int(metrics["n_err"] or 0)
-        # every selected row is exactly one of: parsed (ok/err), verification
-        # -failed, or robots-blocked — so blocked needs no count of its own.
-        # The derivation assumes the fetcher is row-preserving; a fetcher
-        # that duplicates rows (e.g. duplicate URLs in a corpus) would drive
-        # this negative, so clamp and warn instead of recording garbage.
-        n_blocked = n_selected - n_ok - n_err - n_verify_failed
+        n_notmod = int(metrics["n_notmod"] or 0)
+        # every selected row is exactly one of: parsed (ok/304/err),
+        # verification-failed, or robots-blocked — so blocked needs no count
+        # of its own. The derivation assumes the fetcher is row-preserving; a
+        # fetcher that duplicates rows (e.g. duplicate URLs in a corpus)
+        # would drive this negative, so clamp and warn instead of recording
+        # garbage.
+        n_blocked = n_selected - n_ok - n_err - n_notmod - n_verify_failed
         if n_blocked < 0:
             import logging
 
             logging.getLogger(__name__).warning(
                 "wave %d: fetcher emitted more rows than selected "
-                "(selected=%d ok=%d err=%d verify_failed=%d) — "
+                "(selected=%d ok=%d err=%d not_modified=%d verify_failed=%d) — "
                 "clamping n_blocked to 0; check for duplicate corpus URLs",
-                wave, n_selected, n_ok, n_err, n_verify_failed,
+                wave, n_selected, n_ok, n_err, n_notmod, n_verify_failed,
             )
             n_blocked = 0
 
@@ -559,24 +608,36 @@ class Crawler:
         # Sitemap <loc> candidates (depth 0) from hosts whose robots arrived
         # this wave ride the same commit — within-batch dedup's depth
         # ordering makes a sitemap row win over a same-wave link discovery.
-        candidates = discover_links(docs).filter(cfg.url_filter.expr(F.col("url")))
+        candidates = discover_links(docs).filter(cfg.admit_expr(F.col("url")))
         if sitemap_cands is not None:
             candidates = candidates.unionByName(
-                sitemap_cands.filter(cfg.url_filter.expr(F.col("url")))
+                sitemap_cands.filter(cfg.admit_expr(F.col("url")))
             )
 
         # COMPLETE/ERROR/ROBOTS_BLOCKED disposition (Q2-Q4, P3/P7) + new URLs
         # (Q1) — ONE frontier snapshot commit
+        # a 304 revalidation is a successful visit (content unchanged); fresh
+        # response validators (ETag/Last-Modified) ride the same merge so the
+        # NEXT re-fetch of these URLs can be conditional. commit_wave merges
+        # them sticky (coalesce(new, old)) — error rows and validator-less
+        # responses never erase a stored validator.
+        hdr = F.col("headers") if "headers" in docs.columns else F.lit(None).cast(
+            "map<string,string>"
+        )
         updates = docs.select(
             F.col("p"),
             F.col("url_hash"),
             F.col("url"),
-            F.when(F.col("status") == 200, F.lit(VISITED)).otherwise(F.lit(ERROR)).alias("new_status"),
+            F.when(F.col("status").isin(200, 304), F.lit(VISITED))
+            .otherwise(F.lit(ERROR))
+            .alias("new_status"),
+            F.element_at(hdr, "etag").alias("new_etag"),
+            F.element_at(hdr, "last-modified").alias("new_last_modified"),
         )
         if blocked_updates is not None:
-            updates = updates.unionByName(blocked_updates)
+            updates = updates.unionByName(blocked_updates, allowMissingColumns=True)
         if verify_updates is not None:
-            updates = updates.unionByName(verify_updates)
+            updates = updates.unionByName(verify_updates, allowMissingColumns=True)
         # updates cover exactly the dequeued batch -> their partitions are
         # known driver-side already (batch_parts); no distinct+collect job
         n_new = self.frontier.commit_wave(
@@ -588,6 +649,10 @@ class Crawler:
 
         wall = time.time() - t0
         self._append_lineage(wave, n_selected, n_blocked, n_ok, n_err, n_new, wall)
+        if n_notmod:
+            self._lineage_buffer.append(
+                (wave, phases.COMPLETE, "not_modified", None, n_notmod, wall)
+            )
         # per-partition lineage (north_rule): dequeue split is free — it is
         # the per_host collect aggregated driver-side; fetch outcomes are an
         # opt-in aggregation over the still-cached docs batch
@@ -604,8 +669,10 @@ class Crawler:
             pp = (
                 docs.groupBy("p")
                 .agg(
-                    F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-                    F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+                    F.sum(F.when(F.col("status").isin(200, 304), 1).otherwise(0)).alias("ok"),
+                    F.sum(
+                        F.when(~F.col("status").isin(200, 304), 1).otherwise(0)
+                    ).alias("err"),
                 )
                 .collect()
             )
@@ -624,6 +691,7 @@ class Crawler:
             wave, n_selected, n_blocked, n_ok, n_err, n_new, wall,
             n_verify_failed=n_verify_failed,
             stop_requested=n_verify_failed > 0,
+            n_not_modified=n_notmod,
         )
 
     def _append_lineage(
@@ -746,6 +814,20 @@ class Crawler:
 
     def documents(self) -> DataFrame:
         return self.catalog.read(DOCUMENTS_TABLE)
+
+    def latest_documents(self) -> DataFrame:
+        """One row per URL: the newest CONTENTFUL fetch (re-crawl aware).
+        A 304 revalidation row carries no spans — the earlier 200 row stays
+        authoritative; a changed page's fresh 200 row supersedes the old
+        one. Hash aggregation (max_by on wave), no window sort — one shuffle
+        on url_hash."""
+        docs = self.documents().filter(F.col("status") == 200)
+        cols = [c for c in docs.columns]
+        return (
+            docs.groupBy("url_hash", "url")
+            .agg(F.max_by(F.struct(*cols), F.col("wave")).alias("_d"))
+            .select("_d.*")
+        )
 
     def lineage(self) -> DataFrame:
         self.flush_lineage()

@@ -54,12 +54,23 @@ class CorpusFetcher:
 
     def __init__(self, corpus: DataFrame, broadcast_threshold_rows: int | None = None):
         # project the corpus once; Catalyst prunes these columns at the scan
-        self.corpus = corpus.select(
+        cols = [
             F.col("url").alias("_c_url"),
             F.col("status").alias("_c_status"),
             F.col("content_type").alias("_c_ct"),
             F.col("body").alias("_c_body"),
-        )
+        ]
+        # optional validator columns: a corpus carrying etag/last_modified
+        # models a server that supports conditional GETs — fetch() then
+        # answers 304 when the batch row's stored validator still matches
+        # (the OfflineServer analog of If-None-Match / If-Modified-Since)
+        self.has_etag = "etag" in corpus.columns
+        self.has_last_modified = "last_modified" in corpus.columns
+        if self.has_etag:
+            cols.append(F.col("etag").alias("_c_etag"))
+        if self.has_last_modified:
+            cols.append(F.col("last_modified").alias("_c_lm"))
+        self.corpus = corpus.select(*cols)
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self._last_cache: DataFrame | None = None
 
@@ -79,18 +90,67 @@ class CorpusFetcher:
         corpus join evaluates in BOTH branches, scanning the corpus twice
         per wave (r1 plan-audit finding). The cache is batch-sized; the
         previous wave's cache is dropped on the next call."""
-        left = selected.select(*SELECT_COLS)
+        # conditional GET (If-None-Match / If-Modified-Since analog): when
+        # the batch carries stored validators AND the corpus declares them,
+        # an unchanged match answers 304 with no body — pure JVM CASE on the
+        # join output, deterministic. ETag wins over Last-Modified (RFC 9110
+        # §13.1.2 precedence).
+        vcols = []
+        v_etag = F.lit(None).cast("string")
+        v_lm = F.lit(None).cast("string")
+        if self.has_etag and "etag" in selected.columns:
+            vcols.append(F.col("etag").alias("_v_etag"))
+            v_etag = F.col("_v_etag")
+        if self.has_last_modified and "last_modified" in selected.columns:
+            vcols.append(F.col("last_modified").alias("_v_lm"))
+            v_lm = F.col("_v_lm")
+        left = selected.select(*SELECT_COLS, *vcols)
+        c_etag = F.col("_c_etag") if self.has_etag else F.lit(None).cast("string")
+        c_lm = F.col("_c_lm") if self.has_last_modified else F.lit(None).cast("string")
+        not_modified = (F.col("_c_status") == 200) & (
+            (v_etag.isNotNull() & (v_etag == c_etag))
+            | (v_etag.isNull() & v_lm.isNotNull() & (v_lm == c_lm))
+        )
+        if self.has_etag or self.has_last_modified:
+            header_kvs = [
+                (F.lit("content-type"), F.col("_c_ct")),
+                (
+                    F.lit("content-length"),
+                    F.when(not_modified, F.lit("0")).otherwise(
+                        F.length("_c_body").cast("string")
+                    ),
+                ),
+            ]
+            # a real server repeats the current validators on both 200 and
+            # 304 responses — the crawler re-stores them (sticky merge)
+            # either way
+            if self.has_etag:
+                header_kvs.append((F.lit("etag"), c_etag))
+            if self.has_last_modified:
+                header_kvs.append((F.lit("last-modified"), c_lm))
+            # null-valued entries (a corpus row without an ETag) are dropped
+            # so the map only carries headers the "server" actually sent
+            headers_col = F.map_filter(
+                F.create_map(*[x for kv in header_kvs for x in kv]),
+                lambda _, v: v.isNotNull(),
+            )
+        else:
+            headers_col = F.create_map(
+                F.lit("content-type"), F.col("_c_ct"),
+                F.lit("content-length"), F.length("_c_body").cast("string"),
+            )
         hits = self.corpus.join(
             F.broadcast(left), left.url == self.corpus._c_url, "inner"
         ).select(
             *SELECT_COLS,
-            F.col("_c_status").cast("int").alias("status"),
+            F.when(not_modified, F.lit(304))
+            .otherwise(F.col("_c_status").cast("int"))
+            .alias("status"),
             F.col("_c_ct").alias("content_type"),
-            F.col("_c_body").alias("body"),
-            F.create_map(
-                F.lit("content-type"), F.col("_c_ct"),
-                F.lit("content-length"), F.length("_c_body").cast("string"),
-            ).alias("headers"),
+            F.when(not_modified, F.lit(None).cast("string"))
+            .otherwise(F.col("_c_body"))
+            .alias("body"),
+            headers_col.alias("headers"),
         ).persist()
         if self._last_cache is not None:
             self._last_cache.unpersist()
@@ -241,10 +301,17 @@ class HttpFetcher:
                 def sem_for(url: str) -> threading.BoundedSemaphore:
                     return _open_sem
 
-            def get(url: str, referer):
+            def get(url: str, referer, etag=None, last_modified=None):
                 req_headers = {"User-Agent": agent_for(url, referer)}
                 if send_referer and isinstance(referer, str) and referer:
                     req_headers["Referer"] = referer
+                # conditional GET from stored validators (re-crawl rows carry
+                # them from their last visit); a 304 flows back through the
+                # HTTPError branch below with its real status/headers
+                if isinstance(etag, str) and etag:
+                    req_headers["If-None-Match"] = etag
+                if isinstance(last_modified, str) and last_modified:
+                    req_headers["If-Modified-Since"] = last_modified
                 req = urllib.request.Request(url, headers=req_headers)
                 try:
                     with sem_for(url), opener_for(url).open(req, timeout=timeout) as resp:
@@ -272,6 +339,8 @@ class HttpFetcher:
                         body = e.read().decode("utf-8", "replace")
                     except Exception:
                         body = None
+                    if e.code == 304:
+                        body = None  # a 304 carries no representation
                     ct = ((e.headers.get("Content-Type") if e.headers else None) or "").split(";")[0]
                     return e.code, ct or None, body, hdrs
                 except Exception:
@@ -282,15 +351,26 @@ class HttpFetcher:
                 for pdf in batches:
                     if not len(pdf):
                         continue
-                    results = list(ex.map(get, pdf["url"], pdf["referer"]))
+                    etags = pdf["etag"] if "etag" in pdf.columns else [None] * len(pdf)
+                    lms = (
+                        pdf["last_modified"]
+                        if "last_modified" in pdf.columns
+                        else [None] * len(pdf)
+                    )
+                    results = list(ex.map(get, pdf["url"], pdf["referer"], etags, lms))
                     pdf = pdf.copy()
                     pdf["status"] = [r[0] for r in results]
                     pdf["content_type"] = [r[1] for r in results]
                     pdf["body"] = [r[2] for r in results]
                     pdf["headers"] = [r[3] for r in results]
-                    yield pdf
+                    yield pdf.drop(
+                        columns=[c for c in ("etag", "last_modified") if c in pdf.columns]
+                    )
 
-        out = selected.select(*SELECT_COLS).mapInPandas(run, FETCH_RESULT_DDL)
+        in_cols = list(SELECT_COLS) + [
+            c for c in ("etag", "last_modified") if c in selected.columns
+        ]
+        out = selected.select(*in_cols).mapInPandas(run, FETCH_RESULT_DDL)
         return out.withColumn(
             "content_type", content_type_fallback(F.col("url"), F.col("content_type"))
         )

@@ -81,3 +81,67 @@ class UrlFilter:
             tuple(UrlPredicate(p) for p in (allow or [])),
             tuple(UrlPredicate(p) for p in (deny or [])),
         )
+
+
+@dataclass(frozen=True)
+class TrapRules:
+    """Crawler-trap defense: URL-shape heuristics that keep infinite URL
+    spaces (calendar pages, session-id explosions, symlink loops) out of the
+    frontier. No reference analog — kermit crawls whatever it discovers; the
+    public models are Heritrix's PathologicalPathDecideRule /
+    TooManyPathSegmentsDecideRule and the IRLbot trap lessons. At 10^10
+    frontier scale one looping host can otherwise flood the queue: these
+    checks run at discovery time as pure JVM expressions (whole-stage
+    codegen, no UDF), so a trap URL costs one predicate, never a fetch.
+
+    Checks, in precedence order (first hit wins):
+      * too_long         — len(url) > max_url_len
+      * too_deep         — more than max_path_depth non-empty path segments
+      * repeat_segment   — the same path segment max_repeat_run times in a
+                           row (/a/loop/loop/loop/… symlink cycles)
+      * param_explosion  — more than max_query_params '&'-separated query
+                           parameters
+    """
+
+    max_url_len: int = 2048
+    max_path_depth: int = 20
+    max_repeat_run: int = 3
+    max_query_params: int = 30
+
+    def reason_expr(self, url: Column) -> Column:
+        """Classification column: 'ok' or the first matching trap reason."""
+        if self.max_repeat_run != 3:
+            raise NotImplementedError(
+                "only max_repeat_run=3 (Heritrix default) is implemented"
+            )
+        path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        query = F.regexp_extract(url, r"\?([^#]*)", 1)
+        segs = F.filter(F.split(path, "/"), lambda x: x != "")
+        depth = F.size(segs)
+        # run of 3 identical consecutive segments: pairwise-equality flags,
+        # then AND each flag with its successor (zip_with pads the shorter
+        # side with null, which can never satisfy exists)
+        eq_next = F.zip_with(
+            segs, F.slice(segs, 2, F.greatest(depth - 1, F.lit(0))),
+            lambda x, y: x == y,
+        )
+        run3 = F.exists(
+            F.zip_with(
+                eq_next,
+                F.slice(eq_next, 2, F.greatest(depth - 2, F.lit(0))),
+                lambda a, b: a & b,
+            ),
+            lambda v: v,
+        )
+        n_params = F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&")))
+        return (
+            F.when(F.length(url) > self.max_url_len, F.lit("too_long"))
+            .when(depth > self.max_path_depth, F.lit("too_deep"))
+            .when(run3, F.lit("repeat_segment"))
+            .when(n_params > self.max_query_params, F.lit("param_explosion"))
+            .otherwise(F.lit("ok"))
+        )
+
+    def expr(self, url: Column) -> Column:
+        """True iff the URL is NOT a trap (composable with UrlFilter.expr)."""
+        return self.reason_expr(url) == "ok"

@@ -89,6 +89,7 @@ ROBOTS_BLOCKED = "robots_blocked"
 FRONTIER_COLS = [
     "p", "url_hash", "url", "host", "status",
     "priority", "depth", "referer", "wave", "tries",
+    "etag", "last_modified",
 ]
 
 
@@ -112,6 +113,13 @@ def as_frontier_rows(
         ("depth", F.lit(0)),
         ("referer", F.lit(None).cast("string")),
         ("tries", F.lit(0)),
+        # HTTP validators, populated when the URL is first VISITED (from the
+        # response's ETag / Last-Modified headers) and carried through
+        # recrawl so a re-fetch can be conditional (If-None-Match /
+        # If-Modified-Since → 304). Null for never-fetched rows; nullable
+        # strings are ~free in parquet at frontier scale.
+        ("etag", F.lit(None).cast("string")),
+        ("last_modified", F.lit(None).cast("string")),
     ):
         if col not in df.columns:
             df = df.withColumn(col, default)
@@ -126,6 +134,8 @@ def as_frontier_rows(
         F.col("referer").cast("string"),
         F.lit(wave).cast("int").alias("wave"),
         F.col("tries").cast("int"),
+        F.col("etag").cast("string"),
+        F.col("last_modified").cast("string"),
     )
 
 
@@ -559,8 +569,14 @@ class Frontier:
             if use_bloom:
                 # reused below for the blob merge — cache across the two jobs
                 new_rows = new_rows.persist()
+        # updates may carry fresh HTTP validators (new_etag/new_last_modified,
+        # from the wave's response headers); they merge sticky — a null new
+        # value keeps the stored one, so a 304 revalidation or an error row
+        # never erases a validator a conditional re-fetch still needs.
+        has_validators = updates is not None and "new_etag" in updates.columns
         if updates is not None:
-            updates = updates.select("p", "url_hash", "url", "new_status")
+            vcols = ["new_etag", "new_last_modified"] if has_validators else []
+            updates = updates.select("p", "url_hash", "url", "new_status", *vcols)
 
         # replace-set: partitions whose EXISTING rows change (status merge)
         if updates is None:
@@ -583,6 +599,17 @@ class Frontier:
                 .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
                 .drop("new_status")
             )
+            if has_validators:
+                merged = (
+                    merged.withColumn(
+                        "etag", F.coalesce(F.col("new_etag"), F.col("etag"))
+                    )
+                    .withColumn(
+                        "last_modified",
+                        F.coalesce(F.col("new_last_modified"), F.col("last_modified")),
+                    )
+                    .drop("new_etag", "new_last_modified")
+                )
             pieces.append(merged.select(*FRONTIER_COLS))
         obs = None
         if new_rows is not None:

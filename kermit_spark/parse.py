@@ -136,7 +136,10 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
     the object itself; 404s produce an empty spans array (the document row
     still records the failed fetch for lineage).
     """
-    is_html = F.col("content_type") == "text/html"
+    # 304 Not Modified (conditional re-fetch revalidation): the row records
+    # the revalidation for lineage; content/spans live in the earlier
+    # wave's row — an empty array, like a 404, never a null
+    is_html = (F.col("content_type") == "text/html") & (F.col("status") != 304)
     spans = F.when(is_html, extract_spans(F.col("body"))).otherwise(
         F.when(
             F.col("status") == 200,

@@ -182,9 +182,12 @@ _SITEMAP_LOC_RE = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
 
 def parse_sitemap_locs(body: str | None) -> list[str]:
     """``<loc>`` entries of a sitemap/sitemapindex body in file order.
-    Single level only (a <loc> that is itself a sitemap is treated as a
-    page URL and will fetch as one) — nested sitemapindex expansion is a
-    documented non-goal at this round."""
+    Whether those locs are page URLs or child sitemaps depends on the root
+    element — sitemap_candidates_from_fetch exposes that as ``is_index``
+    (detected JVM-side) and the crawler expands index files one level, which
+    is spec-complete: a sitemapindex must not list other index files
+    (sitemaps.org protocol, 'Sitemap index files may not list other Sitemap
+    index files')."""
     if body is None:
         return []
     return _SITEMAP_LOC_RE.findall(body)
@@ -249,9 +252,15 @@ def sitemap_candidates_from_fetch(fetched: DataFrame) -> DataFrame:
         F.when(F.col("status") == 200, parse(F.col("body")))
         .otherwise(F.array().cast("array<string>"))
         .alias("locs"),
+        # index detection stays JVM-side (no second pass through Python):
+        # a sitemapindex root means the locs are CHILD SITEMAPS, not pages
+        (
+            (F.col("status") == 200)
+            & F.coalesce(F.col("body").rlike(r"<\s*sitemapindex\b"), F.lit(False))
+        ).alias("is_index"),
     )
     return locs.select(
-        F.col("sitemap_url"), F.explode("locs").alias("loc")
+        F.col("sitemap_url"), F.explode("locs").alias("loc"), F.col("is_index")
     )
 
 

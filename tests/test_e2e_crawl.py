@@ -457,6 +457,163 @@ def test_error_backoff_halves_failing_host_budget(spark, tmp_path_factory):
     assert c._error_backoff_caps(wave=last_exp + 1) is None
 
 
+def test_sitemap_index_expands_one_level(spark, tmp_path_factory):
+    """Sitemapindex e2e: robots declares a sitemap INDEX; its child sitemaps
+    are fetched inside the same lazy plan and their page locs become depth-0
+    candidates — orphan pages reachable only through the index get crawled.
+    The index and child sitemap files themselves never enter the frontier."""
+    h = "http://smidx.test"
+    rows = [
+        (
+            f"{h}/robots.txt", 200, "text/plain",
+            f"User-agent: *\nSitemap: {h}/sm/index.xml\n",
+        ),
+        (
+            f"{h}/sm/index.xml", 200, "application/xml",
+            "<sitemapindex>"
+            f"<sitemap><loc>{h}/sm/a.xml</loc></sitemap>"
+            f"<sitemap><loc>{h}/sm/b.xml</loc></sitemap>"
+            "</sitemapindex>",
+        ),
+        (
+            f"{h}/sm/a.xml", 200, "application/xml",
+            f"<urlset><url><loc>{h}/orphan/a</loc></url></urlset>",
+        ),
+        (
+            f"{h}/sm/b.xml", 200, "application/xml",
+            f"<urlset><url><loc>{h}/orphan/b</loc></url></urlset>",
+        ),
+        (f"{h}/p/0", 200, "text/html", "<html>seed, links nowhere</html>"),
+        (f"{h}/orphan/a", 200, "text/html", "<html>orphan a</html>"),
+        (f"{h}/orphan/b", 200, "text/html", "<html>orphan b</html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 8),)),
+        sub_salts=2,
+        obey_robots=True,
+        max_waves=4,
+    )
+    root = str(tmp_path_factory.mktemp("smidx"))
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed([f"{h}/p/0"])
+    c.crawl()
+    visited = {
+        r["url"] for r in c.frontier.read().filter(F.col("status") == "visited").collect()
+    }
+    assert visited == {f"{h}/p/0", f"{h}/orphan/a", f"{h}/orphan/b"}
+    seen = {r["url"] for r in c.frontier.read().collect()}
+    assert not any("sm/" in u or "robots" in u for u in seen)
+
+
+def test_trap_rules_block_discovery(spark, tmp_path_factory):
+    """TrapRules e2e: a discovered symlink-loop URL never enters the
+    frontier (and never burns budget), while its healthy sibling is crawled;
+    a trap seed is rejected at seed time."""
+    from kermit_spark.filters import TrapRules
+
+    trap = "http://trap.test/a/loop/loop/loop/x"
+    rows = [
+        (
+            "http://trap.test/p/0",
+            200,
+            "text/html",
+            f'<html><a href="{trap}">t</a><a href="/p/1">ok</a></html>',
+        ),
+        ("http://trap.test/p/1", 200, "text/html", "<html>leaf</html>"),
+        (trap, 200, "text/html", "<html>infinite</html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 8),)),
+        sub_salts=2,
+        obey_robots=False,
+        max_waves=4,
+        trap_rules=TrapRules(),
+    )
+    root = str(tmp_path_factory.mktemp("trap"))
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed(["http://trap.test/p/0", trap])  # trap seed rejected up front
+    c.crawl()
+    seen = {r["url"] for r in c.frontier.read().collect()}
+    assert seen == {"http://trap.test/p/0", "http://trap.test/p/1"}
+    fetched = {r["url"] for r in c.documents().collect()}
+    assert trap not in fetched
+
+
+def test_conditional_refetch_revalidates_with_304(spark, tmp_path_factory):
+    """Conditional re-fetch e2e: first visit stores each page's ETag in the
+    frontier; a recrawl of unchanged pages revalidates with 304 (no body, no
+    spans, counted as visits), while a changed page re-fetches fully and its
+    new validator replaces the stored one. latest_documents() resolves every
+    URL to its newest contentful row."""
+    def corpus(version0: str):
+        rows = [
+            (
+                f"http://cond.test/p/{i}",
+                200,
+                "text/html",
+                f'<html>page {i} {"v2" if (i == 0 and version0 == "v2") else "v1"} '
+                f'<a href="/p/{(i + 1) % 4}">n</a></html>',
+                f'W/"{version0 if i == 0 else "v1"}-{i}"',
+            )
+            for i in range(4)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, status int, content_type string, body string, etag string",
+        )
+
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 8),)),
+        sub_salts=2,
+        obey_robots=False,
+        max_waves=3,
+    )
+    root = str(tmp_path_factory.mktemp("cond"))
+    cat = SnapshotCatalog(spark, root)
+    c = Crawler(spark, cat, CorpusFetcher(corpus("v1")), cfg)
+    c.seed([f"http://cond.test/p/{i}" for i in range(4)])
+    stats = c.crawl()
+    assert stats[0].n_fetched_ok == 4 and stats[0].n_not_modified == 0
+    # validators stored in the frontier on first visit
+    fr = {r["url"]: r for r in c.frontier.read().collect()}
+    for i in range(4):
+        assert fr[f"http://cond.test/p/{i}"]["etag"] == f'W/"v1-{i}"'
+
+    # age everything; page 0's content (and ETag) changed upstream
+    assert c.recrawl(F.lit(True)) == 4
+    c2 = Crawler(spark, cat, CorpusFetcher(corpus("v2")), cfg)
+    s = c2.run_wave()
+    assert s.n_not_modified == 3  # pages 1-3 revalidate
+    assert s.n_fetched_ok == 1    # page 0 re-fetches fully
+    assert s.n_errors == 0
+    fr2 = {r["url"]: r for r in c2.frontier.read().collect()}
+    assert all(r["status"] == "visited" for r in fr2.values())
+    assert fr2["http://cond.test/p/0"]["etag"] == 'W/"v2-0"'   # replaced
+    assert fr2["http://cond.test/p/1"]["etag"] == 'W/"v1-1"'   # kept
+    # 304 marker rows carry no spans; the earlier 200 rows stay authoritative
+    marker = c2.documents().filter(F.col("status") == 304)
+    assert marker.count() == 3
+    assert marker.filter(F.size("spans") > 0).count() == 0
+    latest = {r["url"]: r for r in c2.latest_documents().collect()}
+    assert len(latest) == 4
+    texts = {
+        u: " ".join(s["text"] for s in r["spans"] if s["kind"] == "text")
+        for u, r in latest.items()
+    }
+    assert "v2" in texts["http://cond.test/p/0"]       # superseded by re-fetch
+    assert "v1" in texts["http://cond.test/p/1"]       # original row wins
+    assert latest["http://cond.test/p/1"]["wave"] == 0
+
+
 def test_recrawl_policy_refetches_aged_pages(spark, tmp_path_factory):
     """Freshness policy e2e: with recrawl_after_waves=2 the same URLs are
     re-fetched every ~2 waves (documents accumulate one row per fetch),

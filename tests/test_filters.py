@@ -54,3 +54,35 @@ def test_match_any_or_semantics(spark):
         "http://www.example.com/style.css",
     ]
     assert df.filter(ALL_URLS.expr(F.col("url"))).count() == len(URLS)
+
+
+def test_trap_rules_classification(spark):
+    """TrapRules: each heuristic fires on its shape, precedence is
+    too_long > too_deep > repeat_segment > param_explosion, and clean URLs
+    pass."""
+    from kermit_spark.filters import TrapRules
+
+    cases = [
+        ("http://a.test/p/ok.html", "ok"),
+        ("http://a.test/" + "x" * 300, "too_long"),
+        ("http://a.test/" + "d/" * 15 + "leaf", "too_deep"),
+        ("http://a.test/a/loop/loop/loop/p", "repeat_segment"),
+        ("http://a.test/a/loop/loop/p", "ok"),          # run of 2 is fine
+        ("http://a.test/a/b/a/b/a/b/p", "ok"),          # alternation is fine
+        ("http://a.test/p?" + "&".join(f"k{i}=1" for i in range(9)), "param_explosion"),
+        ("http://a.test/p?a=1&b=2", "ok"),
+        ("http://a.test/" + "d/" * 15 + "?x=1#f", "too_deep"),  # query+fragment
+        ("http://a.test/", "ok"),                       # empty path
+    ]
+    rules = TrapRules(max_url_len=200, max_path_depth=12, max_query_params=8)
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["reason"]
+        for r in df.select("url", rules.reason_expr(F.col("url")).alias("reason")).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, f"{url}: got {got[url]}, want {want}"
+    # expr() admits exactly the 'ok' rows
+    assert df.filter(rules.expr(F.col("url"))).count() == sum(
+        1 for _, w in cases if w == "ok"
+    )

@@ -62,6 +62,46 @@ def test_status_transitions(spark, frontier):
     assert err["tries"] == 1
 
 
+def test_validators_merge_sticky(spark, frontier):
+    """HTTP validators (etag/last_modified): null on first schedule, stored
+    on visit, kept by later updates that carry none (a 304 revalidation or
+    an error must never erase the validator the next conditional fetch
+    needs), replaced when a fresh one arrives."""
+    frontier.init(_urls(spark, ["http://a.test/1", "http://a.test/2"]))
+    assert frontier.read().filter(F.col("etag").isNotNull()).count() == 0
+    rows = frontier.read()
+    # first visit stores validators
+    frontier.update_status(
+        rows.select(
+            "p", "url_hash", "url", F.lit(VISITED).alias("new_status"),
+            F.lit('W/"v1"').alias("new_etag"),
+            F.lit("Mon, 01 Jan 2024 00:00:00 GMT").alias("new_last_modified"),
+        )
+    )
+    fr = {r["url"]: r for r in frontier.read().collect()}
+    assert all(r["etag"] == 'W/"v1"' for r in fr.values())
+    # an update with null validators keeps the stored ones
+    frontier.update_status(
+        frontier.read().filter(F.col("url").endswith("1")).select(
+            "p", "url_hash", "url", F.lit(VISITED).alias("new_status"),
+            F.lit(None).cast("string").alias("new_etag"),
+            F.lit(None).cast("string").alias("new_last_modified"),
+        )
+    )
+    # a fresh validator replaces the stored one
+    frontier.update_status(
+        frontier.read().filter(F.col("url").endswith("2")).select(
+            "p", "url_hash", "url", F.lit(VISITED).alias("new_status"),
+            F.lit('W/"v2"').alias("new_etag"),
+            F.lit(None).cast("string").alias("new_last_modified"),
+        )
+    )
+    fr = {r["url"]: r for r in frontier.read().collect()}
+    assert fr["http://a.test/1"]["etag"] == 'W/"v1"'  # kept
+    assert fr["http://a.test/2"]["etag"] == 'W/"v2"'  # replaced
+    assert fr["http://a.test/2"]["last_modified"] is not None  # kept
+
+
 def test_reschedule_errors_retry_path(spark, frontier):
     frontier.init(_urls(spark, ["http://a.test/1"]))
     rows = frontier.read()

@@ -80,6 +80,22 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
             self._send(418, "short and stout", content_type="text/html")
         elif self.path == "/big.txt":
             self._send(200, "x" * 100_000)
+        elif self.path == "/versioned":
+            # conditional GET: validators are a fixed version tag; a matching
+            # If-None-Match (or, failing that, If-Modified-Since) → 304
+            etag, lm = 'W/"v7"', "Tue, 01 Jan 2030 00:00:00 GMT"
+            inm = self.headers.get("If-None-Match")
+            ims = self.headers.get("If-Modified-Since")
+            if inm == etag or (inm is None and ims == lm):
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.send_header("Last-Modified", lm)
+                self.end_headers()
+            else:
+                self._send(
+                    200, "fresh content", content_type="text/html",
+                    extra=[("ETag", etag), ("Last-Modified", lm)],
+                )
         elif self.path == "/redirect":
             self.send_response(302)
             self.send_header("Location", "/echo")
@@ -119,6 +135,34 @@ def _selected(spark, rows):
         data,
         "p int, url_hash long, url string, host string, depth int, referer string, wave int, rank int",
     ).coalesce(1)
+
+
+def test_conditional_get_revalidates_with_304(spark, fidelity_url):
+    """Conditional re-fetch over live HTTP: a selected batch carrying stored
+    validators sends If-None-Match / If-Modified-Since; an unchanged
+    resource answers 304 with no body but fresh validator headers (which
+    the crawler re-stores). Rows without validators fetch normally."""
+    url = f"{fidelity_url}/versioned"
+    base = _selected(spark, [(url, None), (url, None), (url, None)])
+    sel = base.withColumn(
+        "etag",
+        F.when(F.col("rank") == 2, F.lit('W/"v7"'))       # match → 304
+        .when(F.col("rank") == 3, F.lit('W/"stale"'))      # mismatch → 200
+        .otherwise(F.lit(None).cast("string")),            # none → 200
+    ).withColumn("last_modified", F.lit(None).cast("string"))
+    rows = {r["rank"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+    assert rows[1]["status"] == 200 and rows[1]["body"] == "fresh content"
+    assert rows[3]["status"] == 200  # stale validator: full response
+    assert rows[2]["status"] == 304 and rows[2]["body"] is None
+    assert rows[2]["headers"]["etag"] == 'W/"v7"'  # re-storable validators
+    # If-Modified-Since alone also revalidates
+    sel_lm = base.filter(F.col("rank") == 1).withColumn(
+        "last_modified", F.lit("Tue, 01 Jan 2030 00:00:00 GMT")
+    )
+    (row,) = HttpFetcher(timeout_s=5, max_pool=1).fetch(sel_lm).collect()
+    assert row["status"] == 304
+    # validator columns never leak into the fetch-result schema
+    assert "etag" not in rows[1].asDict() and "last_modified" not in rows[1].asDict()
 
 
 def test_cookie_round_trip_within_worker_session(spark, fidelity_url):

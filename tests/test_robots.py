@@ -137,6 +137,36 @@ def test_parse_sitemap_locs():
     assert parse_sitemap_locs("<urlset></urlset>") == []
 
 
+def test_sitemap_index_detected_jvm_side(spark):
+    """sitemap_candidates_from_fetch: a <sitemapindex> body's locs are
+    flagged is_index (child sitemaps to expand), a <urlset>'s are not, and
+    non-200 fetches yield nothing."""
+    from kermit_spark.robots import sitemap_candidates_from_fetch
+
+    index_body = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>http://a.test/sm-a.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.test/sm-b.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    urlset_body = "<urlset><url><loc>http://a.test/p/1</loc></url></urlset>"
+    fetched = spark.createDataFrame(
+        [
+            ("http://a.test/sm.xml", 200, index_body),
+            ("http://a.test/sm2.xml", 200, urlset_body),
+            ("http://a.test/gone.xml", 404, None),
+        ],
+        "url string, status int, body string",
+    )
+    got = sitemap_candidates_from_fetch(fetched).collect()
+    by_loc = {r["loc"]: r["is_index"] for r in got}
+    assert by_loc == {
+        "http://a.test/sm-a.xml": True,
+        "http://a.test/sm-b.xml": True,
+        "http://a.test/p/1": False,
+    }
+
+
 def test_dequeue_host_budget_caps(spark):
     """Crawl-delay-derived (host, budget_cap) rows tighten the configured
     politeness budget for exactly the listed hosts."""
