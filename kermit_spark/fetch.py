@@ -192,6 +192,17 @@ class HttpFetcher:
         error path for transport failures; 599 marks transport errors only.
       * content-type sanitized by extension when missing/generic
         (core.streaming.coffee:59) — JVM-side, after the UDF.
+      * ``Accept-Encoding: gzip, deflate`` sent and the response body
+        transparently decompressed (core.users.coffee:12 advertises
+        'gzip, deflate, sdch'; the reference's request lib decompresses —
+        sdch is a dead Chrome experiment, not advertised here). Decompressed
+        output is capped at ``max_body_bytes`` (zip-bomb guard) with the
+        same ``body_truncated`` flag; undecodable streams keep the raw bytes
+        text-decoded and flag ``content_decode_error``.
+      * charset honored when decoding: BOM first (UTF-8/UTF-16 signatures),
+        then the Content-Type ``charset=`` parameter, then UTF-8 with
+        replacement — bodies are *text columns*, so decode happens here,
+        once, at the edge.
     """
 
     def __init__(
@@ -234,8 +245,10 @@ class HttpFetcher:
         max_body = self.max_body_bytes
 
         def run(batches):
+            import codecs
             import concurrent.futures as cf
             import http.cookiejar
+            import re
             import threading
             import urllib.error
             import urllib.parse
@@ -301,8 +314,50 @@ class HttpFetcher:
                 def sem_for(url: str) -> threading.BoundedSemaphore:
                     return _open_sem
 
+            def inflate(raw: bytes, encoding: str, hdrs: dict) -> bytes:
+                """Decompress a gzip/deflate body, capping the OUTPUT at
+                max_body (a 10 KB gzip can hold gigabytes of zeros — the
+                network-byte cap alone doesn't bound worker memory)."""
+                if encoding in ("gzip", "x-gzip"):
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                elif encoding == "deflate":
+                    # RFC says zlib-wrapped; some servers send raw deflate.
+                    # Sniff the zlib header (0x78 first byte, checksum valid).
+                    wbits = zlib.MAX_WBITS if (raw[:1] == b"\x78") else -zlib.MAX_WBITS
+                    d = zlib.decompressobj(wbits)
+                else:
+                    return raw
+                try:
+                    if max_body:
+                        out = d.decompress(raw, max_body + 1)
+                        if len(out) > max_body or d.unconsumed_tail:
+                            hdrs["body_truncated"] = "1"
+                            return out[:max_body]
+                        return out
+                    return d.decompress(raw)
+                except zlib.error:
+                    hdrs["content_decode_error"] = encoding
+                    return raw
+
+            def decode(raw: bytes, ct_header: str | None) -> str:
+                """bytes → str: BOM, then Content-Type charset, then UTF-8."""
+                if raw.startswith(codecs.BOM_UTF8):
+                    return raw.decode("utf-8-sig", "replace")
+                if raw.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
+                    return raw.decode("utf-16", "replace")  # codec eats the BOM
+                m = re.search(r"charset\s*=\s*\"?([\w.-]+)", ct_header or "", re.I)
+                if m:
+                    try:
+                        return raw.decode(codecs.lookup(m.group(1)).name, "replace")
+                    except LookupError:
+                        pass
+                return raw.decode("utf-8", "replace")
+
             def get(url: str, referer, etag=None, last_modified=None):
-                req_headers = {"User-Agent": agent_for(url, referer)}
+                req_headers = {
+                    "User-Agent": agent_for(url, referer),
+                    "Accept-Encoding": "gzip, deflate",
+                }
                 if send_referer and isinstance(referer, str) and referer:
                     req_headers["Referer"] = referer
                 # conditional GET from stored validators (re-crawl rows carry
@@ -323,7 +378,8 @@ class HttpFetcher:
                         final = resp.geturl()
                         if final and final != url:
                             hdrs["final_url"] = final
-                        ct = (resp.headers.get("Content-Type") or "").split(";")[0]
+                        ct_full = resp.headers.get("Content-Type") or ""
+                        ct = ct_full.split(";")[0]
                         if max_body:
                             raw = resp.read(max_body + 1)
                             if len(raw) > max_body:
@@ -331,12 +387,21 @@ class HttpFetcher:
                                 hdrs["body_truncated"] = "1"
                         else:
                             raw = resp.read()
-                        return (resp.status, ct or None,
-                                raw.decode("utf-8", "replace"), hdrs)
+                        enc = hdrs.get("content-encoding", "").strip().lower()
+                        if enc:
+                            # on a network-truncated stream decompressobj
+                            # still yields the recoverable prefix
+                            raw = inflate(raw, enc, hdrs)
+                        return resp.status, ct or None, decode(raw, ct_full), hdrs
                 except urllib.error.HTTPError as e:
                     hdrs = {k.lower(): v for k, v in (e.headers or {}).items()}
+                    ct_full = (e.headers.get("Content-Type") if e.headers else None) or ""
                     try:
-                        body = e.read().decode("utf-8", "replace")
+                        raw = e.read(max_body) if max_body else e.read()
+                        enc = hdrs.get("content-encoding", "").strip().lower()
+                        if enc:
+                            raw = inflate(raw, enc, hdrs)
+                        body = decode(raw, ct_full)
                     except Exception:
                         body = None
                     if e.code == 304:

@@ -54,7 +54,7 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
         pass
 
     def _send(self, status, body, content_type="text/plain", extra=()):
-        data = body.encode()
+        data = body.encode() if isinstance(body, str) else body
         self.send_response(status)
         if content_type is not None:
             self.send_header("Content-Type", content_type)
@@ -80,6 +80,31 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
             self._send(418, "short and stout", content_type="text/html")
         elif self.path == "/big.txt":
             self._send(200, "x" * 100_000)
+        elif self.path == "/enc-echo":
+            self._send(200, "ae:%s" % self.headers.get("Accept-Encoding", ""))
+        elif self.path == "/gzip.html":
+            import gzip
+            body = '<html><body><a href="/zipped.html">z</a></body></html>'
+            self._send(200, gzip.compress(body.encode()), content_type="text/html",
+                       extra=[("Content-Encoding", "gzip")])
+        elif self.path == "/deflate-zlib.txt":
+            import zlib
+            self._send(200, zlib.compress(b"deflate zlib body"),
+                       extra=[("Content-Encoding", "deflate")])
+        elif self.path == "/deflate-raw.txt":
+            import zlib
+            co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+            self._send(200, co.compress(b"deflate raw body") + co.flush(),
+                       extra=[("Content-Encoding", "deflate")])
+        elif self.path == "/latin1.txt":
+            self._send(200, "caf\xe9 r\xe9sum\xe9".encode("latin-1"),
+                       content_type="text/plain; charset=ISO-8859-1")
+        elif self.path == "/bom.txt":
+            self._send(200, b"\xef\xbb\xbfbom body")
+        elif self.path == "/bomb.txt":
+            import gzip
+            self._send(200, gzip.compress(b"\x00" * 4_000_000),
+                       extra=[("Content-Encoding", "gzip")])
         elif self.path == "/versioned":
             # conditional GET: validators are a fixed version tag; a matching
             # If-None-Match (or, failing that, If-Modified-Since) → 304
@@ -247,6 +272,49 @@ def test_referer_header_and_ua_pool_quirk(spark, fidelity_url):
     body = fetcher.fetch(sel).collect()[0]["body"]
     assert "referer:http://parent.test/page.html" in body
     assert "ua:agent-a/1.0" in body  # quirk: always the first agent
+
+
+def test_gzip_and_deflate_bodies_decompressed(spark, fidelity_url):
+    """Accept-Encoding: gzip, deflate is advertised (core.users.coffee:12)
+    and compressed bodies arrive decompressed — both zlib-wrapped and raw
+    deflate variants (real servers send both)."""
+    sel = _selected(spark, [
+        (f"{fidelity_url}/enc-echo", None),
+        (f"{fidelity_url}/gzip.html", None),
+        (f"{fidelity_url}/deflate-zlib.txt", None),
+        (f"{fidelity_url}/deflate-raw.txt", None),
+    ])
+    rows = {r["url"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+    assert "gzip" in rows[f"{fidelity_url}/enc-echo"]["body"]
+    assert "deflate" in rows[f"{fidelity_url}/enc-echo"]["body"]
+    gz = rows[f"{fidelity_url}/gzip.html"]
+    assert gz["body"] == '<html><body><a href="/zipped.html">z</a></body></html>'
+    assert gz["headers"].get("content-encoding") == "gzip"  # observability kept
+    assert rows[f"{fidelity_url}/deflate-zlib.txt"]["body"] == "deflate zlib body"
+    assert rows[f"{fidelity_url}/deflate-raw.txt"]["body"] == "deflate raw body"
+
+
+def test_decompression_bomb_capped(spark, fidelity_url):
+    """A small gzip expanding past max_body_bytes is truncated at the
+    DECOMPRESSED cap and flagged — the network-byte cap alone doesn't bound
+    worker memory against zip bombs."""
+    sel = _selected(spark, [(f"{fidelity_url}/bomb.txt", None)])
+    row = HttpFetcher(timeout_s=5, max_pool=1, max_body_bytes=64 * 1024).fetch(sel).collect()[0]
+    assert row["status"] == 200
+    assert len(row["body"]) == 64 * 1024
+    assert row["headers"].get("body_truncated") == "1"
+
+
+def test_charset_and_bom_decoding(spark, fidelity_url):
+    """Bodies decode by the Content-Type charset parameter (latin-1 here);
+    a UTF-8 BOM is honored and stripped."""
+    sel = _selected(spark, [
+        (f"{fidelity_url}/latin1.txt", None),
+        (f"{fidelity_url}/bom.txt", None),
+    ])
+    rows = {r["url"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+    assert rows[f"{fidelity_url}/latin1.txt"]["body"] == "café résumé"
+    assert rows[f"{fidelity_url}/bom.txt"]["body"] == "bom body"
 
 
 def test_content_type_fallback_by_extension(spark, fidelity_url):
