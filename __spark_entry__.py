@@ -545,6 +545,24 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(kept, "source", "doc_id", k=25).orderBy("source", "doc_id")
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing through the REAL library op
+    (ops.sample.token_budget_sample): walk each source in deterministic
+    (portable-hash, doc_id) order and keep documents while the preceding
+    cumulative n_chars is < 4000 — the "N tokens per domain" mixing
+    primitive. The engine runs the two-phase bucketed form (bounded windows,
+    no full-stratum sort); the oracle is the naive single-window cumsum the
+    contract is defined by."""
+    from kermit_spark.ops.sample import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_sample(
+        docs, "source", "doc_id", "n_chars", budget=4000, num_buckets=8
+    ).orderBy("source", "doc_id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-training-data curation workflow, end-to-end through
     the REAL library ops: language filter (detect_language == 'en') →
@@ -1062,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": q_dedup_contamination,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
+        "sample_token_budget": q_sample_token_budget,
         "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1660,6 +1679,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             )
             SELECT doc_id, source FROM ranked WHERE rn <= 10
+            ORDER BY source, doc_id
+        """,
+        "sample_token_budget": """
+            WITH h AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) AS hv
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+                FROM h
+            )
+            SELECT doc_id, source, n_chars FROM c WHERE pre < 4000
             ORDER BY source, doc_id
         """,
         "sample_stratified": """

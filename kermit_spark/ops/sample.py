@@ -68,3 +68,95 @@ def stratified_sample(
         .filter(F.col("_rank") <= k)
         .drop("_h", "_salt", "_r1", "_rank")
     )
+
+
+#: hash space of portable_hash48 — bucket spans divide this
+_HASH_SPACE = 1 << (4 * HASH_HEX_DIGITS)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: int | DataFrame,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Greedy per-stratum quota sample by cumulative WEIGHT (token budget):
+    walk each stratum in deterministic (hash, key) order and keep every row
+    whose preceding cumulative weight is strictly below ``budget`` — the
+    "mix N tokens per domain" primitive of a training-data pipeline. The
+    first row of a non-empty stratum is always kept (budget > 0), and the
+    row that crosses the budget is the last one kept.
+
+    ``budget`` is a constant, or a DataFrame with (strata_col, 'budget')
+    for per-domain quotas (joined; strata without a row are dropped).
+
+    Scale shape — the naive form is a full-stratum window cumsum: one task
+    sorts the WHOLE hot domain. Instead this runs two bounded passes:
+      1. rows → hash-range buckets (``num_buckets`` spans of the 48-bit
+         space); per-(stratum, bucket) weight mass is aggregated (map-side
+         combine), then a window cumsum over ≤ num_buckets rows per stratum
+         classifies each bucket: fully inside the budget, boundary, or
+         fully outside.
+      2. 'full' buckets keep all rows with NO sort; only the single
+         boundary bucket per stratum pays an exact (hash, key) window —
+         ~1/num_buckets of the stratum, so the hot-domain sort shrinks by
+         the same factor.
+    Every shuffle keys on (stratum, bucket); the exact window partition is
+    bounded, so a 100×-skewed domain costs 100×/num_buckets, not 100×.
+    Weights must be non-negative; zero-weight rows ride along (they never
+    consume budget).
+    """
+    span = _HASH_SPACE // num_buckets + 1
+    d = df.withColumn("_h", portable_hash48(F.col(key_col))).withColumn(
+        "_b", (F.col("_h") / span).cast("int")
+    )
+    mass = d.groupBy(strata_col, "_b").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_m")
+    )
+    wb = Window.partitionBy(strata_col).orderBy("_b")
+    mass = mass.withColumn(
+        "_pre", F.coalesce(F.sum("_m").over(wb) - F.col("_m"), F.lit(0).cast("long"))
+    )
+    if isinstance(budget, DataFrame):
+        mass = mass.join(budget.select(strata_col, "budget"), strata_col)
+    else:
+        mass = mass.withColumn("budget", F.lit(int(budget)).cast("long"))
+    # keep-prefix semantics: row kept iff (sum of weights strictly before it
+    # in (hash, key) order within the stratum) < budget
+    classified = mass.filter(F.col("_pre") < F.col("budget")).select(
+        F.col(strata_col).alias("_cs"),
+        F.col("_b").alias("_cb"),
+        "_pre",
+        "budget",
+        # strictly inside only: a bucket ending EXACTLY at the budget takes
+        # the exact pass, so trailing zero-weight rows (prefix == budget)
+        # are dropped per the strict-< contract
+        (F.col("_pre") + F.col("_m") < F.col("budget")).alias("_full"),
+    )
+    joined = d.join(
+        classified,
+        (d[strata_col] == F.col("_cs")) & (d["_b"] == F.col("_cb")),
+    )
+    full = joined.filter(F.col("_full")).drop(
+        "_h", "_b", "_cs", "_cb", "_pre", "budget", "_full"
+    )
+    wx = Window.partitionBy(strata_col, "_b").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    boundary = (
+        joined.filter(~F.col("_full"))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum(F.col(weight_col).cast("long")).over(wx)
+                - F.col(weight_col).cast("long"),
+                F.lit(0).cast("long"),
+            )
+            + F.col("_pre"),
+        )
+        .filter(F.col("_cum_before") < F.col("budget"))
+        .drop("_h", "_b", "_cs", "_cb", "_pre", "budget", "_full", "_cum_before")
+    )
+    return full.unionByName(boundary)

@@ -69,3 +69,97 @@ def test_stratified_equals_single_window(spark):
         for r in df.withColumn("_r", F.row_number().over(w)).filter("_r <= 11").collect()
     }
     assert fast == naive
+
+
+def _weighted(spark, n=600, strata=3, zero_every=0):
+    """docs with a deterministic weight column (varied, some zero when
+    zero_every > 0)."""
+    w = F.pmod(F.col("id") * 37 + 11, F.lit(50)) + 1
+    if zero_every:
+        w = F.when(F.pmod("id", F.lit(zero_every)) == 0, F.lit(0)).otherwise(w)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(strata)).cast("string")).alias("source"),
+        w.cast("long").alias("tokens"),
+    )
+
+
+def _naive_budget(spark, df, budget):
+    """Single-window reference implementation of the strict-prefix contract."""
+    from pyspark.sql.window import Window
+    from kermit_spark.ops.sample import portable_hash48
+
+    w = Window.partitionBy("source").orderBy(
+        portable_hash48(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        df.withColumn("_pre", F.coalesce(F.sum("tokens").over(w) - F.col("tokens"), F.lit(0)))
+        .filter(F.col("_pre") < budget)
+        .drop("_pre")
+    )
+
+
+def test_token_budget_equals_naive_window(spark):
+    from kermit_spark.ops.sample import token_budget_sample
+
+    df = _weighted(spark, n=600, strata=3)
+    for budget in (1, 100, 2500, 10**9):
+        got = {r["doc_id"] for r in token_budget_sample(
+            df, "source", "doc_id", "tokens", budget, num_buckets=8).collect()}
+        want = {r["doc_id"] for r in _naive_budget(spark, df, budget).collect()}
+        assert got == want, budget
+
+
+def test_token_budget_zero_weight_rows(spark):
+    """Zero-weight rows never consume budget but ride along while the
+    stratum is under budget; the strict-< contract holds at the boundary."""
+    from kermit_spark.ops.sample import token_budget_sample
+
+    df = _weighted(spark, n=400, strata=2, zero_every=5)
+    got = {r["doc_id"] for r in token_budget_sample(
+        df, "source", "doc_id", "tokens", 700, num_buckets=4).collect()}
+    want = {r["doc_id"] for r in _naive_budget(spark, df, 700).collect()}
+    assert got == want
+
+
+def test_token_budget_exact_boundary_bucket(spark):
+    """num_buckets=1 forces everything through the boundary (exact) path;
+    a huge num_buckets makes every row its own bucket (full path)."""
+    from kermit_spark.ops.sample import token_budget_sample
+
+    df = _weighted(spark, n=200, strata=2)
+    want = {r["doc_id"] for r in _naive_budget(spark, df, 900).collect()}
+    for nb in (1, 1 << 20):
+        got = {r["doc_id"] for r in token_budget_sample(
+            df, "source", "doc_id", "tokens", 900, num_buckets=nb).collect()}
+        assert got == want, nb
+
+
+def test_token_budget_per_stratum_budgets(spark):
+    from kermit_spark.ops.sample import token_budget_sample
+
+    df = _weighted(spark, n=300, strata=3)
+    budgets = spark.createDataFrame(
+        [("s0", 100), ("s1", 10**9)], "source string, budget long"
+    )  # s2 has no quota row -> dropped entirely
+    out = token_budget_sample(df, "source", "doc_id", "tokens", budgets, num_buckets=8)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "s2" not in by
+    assert by["s1"] == 100  # unbounded budget keeps the whole stratum
+    tot_s0 = (
+        out.filter(F.col("source") == "s0").agg(F.sum("tokens").alias("t")).collect()[0]["t"]
+    )
+    naive_s0 = {r["doc_id"] for r in _naive_budget(spark, df.filter(F.col("source") == "s0"), 100).collect()}
+    got_s0 = {r["doc_id"] for r in out.filter(F.col("source") == "s0").collect()}
+    assert got_s0 == naive_s0
+    # greedy overshoot is at most the crossing row: pre < 100 for every kept row
+    assert tot_s0 >= 100
+
+
+def test_token_budget_first_row_always_kept(spark):
+    from kermit_spark.ops.sample import token_budget_sample
+
+    df = _weighted(spark, n=30, strata=3)
+    out = token_budget_sample(df, "source", "doc_id", "tokens", 1, num_buckets=4)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by == {"s0": 1, "s1": 1, "s2": 1}
