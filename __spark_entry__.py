@@ -355,6 +355,24 @@ def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kind order, offset numbering, whitespace collapse, quoting handling)
     hash-mismatches. Angle brackets/quotes are scrubbed from the prose on
     both sides so the template is the only markup."""
+    parsed = _synth_parsed_documents(spark, sf_dir)
+    return (
+        parsed.select("orig_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .orderBy("doc_id", "offset")
+    )
+
+
+def _synth_parsed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_parse_spans / q_media_caption: fixed five-span HTML
+    template over the documents table, parsed by the REAL engine surface
+    (parse.parse_documents → Arrow-batched span tokenizer)."""
     from kermit_spark.parse import parse_documents
 
     docs = (
@@ -383,21 +401,27 @@ def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/html").alias("content_type"),
         body.alias("body"),
     )
-    parsed = parse_documents(fetched.drop("doc_id")).withColumn(
+    return parse_documents(fetched.drop("doc_id")).withColumn(
         "orig_id",
         F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long"),
     )
-    return (
-        parsed.select("orig_id", F.explode("spans").alias("s"))
-        .select(
-            F.col("orig_id").alias("doc_id"),
-            F.col("s.offset").alias("offset"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-        )
-        .orderBy("doc_id", "offset")
-    )
+
+
+def q_media_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media alignment through the REAL library op
+    (ops.media.media_caption_context): every media span paired with its
+    nearest preceding and following prose spans — the image-text caption
+    pairs a multimodal training pipeline consumes. Input spans come from
+    the REAL tokenizer over the q_parse_spans HTML template (text, link,
+    media, resource, text), so the pairing must skip the link/resource
+    spans flanking the image. Pure higher-order array algebra — the plan
+    is scan → generate → project with ZERO shuffles. The oracle constructs
+    the expected pair per document from the same template."""
+    from kermit_spark.ops.media import media_caption_context
+
+    parsed = _synth_parsed_documents(spark, sf_dir)
+    docs = parsed.select(F.col("orig_id").alias("doc_id"), "spans")
+    return media_caption_context(docs).orderBy("doc_id", "offset")
 
 
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_filter": q_url_trap_filter,
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
+        "media_caption": q_media_caption,
         "crawl_wave": q_crawl_wave,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -2117,6 +2142,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT header, value, count(*) AS n
             FROM h GROUP BY header, value ORDER BY header, value
+        """,
+        "media_caption": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 1, 60), '\\s+', ' ', 'g')) AS t1,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 61, 60), '\\s+', ' ', 'g')) AS t2
+                FROM documents WHERE n_chars >= 140
+            )
+            SELECT doc_id,
+                   '/img/' || (doc_id % 50) || '.png' AS media_ref,
+                   2 AS "offset",
+                   t1 AS context_before,
+                   t2 AS context_after
+            FROM d
+            ORDER BY doc_id, "offset"
         """,
         "media_frame_plan": """
             SELECT media_id, frame_no, media_id || '#f' || frame_no AS frame_ref

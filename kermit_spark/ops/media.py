@@ -124,6 +124,55 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+def media_caption_context(documents: DataFrame) -> DataFrame:
+    """Interleaved text+media alignment: pair every media span with its
+    nearest preceding and following TEXT spans — the caption-context pairs
+    an image-text training pipeline consumes (alt-text mining, figure
+    captioning). Link/resource spans between a media span and its prose
+    neighbors are skipped: context is prose, not navigation.
+
+    Scale shape: the spans array is already ordered by offset within each
+    row, so this is pure higher-order array algebra (transform + filter +
+    element_at) — whole-stage codegen, ZERO shuffle, no explode until the
+    final explode of the per-document pair array. Worst case is
+    O(media × spans) per row, bounded by document size, never by corpus
+    size. Output: (doc_id, media_ref, offset, context_before, context_after)
+    with nulls when no prose exists on that side.
+    """
+    pairs = F.transform(
+        F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("offset"),
+            F.try_element_at(
+                F.filter(
+                    "spans",
+                    lambda s: (s["kind"] == F.lit("text"))
+                    & (s["offset"] < m["offset"]),
+                ),
+                F.lit(-1),
+            )["text"].alias("context_before"),
+            F.try_element_at(
+                F.filter(
+                    "spans",
+                    lambda s: (s["kind"] == F.lit("text"))
+                    & (s["offset"] > m["offset"]),
+                ),
+                F.lit(1),
+            )["text"].alias("context_after"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.explode(pairs).alias("pair")
+    ).select(
+        "doc_id",
+        F.col("pair.media_ref").alias("media_ref"),
+        F.col("pair.offset").alias("offset"),
+        F.col("pair.context_before").alias("context_before"),
+        F.col("pair.context_after").alias("context_after"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Video frame-sampling plan: deterministic frame indices per media id
     (the decode of those frames is the stubbed codec step). JVM-side:

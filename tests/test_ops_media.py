@@ -70,3 +70,46 @@ def test_frame_sample(docs):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2] for v in per.values())
     assert all("#f" in r["frame_ref"] for r in rows)
+
+
+def test_media_caption_context_pairs_nearest_prose(spark):
+    """Every media span pairs with the nearest preceding/following TEXT
+    spans; link/resource spans in between are skipped; missing sides are
+    null; documents without media contribute nothing."""
+    from kermit_spark.ops.media import media_caption_context
+
+    rows = [
+        ("d1", [("text", "intro", None, 0), ("link", "nav", "/a", 1),
+                ("media", None, "/i1.png", 2), ("resource", None, "/c.css", 3),
+                ("text", "caption one", None, 4), ("media", None, "/i2.png", 5)]),
+        ("d2", [("media", None, "/lead.png", 0), ("text", "after only", None, 1)]),
+        ("d3", [("text", "no media here", None, 0)]),
+        ("d4", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["context_before"], r["context_after"])
+        for r in media_caption_context(df).collect()
+    }
+    assert got == {
+        ("d1", "/i1.png"): ("intro", "caption one"),
+        ("d1", "/i2.png"): ("caption one", None),
+        ("d2", "/lead.png"): (None, "after only"),
+    }
+
+
+def test_media_caption_context_plan_has_no_shuffle(spark):
+    """The pairing is per-row array algebra — the physical plan must contain
+    no Exchange and no Python/pandas nodes."""
+    from kermit_spark.ops.media import media_caption_context
+
+    df = spark.createDataFrame(
+        [("d", [("media", None, "/m", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    plan = media_caption_context(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
