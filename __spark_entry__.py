@@ -424,6 +424,44 @@ def q_media_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_caption_context(docs).orderBy("doc_id", "offset")
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation through the REAL library op
+    (ops.graph.anchor_text_stats): per link target, inlink count, distinct
+    source documents, and the most frequent anchor (ties → smallest).
+    Input is a SKEWED synthetic link layer over the documents table — each
+    doc links twice to its residue hub (doc_id % 50; anchors 'k{doc_id%7}'
+    and 'dup') and once to the next page — so hubs aggregate ~2N/50 inlinks
+    from N/50 docs and the top-anchor pick must actually discriminate
+    frequencies and tie-breaks. Hrefs are pre-canonicalized (clean=False);
+    the cleaning path is certified by CORR:url_canonicalize."""
+    from kermit_spark.ops.graph import anchor_text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("http://t.test/page/"), F.col("doc_id").cast("string")).alias("url"),
+        F.array(
+            F.struct(
+                F.lit("link").alias("kind"),
+                F.concat(F.lit("k"), F.pmod("doc_id", F.lit(7)).cast("string")).alias("text"),
+                F.concat(F.lit("http://t.test/hub/"), F.pmod("doc_id", F.lit(50)).cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"),
+                F.lit("dup").alias("text"),
+                F.concat(F.lit("http://t.test/hub/"), F.pmod("doc_id", F.lit(50)).cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"),
+                F.lit("next").alias("text"),
+                F.concat(F.lit("http://t.test/page/"), (F.col("doc_id") + 1).cast("string")).alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return anchor_text_stats(docs, clean=False).orderBy("url")
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl prioritization by link importance through the REAL library
     operator (kermit_spark.ops.graph.pagerank — integer fixed-point
@@ -1097,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
         "media_caption": q_media_caption,
+        "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -2142,6 +2181,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT header, value, count(*) AS n
             FROM h GROUP BY header, value ORDER BY header, value
+        """,
+        "anchor_texts": """
+            WITH links AS (
+                SELECT 'http://t.test/page/' || doc_id AS src,
+                       'http://t.test/hub/' || (doc_id % 50) AS url,
+                       'k' || (doc_id % 7) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'http://t.test/page/' || doc_id,
+                       'http://t.test/hub/' || (doc_id % 50),
+                       'dup'
+                FROM documents
+                UNION ALL
+                SELECT 'http://t.test/page/' || doc_id,
+                       'http://t.test/page/' || (doc_id + 1),
+                       'next'
+                FROM documents
+            ),
+            per_anchor AS (
+                SELECT url, anchor, count(*) AS n
+                FROM links WHERE anchor IS NOT NULL
+                GROUP BY url, anchor
+            ),
+            top AS (
+                SELECT url, anchor, n,
+                       row_number() OVER (PARTITION BY url ORDER BY n DESC, anchor) AS rn
+                FROM per_anchor
+            )
+            SELECT l.url,
+                   count(*) AS n_inlinks,
+                   count(DISTINCT l.src) AS n_docs,
+                   any_value(t.anchor) AS top_anchor,
+                   any_value(t.n) AS top_anchor_n
+            FROM links l JOIN top t ON l.url = t.url AND t.rn = 1
+            GROUP BY l.url
+            ORDER BY l.url
         """,
         "media_caption": """
             WITH d AS (

@@ -245,3 +245,64 @@ def canonicalize_near_dups(
             ),
         )
     )
+
+
+def anchor_text_stats(
+    documents: DataFrame,
+    clean: bool = True,
+) -> DataFrame:
+    """Inbound anchor-text aggregation per link target — the web-graph
+    signal layer (search ranking, title mining, training labels): for
+    every URL the corpus links TO, how many inlinks it has, from how many
+    distinct documents, and its most common anchor text.
+
+    ``documents``: rows with (url, spans) — link spans carry the anchor
+    text in ``text`` and the href in ``media_ref`` (parse.py contract).
+    With ``clean=True`` hrefs are canonicalized against the page URL via
+    the engine's clean_urls (same Arrow UDF the discovery path uses);
+    pass False when hrefs are already canonical.
+
+    Output: (url, n_inlinks, n_docs, top_anchor, top_anchor_n) where
+    top_anchor is the most frequent non-null anchor text, ties broken by
+    lexicographically smallest — fully deterministic.
+
+    Scale shape: explode → two hash aggregations, both map-side-partial
+    (a hot target's counts combine before the shuffle), keyed on
+    (target, anchor) then target. No windows, no self-joins; the
+    top-anchor pick is min(struct(-n, anchor)) inside the second agg.
+    """
+    links = documents.select(
+        F.col("url").alias("_base"), F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "link")
+    if clean:
+        from ..functions.urls import clean_urls
+
+        target = clean_urls(F.col("_base"), F.col("s.media_ref"))
+    else:
+        target = F.col("s.media_ref")
+    links = links.select(
+        target.alias("url"),
+        F.col("_base").alias("src"),
+        F.col("s.text").alias("anchor"),
+    ).filter(F.col("url").isNotNull())
+    per_anchor = links.groupBy("url", "anchor").agg(
+        F.count("*").alias("_n"),
+    )
+    return per_anchor.groupBy("url").agg(
+        F.sum("_n").alias("n_inlinks"),
+        F.min(
+            F.when(
+                F.col("anchor").isNotNull(),
+                F.struct((-F.col("_n")).alias("neg"), F.col("anchor").alias("a")),
+            )
+        ).alias("_top"),
+    ).join(
+        links.groupBy("url").agg(F.count_distinct("src").alias("n_docs")),
+        "url",
+    ).select(
+        "url",
+        "n_inlinks",
+        "n_docs",
+        F.col("_top.a").alias("top_anchor"),
+        (-F.col("_top.neg")).alias("top_anchor_n"),
+    )

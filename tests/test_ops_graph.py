@@ -135,3 +135,47 @@ def test_pagerank_total_mass_bounded(spark):
         .collect()[0]["s"]
     )
     assert 0 < total <= 10**12
+
+
+def test_anchor_text_stats_counts_and_top_anchor(spark):
+    """Inlink totals, distinct source docs, most-frequent anchor with
+    lexicographic tie-break, null anchors excluded from the top pick."""
+    from kermit_spark.ops.graph import anchor_text_stats
+
+    rows = [
+        ("http://a/1", [("link", "home", "http://t/h", 0),
+                        ("link", "Home", "http://t/h", 1),
+                        ("text", "prose", None, 2)]),
+        ("http://a/2", [("link", "home", "http://t/h", 0),
+                        ("link", None, "http://t/h", 1)]),
+        ("http://a/3", [("link", "zz", "http://t/tie", 0),
+                        ("link", "aa", "http://t/tie", 1)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["url"]: r for r in anchor_text_stats(df, clean=False).collect()}
+    h = got["http://t/h"]
+    assert (h["n_inlinks"], h["n_docs"], h["top_anchor"], h["top_anchor_n"]) == (4, 2, "home", 2)
+    # tie at n=1: lexicographically smallest anchor wins
+    assert got["http://t/tie"]["top_anchor"] == "aa"
+
+
+def test_anchor_text_stats_cleans_relative_hrefs(spark):
+    """clean=True canonicalizes hrefs against the page URL via the engine's
+    clean_urls — relative and absolute forms of the same target aggregate
+    into one row."""
+    from kermit_spark.ops.graph import anchor_text_stats
+
+    rows = [
+        ("http://t.test/a/1.html", [("link", "x", "/p.html", 0)]),
+        ("http://t.test/b/2.html", [("link", "x", "http://t.test/p.html", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = anchor_text_stats(df, clean=True).collect()
+    assert len(out) == 1
+    assert out[0]["n_inlinks"] == 2 and out[0]["n_docs"] == 2
