@@ -607,6 +607,27 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(kept, "source", "doc_id", k=25).orderBy("source", "doc_id")
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal through the REAL library op
+    (ops.dedup.paragraph_dedup): documents are given a three-paragraph
+    structure — a header shared within each doc_id%5 group, the document's
+    own prose slice, and a footer shared by EVERY document — so the op must
+    keep each shared paragraph only at its first (id, pos) occurrence and
+    stitch survivors back in order. The footer survives only in the
+    lowest doc_id; headers survive once per residue group."""
+    from kermit_spark.ops.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header "), F.pmod("doc_id", F.lit(5)).cast("string"),
+            F.lit("\n\n"), F.substring("text", 1, 80),
+            F.lit("\n\nshared footer"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs, id_col="doc_id").orderBy("doc_id")
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data mixing through the REAL library op
     (ops.sample.token_budget_sample): walk each source in deterministic
@@ -1145,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "sample_token_budget": q_sample_token_budget,
+        "dedup_paragraph": q_dedup_paragraph,
         "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1744,6 +1766,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source FROM ranked WHERE rn <= 10
             ORDER BY source, doc_id
+        """,
+        "dedup_paragraph": """
+            WITH docs AS (
+                SELECT doc_id,
+                       'shared header ' || (doc_id % 5) || chr(10) || chr(10) ||
+                       substring(text, 1, 80) || chr(10) || chr(10) ||
+                       'shared footer' AS text
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(parts) - 1)) AS pos,
+                       unnest(parts) AS para
+                FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM docs)
+            ),
+            ranked AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+                FROM p
+            ),
+            kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+            tot AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id)
+            SELECT k.doc_id,
+                   string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos) AS text,
+                   count(*) AS n_kept,
+                   any_value(t.n) - count(*) AS n_removed
+            FROM kept k JOIN tot t USING (doc_id)
+            GROUP BY k.doc_id
+            ORDER BY k.doc_id
         """,
         "sample_token_budget": """
             WITH h AS (

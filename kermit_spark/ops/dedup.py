@@ -424,3 +424,58 @@ def _deterministic_planes(num_planes: int, dim: int) -> np.ndarray:
             v = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16)
             out[p, j] = v / 2**32 * 2.0 - 1.0
     return out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-PARAGRAPH removal with document reconstruction
+    (the FineWeb/C4-style intra-corpus boilerplate pass): split every
+    document on ``sep``, keep each distinct paragraph only at its FIRST
+    occurrence (smallest (id, position) — deterministic), drop every other
+    copy, and stitch the survivors back into documents in original order.
+    Documents whose every paragraph was deduped away disappear from the
+    output.
+
+    Returns (id, text, n_kept, n_removed).
+
+    Scale shape: explode → one map-side-partial hash agg picks the winner
+    occurrence per 16-byte paragraph hash → hash-join paragraphs back on
+    the hash (winner side is one row per DISTINCT paragraph, so a
+    boilerplate paragraph repeated 10^9 times joins 10^9-vs-1, never
+    N×N) → per-document agg reconstructs. Shuffle keys: paragraph hash,
+    then doc id. Only hashes and paragraph text move — no full-document
+    bodies ride through the winner agg.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_para"),
+    ).withColumn("_h", F.md5(F.col("_para")))
+    totals = paras.groupBy("_id").agg(F.count("*").alias("_total"))
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
+    )
+    kept = (
+        paras.join(winners, "_h")
+        .filter((F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos")))
+        .select("_id", "_pos", "_para")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("_pos"), F.col("_para")))),
+                lambda s: s["_para"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return rebuilt.join(totals, "_id").select(
+        F.col("_id").alias(id_col),
+        "text",
+        "n_kept",
+        (F.col("_total") - F.col("n_kept")).alias("n_removed"),
+    )

@@ -150,3 +150,45 @@ def test_ngram_contamination_detects_buried_eval(spark):
     # onto eval keys)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide: a paragraph survives only at its smallest (id, pos);
+    docs whose every paragraph was deduped away drop out; survivors are
+    stitched back in original order with counts."""
+    from kermit_spark.ops.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nshared\n\nbeta"),
+        (2, "shared\n\ngamma"),
+        (3, "shared"),           # fully deduped -> dropped
+        (4, "alpha\n\nalpha"),   # both copies lose to doc 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text"] == "alpha\n\nshared\n\nbeta"
+    assert (got[1]["n_kept"], got[1]["n_removed"]) == (3, 0)
+    assert got[2]["text"] == "gamma"
+    assert (got[2]["n_kept"], got[2]["n_removed"]) == (1, 1)
+
+
+def test_paragraph_dedup_deterministic_across_partitionings(spark):
+    """The winner pick is (id, pos)-min, not partition order: same result
+    at 1 and 8 partitions."""
+    from kermit_spark.ops.dedup import paragraph_dedup
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.concat(
+            F.lit("boiler "), F.pmod("id", F.lit(3)).cast("string"),
+            F.lit("\n\nuniq "), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, paragraph_dedup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, paragraph_dedup(df.repartition(8)).collect()))
+    assert a == b
+    # each boiler paragraph survives exactly once, in ids 0,1,2
+    boiler_keepers = [t for t in a if "boiler" in t[1]]
+    assert sorted(t[0] for t in boiler_keepers) == [0, 1, 2]
