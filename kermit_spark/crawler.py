@@ -160,6 +160,11 @@ class CrawlConfig:
     # every k waves. 0 = never. An O(frontier) maintenance rewrite, so pick
     # k like a compaction cadence, not 1; ordering stays bit-reproducible.
     reprioritize_every: int = 0
+    # real-web HTML compliance: honor <base href> when resolving discovered
+    # links and skip link discovery on <meta name=robots content=nofollow>
+    # pages (robots_noindex rides the documents table for export filters).
+    # Default off = reference parity: the reference honors neither.
+    html_compliance: bool = False
     # per-partition fetch-outcome lineage rows (north_rule "per-partition
     # lineage"). Per-partition DEQUEUE counts are always recorded — they
     # fall out of the per-host collect the wave already does (zero extra
@@ -565,7 +570,7 @@ class Crawler:
         # idempotent overwrite on wave re-run after a crash). Status counts
         # ride on the write job via an Observation — no separate count job.
         obs = Observation()
-        docs = parse_documents(fetched).observe(
+        docs = parse_documents(fetched, html_meta=cfg.html_compliance).observe(
             obs,
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
             F.sum(F.when(F.col("status") == 304, 1).otherwise(0)).alias("n_notmod"),
@@ -608,7 +613,11 @@ class Crawler:
         # Sitemap <loc> candidates (depth 0) from hosts whose robots arrived
         # this wave ride the same commit — within-batch dedup's depth
         # ordering makes a sitemap row win over a same-wave link discovery.
-        candidates = discover_links(docs).filter(cfg.admit_expr(F.col("url")))
+        candidates = discover_links(
+            docs,
+            honor_base=cfg.html_compliance,
+            honor_nofollow=cfg.html_compliance,
+        ).filter(cfg.admit_expr(F.col("url")))
         if sitemap_cands is not None:
             candidates = candidates.unionByName(
                 sitemap_cands.filter(cfg.admit_expr(F.col("url")))

@@ -129,12 +129,56 @@ def _extract_series(body: pd.Series) -> pd.Series:
 extract_spans = session_safe_pandas_udf(_extract_series, SPAN_TYPE)
 
 
-def parse_documents(fetched: DataFrame) -> DataFrame:
+def _attr_value(body, tag_prefix: str, attr: str):
+    """First value of ``attr`` inside the first matching tag, across the
+    three HTML5 quoting forms (JVM regexp_extract; empty → null)."""
+    forms = (
+        rf'(?i){tag_prefix}{attr}\s*=\s*"([^"]*)"',
+        rf"(?i){tag_prefix}{attr}\s*=\s*'([^']*)'",
+        rf"(?i){tag_prefix}{attr}\s*=\s*([^\s>'\"][^\s>]*)",
+    )
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(body, p, 1), F.lit("")) for p in forms]
+    )
+
+
+def _html_meta_cols(body):
+    """(base_href, robots_nofollow, robots_noindex) from an HTML body —
+    pure JVM regexp extraction, no Python. Honored only when the caller
+    opts in: the reference ignores both (<base> and <meta name=robots> are
+    absent from ext.discovery.coffee / Extractor.coffee), so crawl parity
+    demands the default stays off."""
+    base = _attr_value(body, r"<base\s[^>]*?(?<![-\w])", "href")
+    # <meta name=robots content=...> — either attribute order
+    robots = F.coalesce(
+        _attr_value(body, r"<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?(?<![-\w])", "content"),
+        F.when(
+            F.regexp_like(
+                body, F.lit(r"(?i)<meta\s[^>]*?content\s*=[^>]*?name\s*=\s*[\"']?robots")
+            ),
+            _attr_value(body, r"<meta\s[^>]*?(?<![-\w])", "content"),
+        ),
+    )
+    lower = F.lower(robots)
+    flag = lambda word: F.coalesce(  # noqa: E731
+        lower.rlike(rf"(^|[\s,])({word}|none)([\s,]|$)"), F.lit(False)
+    )
+    return base, flag("nofollow"), flag("noindex")
+
+
+def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
     """Fetched rows → documents rows (input_hint schema + crawl metadata).
 
     Non-HTML bodies (media fetches) become a single media span pointing at
     the object itself; 404s produce an empty spans array (the document row
     still records the failed fetch for lineage).
+
+    ``html_meta=True`` additionally extracts real-web compliance columns —
+    ``base_href`` (the <base href> a compliant client resolves links
+    against) and ``robots_nofollow`` / ``robots_noindex`` (<meta
+    name=robots>) — consumed by discover_links(honor_base/honor_nofollow)
+    and downstream export filters. Default off: reference parity (the
+    reference honors neither), and the documents schema stays unchanged.
     """
     # 304 Not Modified (conditional re-fetch revalidation): the row records
     # the revalidation for lineage; content/spans live in the earlier
@@ -169,25 +213,55 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
     # Pipeline.coffee:43-44 records them; Histogrammer aggregates them)
     if "headers" in fetched.columns:
         cols.append(F.col("headers"))
+    if html_meta:
+        base, nofollow, noindex = _html_meta_cols(
+            F.when(is_html, F.col("body"))
+        )
+        cols.extend(
+            [
+                base.alias("base_href"),
+                nofollow.alias("robots_nofollow"),
+                noindex.alias("robots_noindex"),
+            ]
+        )
     cols.append(spans.alias("spans"))
     return fetched.select(*cols)
 
 
-def discover_links(documents: DataFrame) -> DataFrame:
+def discover_links(
+    documents: DataFrame,
+    honor_base: bool = False,
+    honor_nofollow: bool = False,
+) -> DataFrame:
     """X3: spans → candidate URLs for the next wave.
 
     explode (ordered) → keep link/resource/media kinds → uri.clean against
     the base URL → drop nulls → (url, referer, depth+1, priority by kind).
     Dedup against the frontier happens in Frontier.schedule (Q1).
+
+    ``honor_base`` / ``honor_nofollow`` consume the html_meta columns from
+    parse_documents(html_meta=True): links resolve against the page's
+    <base href> (itself resolved against the page URL, per HTML5) and
+    pages declaring <meta name=robots content=nofollow> contribute no
+    links. Both default off — reference parity.
     """
+    if honor_nofollow and "robots_nofollow" in documents.columns:
+        documents = documents.filter(~F.coalesce(F.col("robots_nofollow"), F.lit(False)))
+    if honor_base and "base_href" in documents.columns:
+        base_url = F.coalesce(
+            clean_urls(F.col("url"), F.col("base_href")), F.col("url")
+        )
+    else:
+        base_url = F.col("url")
     exploded = documents.select(
-        F.col("url").alias("base_url"),
+        base_url.alias("base_url"),
+        F.col("url").alias("page_url"),
         F.col("depth"),
         F.posexplode_outer("spans").alias("pos", "span"),
     ).filter(F.col("span.kind").isin("link", "resource", "media"))
     cleaned = exploded.select(
         clean_urls(F.col("base_url"), F.col("span.media_ref")).alias("url"),
-        F.col("base_url").alias("referer"),
+        F.col("page_url").alias("referer"),
         (F.col("depth") + 1).alias("depth"),
         # resources/media slightly out-prioritized by pages? reference treats
         # both identically (schedule with same meta); keep priority flat.

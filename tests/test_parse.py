@@ -102,3 +102,117 @@ def test_discovery_pipeline_on_spark(spark):
     )
     assert all(r["depth"] == 2 for r in got)
     assert all(r["referer"] == "http://a.test/base/page.html" for r in got)
+
+
+def _fetched_df(spark, body, ctype="text/html"):
+    return spark.createDataFrame(
+        [(0, 1, "http://a.test/dir/page.html", "a.test", 0, 0, 1, 200, ctype, body)],
+        "p int, url_hash long, url string, host string, depth int, wave int, "
+        "rank int, status int, content_type string, body string",
+    )
+
+
+def test_html_meta_extraction_forms(spark):
+    """html_meta=True extracts <base href> in all three quoting forms and
+    <meta name=robots> in either attribute order; default (html_meta=False)
+    adds no columns — reference parity."""
+    from kermit_spark.parse import parse_documents
+
+    cases = {
+        '<base href="/b/">x': ("/b/", False, False),
+        "<base href='/b/'>x": ("/b/", False, False),
+        "<base href=/b/>x": ("/b/", False, False),
+        '<meta name="robots" content="nofollow">x': (None, True, False),
+        "<meta content='noindex, nofollow' name=robots>x": (None, True, True),
+        '<meta name=robots content="none">x': (None, True, True),
+        '<meta name="robots" content="index, follow">x': (None, False, False),
+        "plain": (None, False, False),
+    }
+    for body, want in cases.items():
+        row = parse_documents(_fetched_df(spark, body), html_meta=True).collect()[0]
+        got = (row["base_href"], row["robots_nofollow"], row["robots_noindex"])
+        assert got == want, (body, got)
+    # default: schema unchanged
+    cols = parse_documents(_fetched_df(spark, "x")).columns
+    assert "base_href" not in cols and "robots_nofollow" not in cols
+
+
+def test_discover_links_honor_base_href(spark):
+    """Relative links resolve against <base href> (itself resolved against
+    the page URL) when honored; against the page URL otherwise. The referer
+    stays the PAGE url either way."""
+    from kermit_spark.parse import discover_links, parse_documents
+
+    body = '<base href="/root/"><a href="rel.html">r</a>'
+    docs = parse_documents(_fetched_df(spark, body), html_meta=True)
+    plain = discover_links(docs).collect()[0]
+    assert plain["url"] == "http://a.test/dir/rel.html"
+    honored = discover_links(docs, honor_base=True).collect()[0]
+    assert honored["url"] == "http://a.test/root/rel.html"
+    assert honored["referer"] == "http://a.test/dir/page.html"
+
+
+def test_discover_links_honor_nofollow(spark):
+    from kermit_spark.parse import discover_links, parse_documents
+
+    body = '<meta name="robots" content="nofollow"><a href="/x.html">x</a>'
+    docs = parse_documents(_fetched_df(spark, body), html_meta=True)
+    assert discover_links(docs).count() == 1          # parity: link found
+    assert discover_links(docs, honor_nofollow=True).count() == 0
+
+
+def test_crawler_html_compliance_end_to_end(spark, tmp_path):
+    """CrawlConfig(html_compliance=True) threads through the wave: links on
+    a <base href> page schedule against the base, a nofollow page's links
+    never enter the frontier, and robots_noindex rides the documents table.
+    The same corpus with the default config follows both (reference
+    parity)."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    rows = [
+        ("http://a.test/d/start.html", "a.test", 200, "text/html",
+         '<html><body><base href="/b/"><a href="rel.html">r</a></body></html>'),
+        ("http://a.test/d/nf.html", "a.test", 200, "text/html",
+         '<html><body><meta name="robots" content="noindex, nofollow">'
+         '<a href="/hidden.html">h</a></body></html>'),
+        ("http://a.test/b/rel.html", "a.test", 200, "text/html",
+         "<html><body><p>leaf</p></body></html>"),
+        ("http://a.test/d/rel.html", "a.test", 200, "text/html",
+         "<html><body><p>leaf</p></body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    seeds = ["http://a.test/d/start.html", "http://a.test/d/nf.html"]
+
+    def run(compliance, path):
+        cfg = CrawlConfig(
+            num_partitions=2,
+            politeness=Politeness((Limit(".*", 10),)),
+            obey_robots=False,
+            html_compliance=compliance,
+        )
+        c = Crawler(spark, SnapshotCatalog(spark, str(tmp_path / path)),
+                    CorpusFetcher(corpus), cfg)
+        c.seed(seeds)
+        c.crawl(3)
+        return c
+
+    strict = run(True, "strict")
+    urls = {r["url"] for r in strict.frontier.read().collect()}
+    assert "http://a.test/b/rel.html" in urls          # base-resolved
+    assert "http://a.test/d/rel.html" not in urls
+    assert "http://a.test/hidden.html" not in urls      # nofollow honored
+    noindex = {
+        r["url"]: r["robots_noindex"] for r in strict.documents().collect()
+    }
+    assert noindex["http://a.test/d/nf.html"] is True
+    assert noindex["http://a.test/d/start.html"] is False
+
+    parity = run(False, "parity")
+    urls = {r["url"] for r in parity.frontier.read().collect()}
+    assert "http://a.test/d/rel.html" in urls           # page-URL resolution
+    assert "http://a.test/hidden.html" in urls          # nofollow ignored
