@@ -340,12 +340,20 @@ class HttpFetcher:
                     return raw
 
             def decode(raw: bytes, ct_header: str | None) -> str:
-                """bytes → str: BOM, then Content-Type charset, then UTF-8."""
+                """bytes → str: BOM, then Content-Type charset, then (for
+                markup without either) the HTML5 in-document sniff —
+                <meta charset=...> / http-equiv content-type in the first
+                1024 bytes — then UTF-8 with replacement."""
                 if raw.startswith(codecs.BOM_UTF8):
                     return raw.decode("utf-8-sig", "replace")
                 if raw.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
                     return raw.decode("utf-16", "replace")  # codec eats the BOM
                 m = re.search(r"charset\s*=\s*\"?([\w.-]+)", ct_header or "", re.I)
+                if not m and raw[:64].lstrip()[:1] == b"<":
+                    head = raw[:1024].decode("ascii", "ignore")
+                    m = re.search(
+                        r"<meta\s[^>]*charset\s*=\s*[\"']?([\w.-]+)", head, re.I
+                    )
                 if m:
                     try:
                         return raw.decode(codecs.lookup(m.group(1)).name, "replace")

@@ -163,7 +163,25 @@ def _html_meta_cols(body):
     flag = lambda word: F.coalesce(  # noqa: E731
         lower.rlike(rf"(^|[\s,])({word}|none)([\s,]|$)"), F.lit(False)
     )
-    return base, flag("nofollow"), flag("noindex")
+    # <meta http-equiv=refresh content="N; url=X"> — the client-side
+    # redirect real sites use; the url= clause of the content attribute
+    refresh_content = F.coalesce(
+        _attr_value(
+            body, r"<meta\s[^>]*?http-equiv\s*=\s*[\"']?refresh[\"']?[^>]*?(?<![-\w])", "content"
+        ),
+        F.when(
+            F.regexp_like(
+                body,
+                F.lit(r"(?i)<meta\s[^>]*?content\s*=[^>]*?http-equiv\s*=\s*[\"']?refresh"),
+            ),
+            _attr_value(body, r"<meta\s[^>]*?(?<![-\w])", "content"),
+        ),
+    )
+    refresh_url = F.nullif(
+        F.regexp_extract(refresh_content, r"(?i)url\s*=\s*['\"]?([^'\"\s;>]+)", 1),
+        F.lit(""),
+    )
+    return base, flag("nofollow"), flag("noindex"), refresh_url
 
 
 def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
@@ -214,7 +232,7 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
     if "headers" in fetched.columns:
         cols.append(F.col("headers"))
     if html_meta:
-        base, nofollow, noindex = _html_meta_cols(
+        base, nofollow, noindex, refresh = _html_meta_cols(
             F.when(is_html, F.col("body"))
         )
         cols.extend(
@@ -222,6 +240,7 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
                 base.alias("base_href"),
                 nofollow.alias("robots_nofollow"),
                 noindex.alias("robots_noindex"),
+                refresh.alias("refresh_url"),
             ]
         )
     cols.append(spans.alias("spans"))
@@ -241,9 +260,11 @@ def discover_links(
 
     ``honor_base`` / ``honor_nofollow`` consume the html_meta columns from
     parse_documents(html_meta=True): links resolve against the page's
-    <base href> (itself resolved against the page URL, per HTML5) and
-    pages declaring <meta name=robots content=nofollow> contribute no
-    links. Both default off — reference parity.
+    <base href> (itself resolved against the page URL, per HTML5), pages
+    declaring <meta name=robots content=nofollow> contribute no links,
+    and a <meta http-equiv=refresh url=...> target is discovered like a
+    link (honor_base gates it — it's part of the same compliance mode).
+    All default off — reference parity.
     """
     if honor_nofollow and "robots_nofollow" in documents.columns:
         documents = documents.filter(~F.coalesce(F.col("robots_nofollow"), F.lit(False)))
@@ -267,4 +288,14 @@ def discover_links(
         # both identically (schedule with same meta); keep priority flat.
         F.lit(0.0).alias("priority"),
     )
+    if honor_base and "refresh_url" in documents.columns:
+        # meta-refresh target: resolved like a link (against base), one row
+        # per declaring page — rides the same dedup/admission path
+        refresh = documents.filter(F.col("refresh_url").isNotNull()).select(
+            clean_urls(base_url, F.col("refresh_url")).alias("url"),
+            F.col("url").alias("referer"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(0.0).alias("priority"),
+        )
+        cleaned = cleaned.unionByName(refresh)
     return cleaned.filter(F.col("url").isNotNull())

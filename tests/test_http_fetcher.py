@@ -99,6 +99,18 @@ class _FidelityHandler(http.server.BaseHTTPRequestHandler):
         elif self.path == "/latin1.txt":
             self._send(200, "caf\xe9 r\xe9sum\xe9".encode("latin-1"),
                        content_type="text/plain; charset=ISO-8859-1")
+        elif self.path == "/meta-latin1.html":
+            self._send(
+                200,
+                '<html><head><meta charset="iso-8859-1"></head><body>ol\xe9</body></html>'.encode("latin-1"),
+                content_type="text/html",
+            )
+        elif self.path == "/meta-vs-header.html":
+            self._send(
+                200,
+                '<html><head><meta charset="utf-8"></head><body>ol\xe9</body></html>'.encode("latin-1"),
+                content_type="text/html; charset=ISO-8859-1",
+            )
         elif self.path == "/bom.txt":
             self._send(200, b"\xef\xbb\xbfbom body")
         elif self.path == "/bomb.txt":
@@ -389,3 +401,17 @@ def test_full_crawl_over_live_http(spark, site_url, tmp_path):
     )
     kinds = [s["kind"] for s in spans]
     assert "link" in kinds and "resource" in kinds and "text" in kinds
+
+
+def test_meta_charset_sniffed_when_header_silent(spark, fidelity_url):
+    """HTML served without a charset parameter decodes by the in-document
+    <meta charset> (HTML5 1024-byte sniff); an explicit header charset
+    always wins over the meta tag."""
+    sel = _selected(spark, [
+        (f"{fidelity_url}/meta-latin1.html", None),
+        (f"{fidelity_url}/meta-vs-header.html", None),
+    ])
+    rows = {r["url"]: r for r in HttpFetcher(timeout_s=5, max_pool=1).fetch(sel).collect()}
+    assert "olé" in rows[f"{fidelity_url}/meta-latin1.html"]["body"]
+    # header says latin-1, meta lies utf-8: header wins, é decodes as latin-1
+    assert "olé" in rows[f"{fidelity_url}/meta-vs-header.html"]["body"]

@@ -216,3 +216,27 @@ def test_crawler_html_compliance_end_to_end(spark, tmp_path):
     urls = {r["url"] for r in parity.frontier.read().collect()}
     assert "http://a.test/d/rel.html" in urls           # page-URL resolution
     assert "http://a.test/hidden.html" in urls          # nofollow ignored
+
+
+def test_meta_refresh_extraction_and_discovery(spark):
+    """<meta http-equiv=refresh content='N; url=X'> is extracted (either
+    attribute order) and, under the compliance mode, its target is
+    discovered like a link resolved against the base."""
+    from kermit_spark.parse import discover_links, parse_documents
+
+    body = '<base href="/b/"><meta http-equiv="refresh" content="0; url=go.html">'
+    docs = parse_documents(_fetched_df(spark, body), html_meta=True)
+    assert docs.collect()[0]["refresh_url"] == "go.html"
+    got = discover_links(docs, honor_base=True).collect()
+    assert [r["url"] for r in got] == ["http://a.test/b/go.html"]
+    assert got[0]["referer"] == "http://a.test/dir/page.html"
+    # parity mode: no refresh row
+    assert discover_links(docs).count() == 0
+    # reversed attribute order + uppercase + unquoted url clause
+    body2 = "<meta content='5;URL=/next' http-equiv=REFRESH>"
+    row = parse_documents(_fetched_df(spark, body2), html_meta=True).collect()[0]
+    assert row["refresh_url"] == "/next"
+    # a plain timed refresh with no url clause is not a redirect
+    body3 = '<meta http-equiv="refresh" content="30">'
+    row = parse_documents(_fetched_df(spark, body3), html_meta=True).collect()[0]
+    assert row["refresh_url"] is None
