@@ -925,6 +925,43 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, max_tokens=256, by="source").orderBy("source", "doc_id")
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export ROUND TRIP through the REAL sink
+    (kermit_spark.export): pack the documents table into 256-token shards,
+    write them as hive-partitioned parquet, read them BACK, and rebuild the
+    per-shard manifest from the files on disk — so the oracle (the
+    text_pack recursive CTE aggregated per bin) certifies not just the bin
+    assignment but that the written shards round-trip losslessly."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.export import export_training_shards, read_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_shards_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        export_training_shards(docs, tmp, max_tokens=256)
+        back = read_training_shards(spark, tmp)
+        # partition-column inference reads bin_id back as int; the manifest
+        # contract (pack_sequences) is long
+        back = back.withColumn("bin_id", F.col("bin_id").cast("long"))
+        return (
+            back.groupBy("source", "bin_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .orderBy("source", "bin_id")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF through the REAL library op (ops.text.tfidf_terms,
     smoothed-idf, portable half-up rounding); corpus size rides the plan as
@@ -1185,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
+        "export_shards": q_export_shards,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         # stream analogs
@@ -2041,6 +2079,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tokens, bin_id
             FROM rec ORDER BY source, doc_id
+        """,
+        # shard-export round trip: the text_pack recurrence aggregated per
+        # (source, bin) — what the manifest rebuilt from disk must equal
+        "export_shards": r"""
+            WITH RECURSIVE toks AS (
+                SELECT source, doc_id,
+                       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0))::INT AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            rec(source, rn, doc_id, n_tokens, bin_id, bin_tokens) AS (
+                SELECT source, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                            THEN r.bin_id ELSE r.bin_id + 1 END,
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                            THEN r.bin_tokens + t.n_tokens ELSE t.n_tokens END
+                FROM rec r JOIN toks t ON t.source = r.source AND t.rn = r.rn + 1
+            )
+            SELECT source, bin_id, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens
+            FROM rec GROUP BY source, bin_id
+            ORDER BY source, bin_id
         """,
         # TF-IDF: same tokenization; smoothed idf with explicit DOUBLE
         # casts (integer '/' differs between engines); half-up rounding

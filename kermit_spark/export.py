@@ -42,7 +42,9 @@ def export_training_shards(
     bins = pack_sequences(
         df, max_tokens=max_tokens, by=by, id_col=id_col, text_col=text_col
     )
-    rows = df.join(bins.withColumnRenamed("n_tokens", "_nt"), [by, id_col])
+    rows = df.drop("n_tokens", "bin_id").join(
+        bins.select(by, id_col, "n_tokens", "bin_id"), [by, id_col]
+    )
     (
         rows.repartition(F.col(by), F.col("bin_id"))
         .write.mode("overwrite")
