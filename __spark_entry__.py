@@ -925,6 +925,44 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, max_tokens=256, by="source").orderBy("source", "doc_id")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink ROUND TRIP through the REAL archive writer/reader
+    (kermit_spark.warc): documents become WARC/1.0 response records on
+    disk (length-framed, parallel part files) and are parsed back by
+    Content-Length. The query returns url/status/content_type plus
+    md5(body) of the RE-READ rows, so the oracle (the same projection
+    straight off the documents table) certifies byte-exact body fidelity
+    through the archive format."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import read_warc, write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("http://w.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("wave"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").alias("body"),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_warc_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_warc(docs.repartition(4), tmp)
+        back = read_warc(spark, tmp)
+        return (
+            back.select(
+                "url", "status", "content_type",
+                F.md5(F.col("body")).alias("body_md5"),
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export ROUND TRIP through the REAL sink
     (kermit_spark.export): pack the documents table into 256-token shards,
@@ -1223,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
         "export_shards": q_export_shards,
+        "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         # stream analogs
@@ -2079,6 +2118,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tokens, bin_id
             FROM rec ORDER BY source, doc_id
+        """,
+        # WARC round trip: the archive must hand back exactly what went in
+        "warc_roundtrip": """
+            SELECT 'http://w.test/d/' || doc_id AS url,
+                   200 AS status,
+                   'text/html' AS content_type,
+                   md5(text) AS body_md5
+            FROM documents
+            ORDER BY url
         """,
         # shard-export round trip: the text_pack recurrence aggregated per
         # (source, bin) — what the manifest rebuilt from disk must equal

@@ -1,0 +1,160 @@
+"""WARC export/import — the interchange format of the crawl world.
+
+The reference stores fetched files on disk via toLocalPath
+(`/root/reference/src/kermit/extensions/ext.offline.coffee`); production
+crawls store WARC (ISO 28500) so archives interoperate (wget, Heritrix,
+Common Crawl, warcio all speak it). This sink writes WARC/1.0 response
+records and reads them back — stdlib only, no warcio dependency.
+
+Framing: each DataFrame row is rendered to ONE complete record string
+(CRLF headers, exact Content-Length over UTF-8 bytes, two trailing
+CRLFs — the last supplied by the text writer's ``lineSep="\r\n"`` row
+terminator) so Spark concatenates records byte-exactly — every partition becomes one valid
+.warc file written in parallel, no driver funnel. Read-back parses each
+file sequentially by Content-Length (never by scanning for separators),
+so bodies containing literal "WARC/1.0" text round-trip fine.
+
+Determinism: the caller passes the crawl timestamp; record ids derive
+from md5(url, wave) — same crawl, same archive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_WARC_VERSION = "WARC/1.0"
+
+WARC_READ_SCHEMA = (
+    "url string, wave int, status int, content_type string, body string"
+)
+
+
+def _render_record(url, wave, status, content_type, body, date: str) -> str:
+    import hashlib
+
+    payload = (
+        f"HTTP/1.1 {status}\r\n"
+        f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
+        "\r\n" + (body or "")
+    )
+    n = len(payload.encode("utf-8"))
+    rid = hashlib.md5(f"{url}\x00{wave}".encode()).hexdigest()
+    uuid = f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
+    return (
+        f"{_WARC_VERSION}\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uuid}>\r\n"
+        f"WARC-Kermit-Wave: {wave}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {n}\r\n"
+        "\r\n"
+        # one CRLF here; the text writer's lineSep="\r\n" row terminator
+        # supplies the second, completing the two-CRLF record framing
+        f"{payload}\r\n"
+    )
+
+
+def write_warc(
+    documents: DataFrame,
+    path: str,
+    date: str = "2000-01-01T00:00:00Z",
+    order_cols: tuple[str, ...] = ("url",),
+) -> None:
+    """documents rows (url, wave, status, content_type, body) → ``path``
+    as parallel .warc part files. ``date`` is the archive's WARC-Date —
+    an explicit parameter, never wall-clock, so re-runs are identical.
+
+    The render runs as an Arrow-batched mapInPandas (string assembly is
+    the whole job); partition count controls file count; rows are sorted
+    by ``order_cols`` WITHIN each partition so a file's record order is
+    reproducible without a global sort.
+    """
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        _render_record(u, w, s, ct, b, date)
+                        for u, w, s, ct, b in zip(
+                            pdf["url"], pdf["wave"], pdf["status"],
+                            pdf["content_type"], pdf["body"],
+                        )
+                    ]
+                }
+            )
+
+    (
+        documents.select("url", "wave", "status", "content_type", "body")
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(render, "value string")
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n")
+        .text(path)
+    )
+
+
+def _parse_file(text: str) -> list[tuple]:
+    """Sequential Content-Length-driven parse of one .warc file."""
+    out: list[tuple] = []
+    pos = 0
+    while pos < len(text):
+        if not text.startswith(_WARC_VERSION, pos):
+            break  # trailing garbage / padding — stop, records are prefix
+        head_end = text.index("\r\n\r\n", pos)
+        headers = {}
+        for line in text[pos:head_end].split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers["content-length"])
+        body_start = head_end + 4
+        payload = text[body_start:]
+        # content-length counts BYTES; slice by encoded length
+        raw = payload.encode("utf-8")[:n].decode("utf-8")
+        http_head, _, body = raw.partition("\r\n\r\n")
+        status = int(http_head.split("\r\n")[0].split(" ", 1)[1])
+        ctype = None
+        for line in http_head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                ctype = v.strip()
+        out.append(
+            (
+                headers["warc-target-uri"],
+                int(headers.get("warc-kermit-wave", 0)),
+                status,
+                ctype,
+                body,
+            )
+        )
+        pos = body_start + len(raw) + 4  # record + its two trailing CRLFs
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Parse .warc files back to (url, wave, status, content_type, body).
+
+    One task per file (wholetext read); parsing walks records by
+    Content-Length, so record payloads may contain anything.
+    """
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf["value"]:
+                rows.extend(_parse_file(text))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "wave", "status", "content_type", "body"]
+                )
+
+    return files.mapInPandas(parse, WARC_READ_SCHEMA)
