@@ -160,6 +160,13 @@ class CrawlConfig:
     # every k waves. 0 = never. An O(frontier) maintenance rewrite, so pick
     # k like a compaction cadence, not 1; ordering stays bit-reproducible.
     reprioritize_every: int = 0
+    # raw-archive sink: when set, every wave's fetched rows (with bodies,
+    # which the documents table does not keep) are written to
+    # {warc_path}/wave=N/ as WARC/1.0 response records (kermit_spark.warc).
+    # warc_date is the archive's WARC-Date — explicit, never wall-clock,
+    # so re-runs produce identical archives.
+    warc_path: str | None = None
+    warc_date: str = "2000-01-01T00:00:00Z"
     # real-web HTML compliance: honor <base href> when resolving discovered
     # links and skip link discovery on <meta name=robots content=nofollow>
     # pages (robots_noindex rides the documents table for export filters).
@@ -565,6 +572,20 @@ class Crawler:
                     fetched = fetched.filter(~F.coalesce(F.col("_verify_bad"), F.lit(False)))
                 fetched = fetched.drop("_verify_bad")
 
+        # optional raw-archive sink: the fetched rows (bodies included, which
+        # the documents table does NOT keep — it stores spans) go to one
+        # WARC directory per wave, Heritrix-style. Requires caching fetched
+        # so archiving + parsing don't fetch twice; the cache is released
+        # right after the documents write materializes. Idempotent per wave
+        # (overwrite), so crash-resume behaves like the documents write.
+        warc_cached = None
+        if cfg.warc_path:
+            from .warc import write_warc
+
+            warc_cached = fetched.persist()
+            write_warc(warc_cached, f"{cfg.warc_path}/wave={wave}", date=cfg.warc_date)
+            fetched = warc_cached
+
         # FETCHED→COMPLETE: parse spans + store documents (X1-X5, S7);
         # documents table is partitioned by WAVE (append-only write pattern;
         # idempotent overwrite on wave re-run after a crash). Status counts
@@ -585,6 +606,8 @@ class Crawler:
             self.catalog.overwrite_partitions(DOCUMENTS_TABLE, docs_out, [wave], align=False)
         else:
             self.catalog.create(DOCUMENTS_TABLE, docs_out, cfg.num_partitions, align=False)
+        if warc_cached is not None:
+            warc_cached.unpersist()
 
         metrics = obs.get
         n_ok = int(metrics["n_ok"] or 0)

@@ -51,3 +51,42 @@ def test_warc_files_are_valid_and_deterministic(spark, tmp_path):
         assert bytes_x.endswith(b"\r\n\r\n")
         # fixed date parameter, never wall clock
         assert b"WARC-Date: 2000-01-01T00:00:00Z" in bytes_x
+
+
+def test_crawler_archives_waves_to_warc(spark, tmp_path):
+    """CrawlConfig(warc_path=...) archives every wave's raw fetches —
+    bodies included, which the documents table does not keep — as
+    wave-partitioned WARC; read-back restores them."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    corpus = spark.createDataFrame(
+        [
+            ("http://a.test/1.html", "a.test", 200, "text/html",
+             '<html><body><a href="/2.html">n</a></body></html>'),
+            ("http://a.test/2.html", "a.test", 200, "text/html",
+             "<html><body><p>leaf two</p></body></html>"),
+        ],
+        "url string, host string, status int, content_type string, body string",
+    )
+    warc_dir = str(tmp_path / "archive")
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 10),)),
+        obey_robots=False,
+        warc_path=warc_dir,
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, str(tmp_path / "c")),
+                CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/1.html"])
+    c.crawl(3)
+
+    w0 = {r["url"]: r for r in read_warc(spark, f"{warc_dir}/wave=0").collect()}
+    assert '<a href="/2.html">n</a>' in w0["http://a.test/1.html"]["body"]
+    w1 = {r["url"]: r for r in read_warc(spark, f"{warc_dir}/wave=1").collect()}
+    assert "leaf two" in w1["http://a.test/2.html"]["body"]
+    # the documents table itself keeps spans, not bodies — the archive is
+    # the only place the raw payload survives
+    assert "body" not in c.documents().columns
