@@ -965,7 +965,9 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export ROUND TRIP through the REAL sink
-    (kermit_spark.export): pack the documents table into 256-token shards,
+    (kermit_spark.export): pack the documents table into 2048-token shards
+    (sized so the hive layout stays at ~hundreds of directories at bench
+    scale — tiny-shard explosion is a filesystem cost, not an engine one),
     write them as hive-partitioned parquet, read them BACK, and rebuild the
     per-shard manifest from the files on disk — so the oracle (the
     text_pack recursive CTE aggregated per bin) certifies not just the bin
@@ -982,7 +984,7 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="kermit_shards_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
     )
     try:
-        export_training_shards(docs, tmp, max_tokens=256)
+        export_training_shards(docs, tmp, max_tokens=2048)
         back = read_training_shards(spark, tmp)
         # partition-column inference reads bin_id back as int; the manifest
         # contract (pack_sequences) is long
@@ -2143,9 +2145,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks WHERE rn = 1
                 UNION ALL
                 SELECT t.source, t.rn, t.doc_id, t.n_tokens,
-                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 2048
                             THEN r.bin_id ELSE r.bin_id + 1 END,
-                       CASE WHEN r.bin_tokens + t.n_tokens <= 256
+                       CASE WHEN r.bin_tokens + t.n_tokens <= 2048
                             THEN r.bin_tokens + t.n_tokens ELSE t.n_tokens END
                 FROM rec r JOIN toks t ON t.source = r.source AND t.rn = r.rn + 1
             )

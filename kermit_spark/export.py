@@ -28,16 +28,21 @@ def export_training_shards(
     text_col: str = "text",
 ) -> DataFrame:
     """Pack documents into token-budget shards and write them as
-    ``{path}/{by}=…/bin_id=…/`` parquet, returning the shard manifest
-    (by, bin_id, n_docs, n_tokens) — the index a training loader reads
-    first.
+    ``{path}/{by}=…/`` parquet with bins whole and contiguous within
+    files, returning the shard manifest (by, bin_id, n_docs, n_tokens) —
+    the index a training loader reads first.
 
     Scale shape: pack_sequences assigns bins per group (one Arrow batch
     per group, parallel across groups); the join back to text is a hash
-    join on (by, id); the write repartitions by (by, bin_id) so EVERY
-    shard is written by exactly one task in parallel — no global sort, no
-    single-file funnel, no driver collect. The manifest aggregates the
-    pack output (already tiny: one row per document, no text).
+    join on (by, id); the write repartitions by (by, bin_id) — a bin is
+    never split across tasks or files — and tasks write in parallel with
+    no global sort, no single-file funnel, no driver collect. Directories
+    are per GROUP only: a 10^6-bin export is parquet files in a few
+    directories (bins sorted within files, so a bin_id predicate prunes
+    at row-group stats), never 10^6 hive directories — partition-value
+    explosion is a filesystem metadata cost this layout refuses to pay.
+    The manifest aggregates the pack output (already tiny: one row per
+    document, no text).
     """
     bins = pack_sequences(
         df, max_tokens=max_tokens, by=by, id_col=id_col, text_col=text_col
@@ -47,8 +52,9 @@ def export_training_shards(
     )
     (
         rows.repartition(F.col(by), F.col("bin_id"))
+        .sortWithinPartitions(by, "bin_id", id_col)
         .write.mode("overwrite")
-        .partitionBy(by, "bin_id")
+        .partitionBy(by)
         .parquet(path)
     )
     return bins.groupBy(by, "bin_id").agg(

@@ -216,6 +216,7 @@ class HttpFetcher:
         hash_agent_choice: bool = False,
         max_per_host: int = 2,
         max_body_bytes: int = 16 * 1024 * 1024,
+        min_interval_s: float = 0.0,
     ):
         # max_pool mirrors the reference agent pool maxSockets=15
         # (core.streaming.coffee:22-27)
@@ -235,6 +236,14 @@ class HttpFetcher:
         # its real status/headers; a body_truncated response header marks
         # the cut). 0/None = unbounded.
         self.max_body_bytes = max_body_bytes
+        # true inter-request pacing per host WITHIN a worker: politeness
+        # budgets cap per-wave volume and max_per_host caps concurrency,
+        # but neither spaces requests in time — this does (the Crawl-delay
+        # analog at fetch granularity). Reserved-slot scheduling: each
+        # request takes the next free slot ≥ interval after the previous
+        # one, so N queued same-host URLs serialize at the interval even
+        # through the thread pool. 0 = no pacing.
+        self.min_interval_s = min_interval_s
 
     def fetch(self, selected: DataFrame) -> DataFrame:
         timeout, pool_size = self.timeout_s, self.max_pool
@@ -243,6 +252,7 @@ class HttpFetcher:
         hash_choice = self.hash_agent_choice
         max_per_host = self.max_per_host
         max_body = self.max_body_bytes
+        min_interval = self.min_interval_s
 
         def run(batches):
             import codecs
@@ -361,7 +371,29 @@ class HttpFetcher:
                         pass
                 return raw.decode("utf-8", "replace")
 
+            if min_interval:
+                import time as _time
+
+                pace_lock = threading.Lock()
+                next_slot: dict[str, float] = {}
+
+                def pace(url: str) -> None:
+                    host = urllib.parse.urlsplit(url).netloc
+                    with pace_lock:
+                        if len(next_slot) >= 4096:
+                            next_slot.pop(next(iter(next_slot)))  # FIFO bound
+                        t = max(_time.monotonic(), next_slot.get(host, 0.0))
+                        next_slot[host] = t + min_interval
+                    wait = t - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+            else:
+
+                def pace(url: str) -> None:
+                    return None
+
             def get(url: str, referer, etag=None, last_modified=None):
+                pace(url)
                 req_headers = {
                     "User-Agent": agent_for(url, referer),
                     "Accept-Encoding": "gzip, deflate",

@@ -415,3 +415,30 @@ def test_meta_charset_sniffed_when_header_silent(spark, fidelity_url):
     assert "olé" in rows[f"{fidelity_url}/meta-latin1.html"]["body"]
     # header says latin-1, meta lies utf-8: header wins, é decodes as latin-1
     assert "olé" in rows[f"{fidelity_url}/meta-vs-header.html"]["body"]
+
+
+def test_min_interval_paces_same_host_requests(spark, fidelity_url):
+    """min_interval_s spaces same-host requests in TIME (the Crawl-delay
+    analog at fetch granularity): 4 URLs through an 8-thread pool with a
+    0.2 s interval must arrive ≥ ~0.2 s apart at the server."""
+    ts = []
+    lock = threading.Lock()
+    orig = _FidelityHandler.do_GET
+
+    def tracking_get(self):
+        if self.path == "/echo":
+            with lock:
+                ts.append(time.monotonic())
+        orig(self)
+
+    _FidelityHandler.do_GET = tracking_get
+    try:
+        sel = _selected(spark, [(f"{fidelity_url}/echo", None) for _ in range(4)])
+        rows = HttpFetcher(timeout_s=5, max_pool=8, min_interval_s=0.2).fetch(sel).collect()
+        assert all(r["status"] == 200 for r in rows)
+    finally:
+        _FidelityHandler.do_GET = orig
+    ts.sort()
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert len(gaps) == 3
+    assert all(g >= 0.15 for g in gaps), gaps  # scheduling slack allowed
