@@ -334,8 +334,7 @@ class Crawler:
                 self._delay_caps = None
             # Sitemap: URLs of the just-fetched hosts → depth-0 candidates.
             # Read back from the committed table (no recompute of the robots
-            # fetch) and keep everything lazy — the fetch+parse runs inside
-            # the wave's commit job.
+            # fetch).
             just = sorted({h for _, h in missing})
             sm = (
                 self.catalog.read(ROBOTS_TABLE)
@@ -353,41 +352,62 @@ class Crawler:
                 F.lit(-1).alias("wave"),
                 F.lit(0).alias("rank"),
             )
-            raw = sitemap_candidates_from_fetch(self.fetcher.fetch(to_fetch))
-            # one level of sitemapindex expansion — spec-complete (an index
-            # must not list other index files, sitemaps.org) — with the
-            # child-sitemap fetch COMPOSED into the same lazy plan: still no
-            # extra driver job; everything materializes inside the wave's
-            # frontier commit.
-            child_fetch = (
-                raw.filter(F.col("is_index"))
-                .select(
-                    clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url")
+            # persisted AND materialized here (one small job), while the
+            # sitemap fetch cache is live: ``raw`` feeds both the index-
+            # expansion branch and the page union, and deferring evaluation
+            # to the wave's frontier commit re-ran the whole corpus-join
+            # fetch chain from scratch — by commit time the wave's own batch
+            # fetch() has evicted CorpusFetcher's per-call cache (fetch.py
+            # keeps only the latest). Measured on the sf0.1 bench: wave 1
+            # went 24s → 93s from exactly this recompute. The count also
+            # tells the driver whether any sitemapindex exists, so the
+            # SECOND fetch layer (child sitemaps) — another multi-stage
+            # corpus join + Arrow parse, a fixed multi-second floor even for
+            # zero rows — is built only when a host actually declares one.
+            raw = sitemap_candidates_from_fetch(self.fetcher.fetch(to_fetch)).persist()
+            by_kind = {
+                bool(r["is_index"]): int(r["count"])
+                for r in raw.groupBy("is_index").agg(F.count("*").alias("count")).collect()
+            }
+            pages = raw.filter(~F.col("is_index"))
+            if by_kind.get(True, 0):
+                # one level of sitemapindex expansion — spec-complete (an
+                # index must not list other index files, sitemaps.org).
+                child_fetch = (
+                    raw.filter(F.col("is_index"))
+                    .select(
+                        clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url")
+                    )
+                    .filter(F.col("url").isNotNull())
+                    .select(
+                        partition_of(
+                            host_of(F.col("url")), self.config.num_partitions
+                        ).alias("p"),
+                        F.xxhash64(F.col("url")).alias("url_hash"),
+                        "url",
+                        host_of(F.col("url")).alias("host"),
+                        F.lit(0).alias("depth"),
+                        F.lit(None).cast("string").alias("referer"),
+                        F.lit(-1).alias("wave"),
+                        F.lit(0).alias("rank"),
+                    )
                 )
-                .filter(F.col("url").isNotNull())
-                .select(
-                    partition_of(
-                        host_of(F.col("url")), self.config.num_partitions
-                    ).alias("p"),
-                    F.xxhash64(F.col("url")).alias("url_hash"),
-                    "url",
-                    host_of(F.col("url")).alias("host"),
+                raw1 = sitemap_candidates_from_fetch(self.fetcher.fetch(child_fetch))
+                pages = pages.unionByName(
+                    raw1.filter(~F.col("is_index"))  # double nesting: spec-invalid, dropped
+                )
+            if by_kind.get(False, 0) or by_kind.get(True, 0):
+                sitemap_cands = pages.select(
+                    clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url"),
+                    F.col("sitemap_url").alias("referer"),
                     F.lit(0).alias("depth"),
-                    F.lit(None).cast("string").alias("referer"),
-                    F.lit(-1).alias("wave"),
-                    F.lit(0).alias("rank"),
-                )
-            )
-            raw1 = sitemap_candidates_from_fetch(self.fetcher.fetch(child_fetch))
-            pages = raw.filter(~F.col("is_index")).unionByName(
-                raw1.filter(~F.col("is_index"))  # double nesting: spec-invalid, dropped
-            )
-            sitemap_cands = pages.select(
-                clean_urls(F.col("sitemap_url"), F.col("loc")).alias("url"),
-                F.col("sitemap_url").alias("referer"),
-                F.lit(0).alias("depth"),
-                F.lit(0.0).alias("priority"),
-            ).filter(F.col("url").isNotNull())
+                    F.lit(0.0).alias("priority"),
+                ).filter(F.col("url").isNotNull())
+                # materialize the (small) candidate set and truncate lineage
+                # so the frontier commit sees a plain scan instead of the
+                # fetch chain; partition-distributed — no driver collect.
+                sitemap_cands = sitemap_cands.localCheckpoint(eager=True)
+            raw.unpersist()
         if self.catalog.exists(ROBOTS_TABLE):
             return self.catalog.read(ROBOTS_TABLE), sitemap_cands
         return None, sitemap_cands
