@@ -963,6 +963,55 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot read (Iceberg incremental-scan / CDC analog)
+    through the REAL catalog (SnapshotCatalog.read_incremental): snapshot 0
+    holds doc_id%3==0 rows; commit 1 fast-APPENDS doc_id%3==1 rows; commit 2
+    copy-on-write REWRITES partitions {0,1} marking even doc_ids' lang with
+    '!'. read_incremental(from=0) must return exactly the appended rows plus
+    the genuinely changed rewritten rows — resolved from the file manifest
+    (unchanged partitions are never scanned; pinned by
+    tests/test_catalog.py inputFiles assertions). The oracle restates the
+    expected delta in plain SQL over the same modular arithmetic."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.catalog import SnapshotCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("p"),
+        "lang",
+    )
+    marked = base.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("lang"), F.lit("!")))
+        .otherwise(F.col("lang")),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_inc_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        cat = SnapshotCatalog(spark, tmp)
+        cat.create("docs", base.filter(F.col("doc_id") % 3 == 0), 8)
+        cat.merge_write(
+            "docs", base.filter(F.col("doc_id") % 3 == 1), replace_parts=()
+        )
+        rewrite = marked.filter(
+            F.col("p").isin(0, 1) & (F.col("doc_id") % 3 != 2)
+        )
+        cat.merge_write("docs", rewrite, replace_parts=[0, 1])
+        return (
+            cat.read_incremental("docs", from_snapshot=0)
+            .select("doc_id", "lang", "p")
+            .orderBy("doc_id")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export ROUND TRIP through the REAL sink
     (kermit_spark.export): pack the documents table into 2048-token shards
@@ -1262,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
+        "catalog_incremental": q_catalog_incremental,
         "export_shards": q_export_shards,
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
@@ -2120,6 +2170,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tokens, bin_id
             FROM rec ORDER BY source, doc_id
+        """,
+        # incremental snapshot read: appended rows + genuinely changed rows
+        # of the rewritten partitions {0,1}; rows carried forward unchanged
+        # by the rewrite must NOT appear
+        "catalog_incremental": """
+            WITH base AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS p, lang
+                FROM documents
+            ),
+            marked AS (
+                SELECT doc_id, p,
+                       CASE WHEN doc_id % 2 = 0 THEN lang || '!' ELSE lang END AS lang
+                FROM base
+            )
+            SELECT doc_id, lang, p FROM (
+                SELECT doc_id, p, lang FROM base
+                WHERE doc_id % 3 = 1 AND p NOT IN (0, 1)
+                UNION ALL
+                SELECT doc_id, p, lang FROM marked
+                WHERE doc_id % 3 = 1 AND p IN (0, 1)
+                UNION ALL
+                SELECT doc_id, p, lang FROM marked
+                WHERE doc_id % 3 = 0 AND p IN (0, 1) AND doc_id % 2 = 0
+            )
+            ORDER BY doc_id
         """,
         # WARC round trip: the archive must hand back exactly what went in
         "warc_roundtrip": """

@@ -896,6 +896,18 @@ class Frontier:
         )
         return n
 
+    def changes_since(self, from_snapshot: int) -> DataFrame:
+        """Frontier rows added or changed since ``from_snapshot`` — the CDC
+        read for downstream consumers (incremental training-data export,
+        monitoring): new URLs appear as fresh ``scheduled`` rows, completed
+        fetches as their flipped ``visited``/``error`` rows. Resolved from
+        the catalog's file manifest (catalog.read_incremental), so untouched
+        partitions cost zero IO — at 10^10-frontier scale a consumer reads
+        O(wave delta) per poll, never O(frontier). Snapshot ids come from
+        ``catalog.current_snapshot(FRONTIER_TABLE)`` before/after a crawl;
+        history must be retained (see expire_snapshots)."""
+        return self.catalog.read_incremental(FRONTIER_TABLE, from_snapshot)
+
     def reschedule_errors(self, max_tries: int, wave: int) -> int:
         """Q4 retry path: error rows with tries < max_tries go back to
         scheduled (UrlStore.reschedule; ResultVerification F10 reschedules

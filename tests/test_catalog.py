@@ -140,3 +140,95 @@ def test_missing_table_raises(cat):
     with pytest.raises(FileNotFoundError):
         cat.read("nope")
     assert not cat.exists("nope")
+
+
+# -- incremental reads (Iceberg incremental-scan / CDC analog) --------------
+
+
+def _rows(df):
+    return sorted((r["p"], r["k"], r["v"]) for r in df.collect())
+
+
+def test_incremental_appends_read_only_new_files(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b"), (2, 3, "c")]), 4)
+    cat.merge_write("t", _df(spark, [(0, 10, "x"), (3, 30, "y")]), replace_parts=())
+    inc = cat.read_incremental("t", from_snapshot=0)
+    assert _rows(inc) == [(0, 10, "x"), (3, 30, "y")]
+    # unchanged partitions (1, 2) contribute ZERO files to the scan —
+    # the manifest diff, not a data comparison, prunes them
+    files = inc.inputFiles()
+    assert files and all("p=1" not in f and "p=2" not in f for f in files)
+    # appended partition 0: only the appended v-dir is read, not v0
+    assert all("/v0/" not in f for f in files if "p=0" in f)
+
+
+def test_incremental_rewritten_partition_yields_changed_rows(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    # copy-on-write replace of partition 1: one row updated, one inserted
+    cat.merge_write(
+        "t", _df(spark, [(1, 2, "B"), (1, 5, "n")]), replace_parts=[1]
+    )
+    inc = cat.read_incremental("t", from_snapshot=0)
+    assert _rows(inc) == [(1, 2, "B"), (1, 5, "n")]
+    # partition 0 untouched -> not scanned
+    assert all("p=0" not in f for f in inc.inputFiles())
+
+
+def test_incremental_unchanged_rows_in_rewrite_are_not_emitted(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a"), (0, 2, "b")]), 2)
+    # rewrite carries row (0,1,'a') forward unchanged, updates (0,2)
+    cat.merge_write("t", _df(spark, [(0, 1, "a"), (0, 2, "B")]), replace_parts=[0])
+    inc = cat.read_incremental("t", from_snapshot=0)
+    assert _rows(inc) == [(0, 2, "B")]
+
+
+def test_incremental_between_intermediate_snapshots(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)  # snap 0
+    cat.merge_write("t", _df(spark, [(1, 2, "b")]), replace_parts=())  # snap 1
+    cat.merge_write("t", _df(spark, [(0, 3, "c")]), replace_parts=())  # snap 2
+    assert _rows(cat.read_incremental("t", 0, to_snapshot=1)) == [(1, 2, "b")]
+    assert _rows(cat.read_incremental("t", 1, to_snapshot=2)) == [(0, 3, "c")]
+    # composition: read(0..2) == read(0..1) + read(1..2)
+    assert _rows(cat.read_incremental("t", 0, to_snapshot=2)) == [
+        (0, 3, "c"), (1, 2, "b"),
+    ]
+
+
+def test_incremental_same_snapshot_is_empty(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    inc = cat.read_incremental("t", 0, to_snapshot=0)
+    assert inc.count() == 0
+    assert [f.name for f in inc.schema.fields] == ["k", "v", "p"] or set(
+        f.name for f in inc.schema.fields
+    ) == {"p", "k", "v"}
+
+
+def test_incremental_compare_cols_projects(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    cat.merge_write("t", _df(spark, [(0, 1, "A")]), replace_parts=[0])
+    inc = cat.read_incremental("t", 0, compare_cols=["k", "v"])
+    assert sorted((r["k"], r["v"]) for r in inc.collect()) == [(1, "A")]
+    # restricting to an unchanged projection yields nothing
+    inc_k = cat.read_incremental("t", 0, compare_cols=["k"])
+    assert inc_k.count() == 0
+
+
+def test_incremental_expired_from_snapshot_raises(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    cat.merge_write("t", _df(spark, [(1, 2, "b")]), replace_parts=())
+    cat.merge_write("t", _df(spark, [(1, 3, "c")]), replace_parts=())
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(KeyError):
+        cat.read_incremental("t", from_snapshot=0)
+
+
+def test_incremental_equals_full_read_from_empty_history(spark, cat):
+    """Replaying create + every incremental must reproduce the current
+    snapshot for append-only history (exactly the export-delta use)."""
+    cat.create("t", _df(spark, [(0, 1, "a")]), 4)
+    cat.merge_write("t", _df(spark, [(1, 2, "b"), (2, 3, "c")]), replace_parts=())
+    cat.merge_write("t", _df(spark, [(3, 4, "d")]), replace_parts=())
+    replayed = _rows(cat.read("t", snapshot=0).unionByName(
+        cat.read_incremental("t", 0)
+    ))
+    assert replayed == _rows(cat.read("t"))

@@ -499,3 +499,31 @@ def test_recrawl_flips_visited_and_resets_age_clock(spark, tmp_path):
     assert fr.schedule(_urls(spark, _range_urls(0, 12)), wave=6) == 0
     # age predicate respects the reset clock: nothing older than wave 4 now
     assert fr.recrawl(F.col("wave") <= 4, wave=7) == 0
+
+
+def test_changes_since_cdc_read(spark, frontier):
+    """CDC read over the frontier: after a schedule + status flip, the
+    incremental read returns exactly the new rows and the flipped rows,
+    matching a brute-force diff of the two full snapshots."""
+    from kermit_spark.frontier import FRONTIER_TABLE
+
+    frontier.init(_urls(spark, [f"http://h{i % 3}.test/p/{i}" for i in range(12)]))
+    snap0 = frontier.catalog.current_snapshot(FRONTIER_TABLE)
+    # wave outcome: 2 URLs visited, 3 new discovered
+    flip = frontier.read().filter(F.col("url").endswith("/1") | F.col("url").endswith("/2"))
+    frontier.update_status(
+        flip.select("p", "url_hash", "url", F.lit(VISITED).alias("new_status"))
+    )
+    frontier.schedule(_urls(spark, [f"http://h9.test/new/{i}" for i in range(3)]), wave=1)
+
+    inc = frontier.changes_since(snap0)
+    got = sorted((r["url"], r["status"]) for r in inc.collect())
+    # brute-force oracle: full new snapshot minus full old snapshot
+    cur = frontier.read().select("url", "status")
+    old = frontier.catalog.read(FRONTIER_TABLE, snapshot=snap0).select("url", "status")
+    want = sorted((r["url"], r["status"]) for r in cur.exceptAll(old).collect())
+    assert got == want
+    assert ("http://h9.test/new/0", SCHEDULED) in got
+    assert ("http://h1.test/p/1", VISITED) in got
+    # rows untouched by either commit are absent
+    assert not any(u.endswith("/5") for u, _ in got)
