@@ -963,6 +963,48 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index + RANDOM-ACCESS read through the REAL archive layer
+    (kermit_spark.warc): documents are archived to WARC, build_cdx scans
+    the files once into (surt_key, filename, offset, length, digest) rows,
+    and EVERY record is then fetched back via read_warc_at — one
+    seek+read of exactly [offset, offset+length) per record, the Common
+    Crawl cdx → ranged-GET access pattern. The oracle restates url, SURT
+    key, status and body md5 straight off the documents table, so a single
+    byte of offset error anywhere fails the hash."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import build_cdx, read_warc_at, surt_key, write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("http://w.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("wave"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").alias("body"),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_cdx_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_warc(docs.repartition(4), tmp)
+        cdx = build_cdx(spark, tmp)
+        back = read_warc_at(spark, cdx)
+        return (
+            back.select(
+                surt_key(F.col("url")).alias("surt_key"),
+                "url",
+                "status",
+                F.md5(F.col("body")).alias("body_md5"),
+            )
+            .orderBy("url")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot read (Iceberg incremental-scan / CDC analog)
     through the REAL catalog (SnapshotCatalog.read_incremental): snapshot 0
@@ -1312,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
         "catalog_incremental": q_catalog_incremental,
+        "warc_cdx": q_warc_cdx,
         "export_shards": q_export_shards,
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
@@ -2195,6 +2238,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 3 = 0 AND p IN (0, 1) AND doc_id % 2 = 0
             )
             ORDER BY doc_id
+        """,
+        # CDX + random access: every record fetched by (offset, length)
+        # must hash identically to the source row; SURT key restated in SQL
+        "warc_cdx": """
+            SELECT 'test,w)/d/' || doc_id AS surt_key,
+                   'http://w.test/d/' || doc_id AS url,
+                   200 AS status,
+                   md5(text) AS body_md5
+            FROM documents
+            ORDER BY url
         """,
         # WARC round trip: the archive must hand back exactly what went in
         "warc_roundtrip": """

@@ -139,6 +139,141 @@ def _parse_file(text: str) -> list[tuple]:
     return out
 
 
+CDX_SCHEMA = (
+    "surt_key string, url string, wave int, status int, content_type string, "
+    "digest string, filename string, offset long, length long"
+)
+
+
+def surt_key(url) -> "F.Column":
+    """Simplified SURT (Sort-friendly URI Reordering Transform) key — the
+    sort key of the CDX ecosystem: lowercase, scheme dropped, host
+    components reversed and comma-joined, then ``)/path?query``. Pure JVM
+    (parse_url stays in codegen). Simplifications vs. the full pywb
+    canonicalizer, documented deliberately: no www-stripping, no query-param
+    sorting, no session-id scrubbing — the key is deterministic and
+    prefix-sortable per domain, which is what partition pruning needs."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/")))
+    query = F.parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), F.lower(query))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def build_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the .warc files under ``path`` once and emit one CDX row per
+    record: (surt_key, url, wave, status, content_type, digest=md5(body),
+    filename, offset, length) with BYTE-exact offset/length so a consumer
+    can fetch any single record with one ranged read (the Common Crawl
+    cdx → HTTP Range-GET access pattern; locally, a seek+read —
+    read_warc_at below). Offsets are accumulated from the same
+    Content-Length walk the reader uses, never re-derived by searching.
+
+    Store the result sorted by surt_key and partitioned/bucketed on the
+    key prefix and lookups prune to one file set per domain."""
+    import hashlib
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("filename"), "value"
+    )
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, text in zip(pdf["filename"], pdf["value"]):
+                pos = 0  # char position (parse) ; byte_pos tracked alongside
+                byte_pos = 0
+                while pos < len(text):
+                    if not text.startswith(_WARC_VERSION, pos):
+                        break
+                    head_end = text.index("\r\n\r\n", pos)
+                    head = text[pos:head_end]
+                    headers = {}
+                    for line in head.split("\r\n")[1:]:
+                        k, _, v = line.partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                    n = int(headers["content-length"])
+                    body_start = head_end + 4
+                    raw = text[body_start:].encode("utf-8")[:n].decode("utf-8")
+                    http_head, _, body = raw.partition("\r\n\r\n")
+                    status = int(http_head.split("\r\n")[0].split(" ", 1)[1])
+                    ctype = None
+                    for line in http_head.split("\r\n")[1:]:
+                        k, _, v = line.partition(":")
+                        if k.strip().lower() == "content-type":
+                            ctype = v.strip()
+                    # WARC headers are ASCII (len == byte len); the payload's
+                    # byte length is n by definition; +4 per CRLFCRLF pair
+                    rec_bytes = len(head.encode("utf-8")) + 4 + n + 4
+                    rows.append(
+                        (
+                            headers["warc-target-uri"],
+                            int(headers.get("warc-kermit-wave", 0)),
+                            status,
+                            ctype,
+                            hashlib.md5(body.encode("utf-8")).hexdigest(),
+                            fname,
+                            byte_pos,
+                            rec_bytes,
+                        )
+                    )
+                    pos = body_start + len(raw) + 4
+                    byte_pos += rec_bytes
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url", "wave", "status", "content_type",
+                        "digest", "filename", "offset", "length",
+                    ],
+                )
+
+    idx = files.mapInPandas(
+        index,
+        "url string, wave int, status int, content_type string, "
+        "digest string, filename string, offset long, length long",
+    )
+    return idx.select(surt_key(F.col("url")).alias("surt_key"), "*")
+
+
+def read_warc_at(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Random-access fetch: given CDX rows (filename, offset, length),
+    return exactly those records as (url, wave, status, content_type,
+    body) — each record read with ONE seek+read of ``length`` bytes, never
+    a file scan. This is the ranged-GET access path archives serve at
+    scale (an object store serves ``Range: bytes=offset-``); rows are
+    grouped by filename within each task so a file is opened once per
+    batch. Scales with |requested records|, independent of archive size."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, grp in pdf.groupby("filename", sort=True):
+                local = fname[len("file:"):] if fname.startswith("file:") else fname
+                grp = grp.sort_values("offset")
+                with open(local, "rb") as f:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        f.seek(int(off))
+                        rec = f.read(int(ln)).decode("utf-8")
+                        parsed = _parse_file(rec)
+                        if parsed:
+                            rows.extend(parsed)
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "wave", "status", "content_type", "body"]
+                )
+
+    return cdx.select("filename", "offset", "length").mapInPandas(
+        fetch, WARC_READ_SCHEMA
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Parse .warc files back to (url, wave, status, content_type, body).
 

@@ -90,3 +90,76 @@ def test_crawler_archives_waves_to_warc(spark, tmp_path):
     # the documents table itself keeps spans, not bodies — the archive is
     # the only place the raw payload survives
     assert "body" not in c.documents().columns
+
+
+# -- CDX index + random access ----------------------------------------------
+
+
+def test_cdx_offsets_are_byte_exact(spark, tmp_path):
+    """Every (filename, offset, length) must frame a complete record: a raw
+    seek+read of exactly those bytes re-parses to the same row read_warc
+    returns — including the multi-byte-UTF-8 and header-lookalike bodies."""
+    from kermit_spark.warc import _parse_file, build_cdx
+
+    path = str(tmp_path / "w")
+    write_warc(_docs(spark).repartition(2), path)
+    cdx = build_cdx(spark, path).collect()
+    assert len(cdx) == 4
+    by_url = {}
+    for r in cdx:
+        local = r["filename"][len("file:"):]
+        with open(local, "rb") as f:
+            f.seek(r["offset"])
+            rec = f.read(r["length"]).decode("utf-8")
+        parsed = _parse_file(rec)
+        assert len(parsed) == 1, f"offset/length misframes {r['url']}"
+        by_url[parsed[0][0]] = parsed[0]
+    assert by_url["http://a.test/1"][4] == "<html>one é</html>"
+    assert by_url["http://a.test/3"][4].endswith("fake record header")
+    # offsets within one file are disjoint and start at 0
+    import collections
+    per_file = collections.defaultdict(list)
+    for r in cdx:
+        per_file[r["filename"]].append((r["offset"], r["length"]))
+    for spans in per_file.values():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2  # records tile the file exactly
+
+
+def test_cdx_random_access_equals_sequential_read(spark, tmp_path):
+    from kermit_spark.warc import build_cdx, read_warc_at
+
+    path = str(tmp_path / "w")
+    write_warc(_docs(spark).repartition(2), path)
+    cdx = build_cdx(spark, path)
+    # fetch a subset by key: exactly those records come back, nothing else
+    want = cdx.filter(F.col("url").isin("http://a.test/2", "http://a.test/3"))
+    got = {r["url"]: r for r in read_warc_at(spark, want).collect()}
+    assert set(got) == {"http://a.test/2", "http://a.test/3"}
+    seq = {r["url"]: r for r in read_warc(spark, path).collect()}
+    for u, r in got.items():
+        assert (r["wave"], r["status"], r["content_type"], r["body"]) == (
+            seq[u]["wave"], seq[u]["status"], seq[u]["content_type"], seq[u]["body"]
+        )
+
+
+def test_cdx_surt_key_and_digest(spark, tmp_path):
+    import hashlib
+
+    from kermit_spark.warc import build_cdx, surt_key
+
+    path = str(tmp_path / "w")
+    write_warc(_docs(spark), path)
+    rows = {r["url"]: r for r in build_cdx(spark, path).collect()}
+    assert rows["http://a.test/1"]["surt_key"] == "test,a)/1"
+    assert rows["http://a.test/1"]["digest"] == hashlib.md5(
+        "<html>one é</html>".encode()
+    ).hexdigest()
+    # golden SURT forms (expression-level): host reversal, case folding, query
+    df = spark.createDataFrame(
+        [("http://WWW.Example.COM/A/b?X=1",), ("https://sub.dom.org/",)], "u string"
+    )
+    got = [r["k"] for r in df.select(surt_key(F.col("u")).alias("k")).collect()]
+    assert got == ["com,example,www)/a/b?x=1", "org,dom,sub)/"]
