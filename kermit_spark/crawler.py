@@ -191,6 +191,14 @@ class CrawlConfig:
     # frontier (discovery) and never burn budget (F5 second check). None =
     # off (reference behavior: no trap handling anywhere).
     trap_rules: TrapRules | None = None
+    # robots cache expiry: a host's rules older than k waves are re-fetched
+    # through the same batch probe (RFC 9309 §2.4 bounds robots caching,
+    # commonly at 24 h — the wave clock is the engine's time base, matching
+    # recrawl_after_waves). The refreshed row REPLACES the old one, new
+    # Crawl-delay/Sitemap declarations take effect, and newly-listed
+    # sitemap URLs seed like any first fetch (dedup drops known ones).
+    # 0 = never re-fetch (reference parity: fetch once, cache forever).
+    robots_max_age_waves: int = 0
 
     def admit_expr(self, url) -> F.Column:
         """url_filter AND trap defense — the combined admission predicate."""
@@ -238,7 +246,9 @@ class Crawler:
         # driver strings); capped so a pathological run can't grow it
         # unboundedly. Cache misses fall through to a batch-sized anti-join
         # probe against the robots table — same semantics, bounded memory.
-        self._robots_hosts: set[str] = set()
+        # host -> fetched_wave of its robots row (age answers staleness
+        # driver-side in the common case; value unused when expiry is off)
+        self._robots_hosts: dict[str, int] = {}
         # None = unknown (probe the robots table on next use); False skips
         # the Crawl-delay join entirely — the common case pays nothing
         self._has_crawl_delays: bool | None = None
@@ -277,30 +287,47 @@ class Crawler:
     _ROBOTS_CACHE_MAX = 2_000_000  # hosts; ~100 MB of driver strings at worst
 
     def _ensure_robots(
-        self, hosts: list[tuple[int, str]]
+        self, hosts: list[tuple[int, str]], wave: int = 0
     ) -> tuple[DataFrame | None, DataFrame | None]:
-        """Fetch+parse robots.txt for (p, host) pairs not yet covered; return
-        (rules table, sitemap candidate URLs or None). One fetch per host
-        ever (robots state is durable); a host's ``Sitemap:`` URLs are
-        likewise fetched exactly once — in the wave its robots first
-        arrived — and their <loc> entries become depth-0 candidates merged
-        into that wave's single frontier commit (lazy: no extra job).
+        """Fetch+parse robots.txt for (p, host) pairs not yet covered — or
+        covered by rules older than ``robots_max_age_waves`` — and return
+        (rules table, sitemap candidate URLs or None). With expiry off
+        (default) a host is fetched once ever; with it on, a stale host
+        re-fetches through the same probe and its row is REPLACED, so new
+        Disallow/Crawl-delay/Sitemap declarations take effect. Sitemap
+        <loc> entries of every (re)fetched host become depth-0 candidates
+        merged into this wave's single frontier commit.
 
-        Membership is resolved in two steps: the driver cache answers for
-        hosts this run has already touched (steady state: zero Spark jobs);
-        cache misses are anti-joined against the robots table — a
-        batch-sized probe, never a scan-and-collect of all hosts."""
+        Membership is resolved in two steps: the driver cache (host →
+        fetched_wave) answers for hosts this run has already touched
+        (steady state: zero Spark jobs); cache misses are probed against
+        the robots table — a batch-sized join, never a scan-and-collect of
+        all hosts."""
         sitemap_cands: DataFrame | None = None
-        unknown = [(p, h) for p, h in hosts if h not in self._robots_hosts]
+        max_age = self.config.robots_max_age_waves
+
+        def _fresh(fw: int) -> bool:
+            return max_age <= 0 or wave - fw < max_age
+
+        unknown = [
+            (p, h)
+            for p, h in hosts
+            if h not in self._robots_hosts or not _fresh(self._robots_hosts[h])
+        ]
         missing = unknown
+        stale_hosts: set[str] = set()
         if unknown and self.catalog.exists(ROBOTS_TABLE):
             probe = self.spark.createDataFrame(unknown, "p int, host string")
-            have = self.catalog.read(ROBOTS_TABLE).select("host")
+            have = self.catalog.read(ROBOTS_TABLE).select("host", "fetched_wave")
+            got = {
+                r["host"]: r["fetched_wave"]
+                for r in probe.join(have, "host", "inner").collect()
+            }
             missing = [
-                (r["p"], r["host"])
-                for r in probe.join(have, "host", "left_anti").collect()
+                (p, h) for p, h in unknown if h not in got or not _fresh(got[h])
             ]
-            covered = {h for _, h in unknown} - {h for _, h in missing}
+            stale_hosts = {h for h, fw in got.items() if not _fresh(fw)}
+            covered = {h: fw for h, fw in got.items() if _fresh(fw)}
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
                 self._robots_hosts.update(covered)
         if missing:
@@ -315,18 +342,42 @@ class Crawler:
                 F.lit(0).alias("rank"),
             )
             fetched = self.fetcher.fetch(to_fetch)
-            new_rules = robots_rules_from_fetch(fetched, self.config.user_agent)
+            new_rules = robots_rules_from_fetch(
+                fetched, self.config.user_agent, wave=wave
+            )
             if not self.catalog.exists(ROBOTS_TABLE):
                 self.catalog.create(ROBOTS_TABLE, new_rules, self.config.num_partitions)
-            else:
-                # pure inserts (the anti-join probe above guarantees these
-                # hosts have no row yet) → fast-APPEND file sets: commit
-                # cost O(new hosts). The old read+union+overwrite rewrote
-                # every touched partition — O(all hosts stored there) per
-                # robots-fetch wave, a full-table rewrite at 10^8 hosts.
+            elif not stale_hosts:
+                # pure inserts (the probe above guarantees these hosts have
+                # no row yet) → fast-APPEND file sets: commit cost O(new
+                # hosts). A read+union+overwrite would rewrite every touched
+                # partition — O(all hosts stored there) per robots-fetch
+                # wave, a full-table rewrite at 10^8 hosts.
                 self.catalog.merge_write(ROBOTS_TABLE, new_rules, replace_parts=())
+            else:
+                # expiry refresh: stale hosts' rows must be REPLACED (host
+                # is unique in the table). Copy-on-write merge of just their
+                # partitions — surviving hosts carried forward, stale rows
+                # anti-joined out, refreshed + brand-new rows unioned in.
+                stale_parts = sorted(
+                    {p for p, h in missing if h in stale_hosts}
+                )
+                stale_df = self.spark.createDataFrame(
+                    [(h,) for h in sorted(stale_hosts)], "host string"
+                )
+                survivors = (
+                    self.catalog.read(ROBOTS_TABLE)
+                    .filter(F.col("p").isin(stale_parts))
+                    .join(stale_df, "host", "left_anti")
+                    .select(*new_rules.columns)
+                )
+                self.catalog.merge_write(
+                    ROBOTS_TABLE,
+                    survivors.unionByName(new_rules),
+                    replace_parts=stale_parts,
+                )
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
-                self._robots_hosts.update(h for _, h in missing)
+                self._robots_hosts.update({h: wave for _, h in missing})
             # newly fetched hosts may declare Crawl-delay — re-probe lazily
             self._has_crawl_delays = None
             if self._delay_caps is not None:
@@ -560,7 +611,7 @@ class Crawler:
         sitemap_cands = None
         if cfg.obey_robots:
             hosts = [(r["p"], r["host"]) for r in per_host]
-            rules, sitemap_cands = self._ensure_robots(hosts)
+            rules, sitemap_cands = self._ensure_robots(hosts, wave=wave)
             if rules is not None:
                 allowed = robots_gate(selected, rules).persist()
                 blocked_updates = selected.join(

@@ -207,9 +207,15 @@ def make_parse_udf(agent: str = "kermit-spark"):
     return pandas_udf(frame, PARSED_TYPE)
 
 
-def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> DataFrame:
+def robots_rules_from_fetch(
+    fetched: DataFrame, agent: str = "kermit-spark", wave: int = 0
+) -> DataFrame:
     """Fetched robots.txt rows → (p, host, fetched, rules, crawl_delay,
-    sitemaps). Non-200 fetches yield empty rules + null delay (allow-all)."""
+    sitemaps, fetched_wave). Non-200 fetches yield empty rules + null delay
+    (allow-all). ``fetched_wave`` stamps WHEN the rules were obtained — the
+    age datum robots_max_age_waves expiry reads (RFC 9309 §2.4: cached
+    robots results should not be used for longer than the origin allows,
+    commonly bounded at 24 h; the wave clock is this engine's time base)."""
     parse = make_parse_udf(agent)
     parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(
         F.struct(
@@ -230,6 +236,7 @@ def robots_rules_from_fetch(fetched: DataFrame, agent: str = "kermit-spark") -> 
         F.col("_parsed.rules").alias("rules"),
         F.col("_parsed.crawl_delay").alias("crawl_delay"),
         F.col("_parsed.sitemaps").alias("sitemaps"),
+        F.lit(wave).alias("fetched_wave"),
     )
 
 

@@ -246,3 +246,131 @@ def test_gate_matches_parser_verdicts_end_to_end(spark):
     got = {r["url"] for r in robots_gate(eligible, rules).collect()}
     want = {f"http://a.test{p}" for p in paths if _verdict(rules_py, p)}
     assert got == want
+
+
+# -- robots cache expiry (robots_max_age_waves) -------------------------------
+
+
+def _mini_corpus(spark, robots_body, extra_rows=()):
+    rows = [
+        ("http://a.test/robots.txt", "a.test", 200, "text/plain", robots_body),
+        ("http://a.test/1.html", "a.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a></body></html>'),
+        ("http://a.test/2.html", "a.test", 200, "text/html",
+         '<html><body><a href="/p/3.html">y</a></body></html>'),
+        ("http://a.test/p/3.html", "a.test", 200, "text/html",
+         "<html><body>deep</body></html>"),
+        *extra_rows,
+    ]
+    return spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+
+
+def _aging_crawler(spark, tmp_path, corpus, max_age):
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 10),)),
+        robots_max_age_waves=max_age,
+    )
+    return Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path / "cat")),
+        CorpusFetcher(corpus), cfg,
+    )
+
+
+def test_robots_expiry_refetches_and_honors_new_rules(spark, tmp_path):
+    """Rules change between fetches: with expiry on, the stale row is
+    re-fetched and the NEW Disallow blocks a later-wave URL; the refreshed
+    Sitemap declaration seeds its orphan page."""
+    from kermit_spark.fetch import CorpusFetcher
+
+    allow_all = "User-agent: *\n"
+    deny_deep = (
+        "User-agent: *\nDisallow: /p/\n"
+        "Sitemap: http://a.test/sm.xml\n"
+    )
+    sm_rows = (
+        ("http://a.test/sm.xml", "a.test", 200, "application/xml",
+         "<urlset><url><loc>http://a.test/fresh.html</loc></url></urlset>"),
+        ("http://a.test/fresh.html", "a.test", 200, "text/html",
+         "<html><body>fresh</body></html>"),
+    )
+    c = _aging_crawler(spark, tmp_path, _mini_corpus(spark, allow_all), max_age=2)
+    c.seed(["http://a.test/1.html"])
+    c.crawl(1)  # wave 0: robots fetched (allow-all), /1 visited, /2 discovered
+    # the server's robots CHANGES (fetcher swap models it; resume supports
+    # new fetchers the same way)
+    c.fetcher = CorpusFetcher(_mini_corpus(spark, deny_deep, sm_rows))
+    c.crawl(2)  # wave 1: /2 (rules still cached fresh); wave 2: expiry hits
+    c.crawl(1)  # wave 3: fresh.html (seeded by the refreshed sitemap)
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st["http://a.test/1.html"] == "visited"
+    assert st["http://a.test/2.html"] == "visited"
+    # /p/3 was dequeued at wave 2 — AFTER the wave-0 rules expired — so the
+    # re-fetched Disallow must block it
+    assert st["http://a.test/p/3.html"] == "robots_blocked"
+    # the refreshed robots' Sitemap seeded the orphan
+    assert st.get("http://a.test/fresh.html") == "visited"
+
+
+def test_robots_no_expiry_keeps_first_rules_forever(spark, tmp_path):
+    """Reference parity (max_age=0): the wave-0 allow-all rules stay cached;
+    the same corpus swap must NOT block /p/3."""
+    from kermit_spark.fetch import CorpusFetcher
+
+    c = _aging_crawler(
+        spark, tmp_path, _mini_corpus(spark, "User-agent: *\n"), max_age=0
+    )
+    c.seed(["http://a.test/1.html"])
+    c.crawl(1)
+    c.fetcher = CorpusFetcher(
+        _mini_corpus(spark, "User-agent: *\nDisallow: /p/\n")
+    )
+    c.crawl(2)
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st["http://a.test/p/3.html"] == "visited"
+
+
+def test_robots_refresh_replaces_only_stale_host_rows(spark, tmp_path):
+    """Two hosts share a partition; refreshing one must not lose or alter
+    the other's row (copy-on-write partition merge, not blind append)."""
+    from kermit_spark.crawler import ROBOTS_TABLE
+    from kermit_spark.fetch import CorpusFetcher
+
+    rows = [
+        ("http://a.test/robots.txt", "a.test", 200, "text/plain",
+         "User-agent: *\nDisallow: /x\n"),
+        ("http://b.test/robots.txt", "b.test", 200, "text/plain",
+         "User-agent: *\nDisallow: /y\n"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    c = _aging_crawler(spark, tmp_path, corpus, max_age=1)
+    # both hosts forced into ONE partition: staleness handling must split
+    # rows within the partition, not at partition granularity
+    c._ensure_robots([(0, "a.test"), (0, "b.test")], wave=0)
+    rows2 = [
+        ("http://a.test/robots.txt", "a.test", 200, "text/plain",
+         "User-agent: *\nDisallow: /z\n"),
+    ]
+    c.fetcher = CorpusFetcher(spark.createDataFrame(
+        rows2, "url string, host string, status int, content_type string, body string"
+    ))
+    # only a.test is in this wave's batch -> only it refreshes
+    c._ensure_robots([(0, "a.test")], wave=5)
+    got = {
+        r["host"]: (r["fetched_wave"], [x["pattern"] for x in r["rules"]])
+        for r in c.catalog.read(ROBOTS_TABLE).collect()
+    }
+    assert len(got) == 2, "b.test row lost in the partition replace"
+    assert got["b.test"][0] == 0  # untouched
+    assert got["a.test"][0] == 5  # refreshed
+    assert any("z" in p for p in got["a.test"][1])
+    assert not any("x" in p for p in got["a.test"][1])
