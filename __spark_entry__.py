@@ -256,6 +256,34 @@ def q_wave_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("depth")
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority scoring through the REAL library operator
+    (kermit_spark.ops.graph.hits — integer fixed-point HITS with L1
+    normalization, bit-reproducible like pagerank): top-100 authorities of
+    a skewed synthetic link graph (bijection (11n+3) mod M spreads mass,
+    funnel n mod 89 concentrates it on hub targets), 2 iterations,
+    scale=10^6. Oracle: the identical integer recurrence unrolled as
+    chained CTEs — raw in-sum, L1 scaling, raw out-sum, L1 scaling, twice."""
+    from kermit_spark.ops.graph import hits
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("node") * 11 + 3, F.lit(m)),
+                F.pmod(F.col("node"), F.lit(89)),
+            )
+        ).alias("dst"),
+    ).distinct()
+    scores = hits(edges, num_iters=2, scale=10**6)
+    return scores.orderBy(
+        F.col("auth_fp").desc(), F.col("node").asc()
+    ).limit(100)
+
+
 def q_url_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap gate through the REAL library rules
     (kermit_spark.filters.TrapRules.reason_expr — the pure-JVM URL-shape
@@ -1320,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "wave_bfs": q_wave_bfs,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "url_trap_filter": q_url_trap_filter,
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
@@ -1370,6 +1399,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "media_features": q_media_features,
     }
+
+
+def _hits_half_cte(prev: str, cur: str, edge_from: str, edge_to: str, prev_col: str, cur_col: str) -> str:
+    """One HITS half-step for the DuckDB oracle — the exact integer
+    recurrence of ops.graph.hits: raw sum over {edge_from}→{edge_to}
+    edges, then L1 scaling to 10^6. All BIGINT floor-div (values are
+    non-negative, so DuckDB ``//`` == Spark ``div``)."""
+    raw = f"{cur}_raw"
+    return f"""{raw} AS (
+                SELECT n.node, COALESCE(i.s, 0)::BIGINT AS raw
+                FROM h_nodes n LEFT JOIN (
+                    SELECT e.{edge_to} AS node, SUM(p.{prev_col})::BIGINT AS s
+                    FROM h_edges e JOIN {prev} p ON p.node = e.{edge_from}
+                    GROUP BY e.{edge_to}
+                ) i ON i.node = n.node
+            ),
+            {cur} AS (
+                SELECT node,
+                       (CASE WHEN (SELECT SUM(raw) FROM {raw}) > 0
+                             THEN (raw * 1000000) // (SELECT SUM(raw) FROM {raw})
+                             ELSE 0 END)::BIGINT AS {cur_col}
+                FROM {raw}
+            )"""
 
 
 def _pagerank_iter_cte(prev: str, cur: str) -> str:
@@ -1780,6 +1832,32 @@ def oracle_sql() -> dict[str, str]:
             {_pagerank_iter_cte('r2', 'r3')}
             SELECT node, rank AS rank_fp FROM r3
             ORDER BY rank_fp DESC, node ASC LIMIT 100
+        """,
+        "link_hits": f"""
+            WITH
+            hm AS (SELECT count(*) AS n FROM customer),
+            h_edges AS (
+                SELECT c_custkey AS src, (c_custkey * 11 + 3) % (SELECT n FROM hm) AS dst FROM customer
+                UNION
+                SELECT c_custkey AS src, c_custkey % 89 AS dst FROM customer
+            ),
+            h_nodes AS (
+                SELECT src::BIGINT AS node FROM h_edges
+                UNION
+                SELECT dst::BIGINT AS node FROM h_edges
+            ),
+            h0 AS (
+                SELECT node,
+                       (1000000 // (SELECT count(*) FROM h_nodes))::BIGINT AS hub
+                FROM h_nodes
+            ),
+            {_hits_half_cte('h0', 'a1', 'src', 'dst', 'hub', 'auth')},
+            {_hits_half_cte('a1', 'h1', 'dst', 'src', 'auth', 'hub')},
+            {_hits_half_cte('h1', 'a2', 'src', 'dst', 'hub', 'auth')},
+            {_hits_half_cte('a2', 'h2', 'dst', 'src', 'auth', 'hub')}
+            SELECT n.node, a2.auth AS auth_fp, h2.hub AS hub_fp
+            FROM h_nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
+            ORDER BY auth_fp DESC, n.node ASC LIMIT 100
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

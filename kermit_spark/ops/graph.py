@@ -213,6 +213,107 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_fp"))
 
 
+def hits(
+    edges: DataFrame,
+    num_iters: int = 2,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Hub/authority scores (Kleinberg's HITS) in **integer fixed-point**
+    arithmetic — the complement to ``pagerank`` for crawl prioritization:
+    authorities are the pages worth fetching, hubs the pages worth
+    re-parsing for links (a directory page is a hub; what it points at are
+    authorities).
+
+    Same determinism contract as ``pagerank``: every quantity is a BIGINT,
+    every operation integer multiply/``div``/sum, so results are
+    bit-identical across engines, partition counts and reduction orders.
+    Semantics (both oracle sides implement exactly this):
+
+      init          = scale div N          (hub0 = init for every node)
+      auth_raw[n]   = sum(hub[u] over in-edges u→n)     (0 if none)
+      auth[n]       = (auth_raw[n] * scale) div sum(auth_raw)   (L1 → scale)
+      hub_raw[n]    = sum(auth[v] over out-edges n→v)
+      hub[n]        = (hub_raw[n] * scale) div sum(hub_raw)
+
+    L1 normalization (not the classical L2) keeps the recurrence closed
+    over integers — ordering, the crawl's only consumer, is unaffected.
+    Overflow bound: raw sums ≤ scale × max_degree, and the scaling product
+    ≤ scale² × max_degree, so the default scale=10^6 is safe for
+    max_degree < ~9×10^6; lower ``scale`` for denser graphs. The per-round
+    totals ride the plan as broadcast one-row aggregates (no driver
+    collect); per iteration: two joins keyed on src/dst + two hash
+    aggregations — graph-sized shuffles, nothing all-pairs;
+    ``localCheckpoint`` truncates the plan per half-step.
+
+    Returns (node, auth_fp, hub_fp) for every node in the edge set.
+    """
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    init = scale // n
+
+    def _normalize(raw: DataFrame, out_col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("t"))
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("t") > 0, F.expr(f"(raw * {scale}) div t")
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(out_col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.select("node", F.lit(init).cast("long").alias("hub")).localCheckpoint()
+    auth = None
+    for _ in range(num_iters):
+        raw_auth = (
+            hub.join(edges, hub.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = _normalize(
+            nodes.join(raw_auth, "node", "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("raw")
+            ),
+            "auth",
+        )
+        raw_hub = (
+            auth.join(edges, auth.node == edges.dst)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = _normalize(
+            nodes.join(raw_hub, "node", "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("raw")
+            ),
+            "hub",
+        )
+    out = (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth"), F.lit(0)).alias("auth_fp"),
+            F.coalesce(F.col("hub"), F.lit(0)).alias("hub_fp"),
+        )
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def canonicalize_near_dups(
     doc_ids: DataFrame,
     pairs: DataFrame,

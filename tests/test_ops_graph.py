@@ -179,3 +179,77 @@ def test_anchor_text_stats_cleans_relative_hrefs(spark):
     out = anchor_text_stats(df, clean=True).collect()
     assert len(out) == 1
     assert out[0]["n_inlinks"] == 2 and out[0]["n_docs"] == 2
+
+
+# -- HITS (integer fixed-point) -----------------------------------------------
+
+
+def _hits_python(edges, num_iters, scale=10**6):
+    """Independent single-threaded mirror of ops.graph.hits semantics."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    init = scale // len(nodes)
+    hub = {n: init for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw):
+        t = sum(raw.values())
+        if t <= 0:
+            return {n: 0 for n in raw}
+        return {n: (v * scale) // t for n, v in raw.items()}
+
+    for _ in range(num_iters):
+        raw_a = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw_a[v] += hub[u]
+        auth = norm(raw_a)
+        raw_h = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw_h[u] += auth[v]
+        hub = norm(raw_h)
+    return {n: (auth[n], hub[n]) for n in nodes}
+
+
+def test_hits_matches_python_reference(spark):
+    from kermit_spark.ops.graph import hits
+
+    # directory page 1 links to content pages; 6 is isolated-ish (dangling
+    # authority with no out-edges: hub 0)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 5), (5, 1), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["auth_fp"], r["hub_fp"]) for r in hits(df, num_iters=3).collect()
+    }
+    assert got == _hits_python(edges, num_iters=3)
+    # the directory page is the best hub; its targets beat it as authorities
+    assert got[1][1] == max(v[1] for v in got.values())
+    assert got[3][0] > got[1][0]
+    assert got[6][1] == 0  # no out-edges -> zero hub
+
+
+def test_hits_bit_identical_across_partitionings(spark):
+    from kermit_spark.ops.graph import hits
+
+    edges = [(i, (i * 11 + 3) % 89) for i in range(89)] + [
+        (i, (i * 5 + 2) % 89) for i in range(89)
+    ]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        got = sorted(hits(df, num_iters=2).collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_hits_l1_mass_bounded(spark):
+    from kermit_spark.ops.graph import hits
+
+    edges = [(i, j) for i in range(10) for j in ((2 * i + 1) % 10, (i * 3) % 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = hits(df, num_iters=4).agg(
+        F.sum("auth_fp").alias("a"), F.sum("hub_fp").alias("h")
+    ).collect()[0]
+    # L1 scaling floors: totals never exceed scale
+    assert 0 < row["a"] <= 10**6
+    assert 0 < row["h"] <= 10**6
