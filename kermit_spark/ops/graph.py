@@ -249,6 +249,8 @@ def hits(
 
     Returns (node, auth_fp, hub_fp) for every node in the edge set.
     """
+    if num_iters < 1:
+        raise ValueError("hits() needs num_iters >= 1")
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
