@@ -370,6 +370,52 @@ class SnapshotCatalog:
         props["compacted_parts"] = len(multi)
         return self.overwrite_partitions(table, sub, multi, properties=props)
 
+    def rollback_to(self, table: str, snapshot: int) -> int:
+        """Make ``snapshot`` the current snapshot again — the Iceberg
+        ``rollback_to_snapshot`` maintenance action, the recovery tool for a
+        bad wave (mis-configured filter flooded the frontier, a poisoned
+        robots refresh blocked everything): roll back, fix, re-crawl.
+
+        Snapshots NEWER than the target are dropped from the log, and
+        version dirs no remaining snapshot references are deleted
+        IMMEDIATELY (not deferred to expire_snapshots): commit ids are
+        linear, so the commit after a rollback reuses the dropped
+        numbering — a surviving orphan v-dir at that version would be
+        picked up by the post-write partition listing and resurrect the
+        rolled-back rows. Reads of the target and older retained snapshots
+        are unaffected. Raises ``KeyError`` for an unknown/expired
+        target."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        if str(snapshot) not in meta.snapshots:
+            raise KeyError(
+                f"snapshot {snapshot} of table {table!r} is not retained"
+            )
+        dropped = [s for s in meta.snapshots if int(s) > snapshot]
+        for s in dropped:
+            meta.snapshots.pop(s, None)
+            meta.properties.pop(s, None)
+        meta.current_snapshot = snapshot
+        # delete now-unreferenced version dirs (same sweep as expire)
+        referenced: dict[str, set[int]] = {}
+        for s in meta.snapshots:
+            for part, vers in meta.snapshots[s].items():
+                vlist = vers if isinstance(vers, list) else [vers]
+                referenced.setdefault(part, set()).update(vlist)
+        base = os.path.join(self.root, table)
+        for entry in os.listdir(base):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            part = entry.split("=", 1)[1]
+            pdir = os.path.join(base, entry)
+            keep = referenced.get(part, set())
+            for vdir in os.listdir(pdir):
+                if vdir.startswith("v") and vdir[1:].isdigit() and int(vdir[1:]) not in keep:
+                    shutil.rmtree(os.path.join(pdir, vdir), ignore_errors=True)
+        self._store_meta(table, meta)
+        return snapshot
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
         """Remove snapshots older than the most recent ``keep_last`` and
         delete every version dir no retained snapshot references — the

@@ -715,6 +715,7 @@ class Frontier:
         edges: DataFrame | None = None,
         num_iters: int = 3,
         damping_pct: int = 85,
+        scorer: str = "pagerank",
     ) -> int:
         """Maintenance: recompute the dequeue priority of every SCHEDULED row
         from link importance — integer fixed-point PageRank (ops.graph.
@@ -744,8 +745,13 @@ class Frontier:
         Rows without in-links (seeds, sitemap entries) keep their current
         priority; visited/error/blocked rows are untouched. Membership,
         n_rows and url_epoch are unchanged and carried forward, so the
-        Bloom blobs stay in sync. Returns the new snapshot id."""
-        from .ops.graph import pagerank
+        Bloom blobs stay in sync. Returns the new snapshot id.
+
+        ``scorer``: ``"pagerank"`` (default; global importance) or
+        ``"hits"`` (authority score from ops.graph.hits — favors pages many
+        hubs point at; ``damping_pct`` unused). Both are integer
+        fixed-point, so the ordering contract holds either way."""
+        from .ops.graph import hits, pagerank
 
         prev_props = self.catalog.snapshot_property(FRONTIER_TABLE)
         fr = self.read()
@@ -754,7 +760,14 @@ class Frontier:
                 F.xxhash64(F.col("referer")).alias("src"),
                 F.col("url_hash").alias("dst"),
             )
-        ranks = pagerank(edges, num_iters=num_iters, damping_pct=damping_pct)
+        if scorer == "hits":
+            ranks = hits(edges, num_iters=num_iters).select(
+                "node", F.col("auth_fp").alias("rank_fp")
+            )
+        elif scorer == "pagerank":
+            ranks = pagerank(edges, num_iters=num_iters, damping_pct=damping_pct)
+        else:
+            raise ValueError(f"unknown scorer {scorer!r} (pagerank|hits)")
         # rank_fp <= 10^12 < 2^53: the double cast below is exact, so the
         # deterministic-ordering promise survives the priority column's type
         updated = (

@@ -232,3 +232,44 @@ def test_incremental_equals_full_read_from_empty_history(spark, cat):
         cat.read_incremental("t", 0)
     ))
     assert replayed == _rows(cat.read("t"))
+
+
+# -- rollback (Iceberg rollback_to_snapshot analog) --------------------------
+
+
+def test_rollback_restores_old_snapshot_and_reuses_ids(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 4)                       # snap 0
+    cat.merge_write("t", _df(spark, [(1, 2, "bad")]), replace_parts=())  # snap 1
+    cat.merge_write("t", _df(spark, [(0, 3, "worse")]), replace_parts=())  # snap 2
+    cat.rollback_to("t", 0)
+    assert cat.current_snapshot("t") == 0
+    assert _rows(cat.read("t")) == [(0, 1, "a")]
+    # next commit reuses id 1 and must NOT resurrect the dropped rows
+    cat.merge_write("t", _df(spark, [(2, 9, "good")]), replace_parts=())
+    assert cat.current_snapshot("t") == 1
+    assert _rows(cat.read("t")) == [(0, 1, "a"), (2, 9, "good")]
+
+
+def test_rollback_deletes_orphaned_version_dirs(spark, cat, tmp_path):
+    import os
+
+    cat.create("t", _df(spark, [(0, 1, "a")]), 4)
+    cat.merge_write("t", _df(spark, [(1, 2, "b")]), replace_parts=())
+    cat.rollback_to("t", 0)
+    pdir = os.path.join(str(tmp_path / "cat"), "t", "p=1")
+    # partition 1 existed only in the dropped snapshot: its v-dir is gone
+    assert not os.path.exists(pdir) or not os.listdir(pdir)
+
+
+def test_rollback_unknown_snapshot_raises(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 2)
+    with pytest.raises(KeyError):
+        cat.rollback_to("t", 7)
+
+
+def test_rollback_then_incremental_reads_stay_consistent(spark, cat):
+    cat.create("t", _df(spark, [(0, 1, "a")]), 4)       # snap 0
+    cat.merge_write("t", _df(spark, [(1, 2, "b")]), replace_parts=())  # snap 1
+    cat.rollback_to("t", 0)
+    cat.merge_write("t", _df(spark, [(3, 4, "c")]), replace_parts=())  # snap 1'
+    assert _rows(cat.read_incremental("t", 0)) == [(3, 4, "c")]

@@ -527,3 +527,39 @@ def test_changes_since_cdc_read(spark, frontier):
     assert ("http://h1.test/p/1", VISITED) in got
     # rows untouched by either commit are absent
     assert not any(u.endswith("/5") for u, _ in got)
+
+
+def test_reprioritize_hits_scorer(spark, frontier):
+    """scorer='hits' feeds authority scores into scheduled priorities
+    through the same wiring; unknown scorers are rejected."""
+    from kermit_spark.ops.graph import hits
+
+    frontier.init(_urls(spark, ["http://h0.test/a"]))
+    cands = spark.createDataFrame(
+        [
+            ("http://h0.test/c", "http://h0.test/a"),
+            ("http://h0.test/d", "http://h0.test/a"),
+            ("http://h0.test/c", "http://h0.test/d"),
+        ],
+        "url string, referer string",
+    )
+    frontier.schedule(cands, wave=1)
+    edges = spark.createDataFrame(
+        [
+            ("http://h0.test/a", "http://h0.test/c"),
+            ("http://h0.test/a", "http://h0.test/d"),
+            ("http://h0.test/d", "http://h0.test/c"),
+        ],
+        "referer string, url string",
+    ).select(F.xxhash64("referer").alias("src"), F.xxhash64("url").alias("dst"))
+    frontier.reprioritize(edges, num_iters=2, scorer="hits")
+    want = {
+        r["node"]: float(r["auth_fp"]) for r in hits(edges, num_iters=2).collect()
+    }
+    rows = {r["url"]: r for r in frontier.read().collect()}
+    for u in ("http://h0.test/c", "http://h0.test/d"):
+        assert rows[u]["priority"] == want[rows[u]["url_hash"]]
+    # two in-links beat one as authority
+    assert rows["http://h0.test/c"]["priority"] > rows["http://h0.test/d"]["priority"]
+    with pytest.raises(ValueError):
+        frontier.reprioritize(edges, scorer="opic")
