@@ -95,6 +95,23 @@ class SnapshotCatalog:
         meta = self._load_meta(table)
         return -1 if meta is None else meta.current_snapshot
 
+    def snapshots(self, table: str) -> list[int]:
+        """Retained snapshot ids, oldest first (empty if the table does not
+        exist) — the listing rollback/expiry tooling walks."""
+        meta = self._load_meta(table)
+        if meta is None:
+            return []
+        return sorted(int(s) for s in meta.snapshots)
+
+    def partitions(self, table: str, snapshot: int | None = None) -> list[int]:
+        """Partition ids present in a snapshot (default: current) — straight
+        from the manifest, no filesystem or Spark work."""
+        meta = self._load_meta(table)
+        if meta is None:
+            return []
+        sid = meta.current_snapshot if snapshot is None else snapshot
+        return sorted(int(p) for p in meta.snapshots[str(sid)])
+
     def snapshot_property(self, table: str, snapshot: int | None = None) -> dict:
         meta = self._load_meta(table)
         if meta is None:

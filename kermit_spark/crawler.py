@@ -915,6 +915,57 @@ class Crawler:
         the automated per-wave policy use CrawlConfig.recrawl_after_waves."""
         return self.frontier.recrawl(match, wave=self.last_wave + 1)
 
+    def rollback_to_wave(self, wave: int) -> int:
+        """Bad-wave recovery across ALL crawl state: restore the frontier to
+        its snapshot at the end of ``wave`` (catalog.rollback_to) and drop
+        the later waves' document partitions, so a subsequent crawl() — same
+        process or a fresh one — re-runs from wave+1 as if the bad waves
+        never happened (fix the config first; that is the point).
+
+        Consistency notes, each deliberate:
+          * url_seen blobs may retain the rolled-back URLs — a stale
+            SUPERSET is safe because the filter is a prefilter, never
+            membership truth (the anti-join against the restored frontier
+            re-admits them); the driver-held copy is reset so the next wave
+            re-syncs from the epoch-tracked table.
+          * the robots table keeps rows fetched during rolled-back waves:
+            robots state is host metadata, not crawl output, and re-running
+            the waves would fetch the same rules again.
+          * the lineage ledger keeps the rolled-back waves' rows — it is an
+            append-only observability record; re-run waves append fresh
+            rows with the same wave numbers (the ts column disambiguates).
+
+        Returns the frontier snapshot id rolled back to. Raises
+        ``ValueError`` when no retained frontier snapshot is at or before
+        ``wave`` (history expired — see expire_keep_last)."""
+        from .frontier import FRONTIER_TABLE
+
+        target = None
+        for s in sorted(self.catalog.snapshots(FRONTIER_TABLE), reverse=True):
+            w = int(self.catalog.snapshot_property(FRONTIER_TABLE, s).get("wave", -1))
+            if w <= wave:
+                target = s
+                break
+        if target is None:
+            raise ValueError(
+                f"no retained frontier snapshot at or before wave {wave} "
+                "(expired? raise expire_keep_last)"
+            )
+        self.catalog.rollback_to(FRONTIER_TABLE, target)
+        if self.catalog.exists(DOCUMENTS_TABLE):
+            stale = [p for p in self.catalog.partitions(DOCUMENTS_TABLE) if p > wave]
+            if stale:
+                empty = self.catalog.read(DOCUMENTS_TABLE).limit(0).filter(F.lit(False))
+                self.catalog.overwrite_partitions(
+                    DOCUMENTS_TABLE, empty, stale, align=False
+                )
+        # reset driver-held seen-filter state; next wave re-syncs/rebuilds
+        fr = self.frontier
+        fr._blobs = None
+        fr._blobs_epoch = -1
+        fr._blob_counts = {}
+        return target
+
     def documents(self) -> DataFrame:
         return self.catalog.read(DOCUMENTS_TABLE)
 

@@ -653,3 +653,68 @@ def test_recrawl_policy_refetches_aged_pages(spark, tmp_path_factory):
     assert c.recrawl(F.col("host") == "fresh.test") == 4
     assert c.evict(F.col("host") == "fresh.test") == 4
     assert c.frontier.read().count() == 0
+
+
+def test_rollback_to_wave_recovers_all_crawl_state(spark, tmp_path):
+    """Roll a 3-wave crawl back to wave 0: frontier AND documents shrink to
+    wave-0 state, dedup semantics survive the stale (superset) seen-filter,
+    and a fresh crawl re-runs the dropped waves to the identical closure."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import DOCUMENTS_TABLE, Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    rows = [
+        ("http://a.test/1.html", "a.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a></body></html>'),
+        ("http://a.test/2.html", "a.test", 200, "text/html",
+         '<html><body><a href="/3.html">y</a></body></html>'),
+        ("http://a.test/3.html", "a.test", 200, "text/html",
+         "<html><body>leaf</body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    root = str(tmp_path / "cat")
+    cfg = CrawlConfig(
+        num_partitions=2, politeness=Politeness((Limit(".*", 10),)), obey_robots=False
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/1.html"])
+    c.crawl(3)
+    full = sorted(
+        (r["url"], r["status"]) for r in c.frontier.read().collect()
+    )
+    c.rollback_to_wave(0)
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st == {
+        "http://a.test/1.html": "visited",
+        "http://a.test/2.html": "scheduled",
+    }
+    # document partitions beyond wave 0 are gone: only wave 0's fetch rows
+    # survive (the wave COLUMN is the discovery wave; partitions are fetch
+    # waves — assert on the rows themselves)
+    assert sorted(
+        r["url"] for r in c.catalog.read(DOCUMENTS_TABLE).collect()
+    ) == ["http://a.test/1.html"]
+    # a FRESH crawler (new process) resumes from the rolled-back state and
+    # reconverges to the identical closure
+    c2 = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c2.crawl(4)
+    assert sorted(
+        (r["url"], r["status"]) for r in c2.frontier.read().collect()
+    ) == full
+    # re-run waves rewrote their document partitions: every URL has exactly
+    # one row again
+    assert sorted(
+        r["url"] for r in c2.catalog.read(DOCUMENTS_TABLE).collect()
+    ) == [
+        "http://a.test/1.html",
+        "http://a.test/2.html",
+        "http://a.test/3.html",
+    ]
+    # dedup after rollback: the stale (superset) seen-filter cannot drop a
+    # URL — membership truth is the anti-join, so a known URL adds nothing
+    assert c2.frontier.schedule(
+        spark.createDataFrame([("http://a.test/2.html",)], "url string"), wave=9
+    ) == 0
