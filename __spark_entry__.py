@@ -1133,6 +1133,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(docs, min_df=2).orderBy("doc_id", "term")
 
 
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring through the REAL library op
+    (ops.text.unigram_logprob — the KenLM-perplexity stand-in of CCNet-
+    style curation): per-doc average negative log-likelihood under the
+    corpus's own unigram distribution, term-order folded and half-up
+    rounded so scores are bit-identical to the oracle's list_reduce over
+    the same ln() arithmetic."""
+    from kermit_spark.ops.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking through the REAL library op (ops.text.bm25_rank) for a
     fixed query over the corpus. Every float association is mirrored in the
@@ -1387,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
+        "text_unigram_lm": q_text_unigram_lm,
         "text_bm25": q_text_bm25,
         # stream analogs
         "events_sessionize": q_events_sessionize,
@@ -2387,6 +2401,41 @@ def oracle_sql() -> dict[str, str]:
         # (1.2 + 1.0) folded by the engine, k1*(0.25 + (0.75*dl)/avgdl)
         # with python-prefolded 1.0-0.75=0.25, term-sorted left fold seeded
         # at 0.0 (list_reduce seeds at the first element; 0.0 + x == x)
+        # corpus-unigram NLL: same ln() arithmetic, contributions folded in
+        # term order (list ORDER BY term + list_reduce), half-up rounding
+        "text_unigram_lm": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0),
+                           w -> lower(w)) AS ws
+                FROM documents
+            ),
+            base AS (SELECT doc_id, ws, len(ws) AS dl FROM toks),
+            total AS (SELECT SUM(dl)::DOUBLE AS t FROM base),
+            ex AS (SELECT doc_id, w AS term FROM toks, UNNEST(ws) AS u(w)),
+            freq AS (SELECT term, COUNT(*) AS cf FROM ex GROUP BY term),
+            doc_terms AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+            contrib AS (
+                SELECT d.doc_id, d.term,
+                       d.tf * ln(f.cf / (SELECT t FROM total)) AS c
+                FROM doc_terms d JOIN freq f USING (term)
+            ),
+            folded AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                                   (acc, x) -> acc + x) AS s
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   b.dl AS n_tokens,
+                   CASE WHEN b.dl > 0
+                        THEN floor((-f.s / b.dl) * 10000.0 + 0.5) / 10000.0
+                   END AS nll
+            FROM base b LEFT JOIN folded f USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         "text_bm25": r"""
             WITH b2 AS (
                 SELECT doc_id,

@@ -465,6 +465,74 @@ def bm25_rank(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Corpus-unigram LM quality score: per-document average negative
+    log-likelihood of its tokens under the corpus's own unigram
+    distribution — the cheap stand-in for the KenLM-perplexity filters
+    training-data pipelines run (CCNet-style: low NLL ≈ typical prose,
+    high NLL ≈ gibberish/boilerplate-soup relative to the corpus).
+
+      p(w)   = corpus_count(w) / total_tokens      (no smoothing needed:
+               every scored token is in the corpus by construction)
+      nll(d) = -(Σ tf_d(w) · ln p(w)) / dl(d)
+
+    Determinism discipline as in bm25_rank: per-document contributions
+    fold IN TERM ORDER over a sorted struct array (a plain float sum's
+    association order is partition-dependent), total_tokens rides the
+    plan as a broadcast one-row aggregate, and the result is rounded
+    half-up — bit-identical to the DuckDB oracle. Scale shape: one
+    hash-agg for the vocabulary, one for (doc, term) counts, one
+    broadcast join vocabulary→doc-terms — all map-side-partial, nothing
+    all-pairs. Empty documents score null.
+
+    Output: (id_col, n_tokens, nll)."""
+    words = F.expr(
+        f"transform(filter(split(coalesce({text_col}, '')," + r" '\\s+'),"
+        " w -> length(w) > 0), w -> lower(w))"
+    )
+    base = df.select(F.col(id_col), words.alias("_ws")).select(
+        F.col(id_col), "_ws", F.size("_ws").alias("dl")
+    )
+    total = base.agg(F.sum("dl").cast("double").alias("_t"))
+    exploded = base.select(F.col(id_col), F.explode("_ws").alias("term"))
+    freq = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    doc_terms = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    contrib = (
+        doc_terms.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.log(F.col("cf") / F.col("_t"))).alias("_c"),
+        )
+    )
+    folded = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("_c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("_s")
+    )
+    return (
+        base.join(folded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dl").alias("n_tokens"),
+            F.when(
+                F.col("dl") > 0,
+                round_half_up(-F.col("_s") / F.col("dl"), round_digits),
+            ).alias("nll"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 256,

@@ -429,3 +429,43 @@ def test_bm25_rank_matches_python_oracle(spark):
     assert got == [(d, i + 1, s) for i, (d, s) in enumerate(want)]
     assert got[0][0] in (0, 3)  # docs with both terms outrank the rest
     assert all(d != 2 for d, _, _ in got)  # no query term -> unranked
+
+
+def test_unigram_logprob_matches_python_mirror(spark):
+    import math
+
+    from kermit_spark.ops.text import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "zq"),          # rare token -> high NLL
+        (4, ""),            # empty -> null score
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["nll"]) for r in unigram_logprob(df).collect()}
+
+    # independent mirror (same fold order: sorted terms)
+    docs = {i: (t or "").lower().split() for i, t in rows}
+    freq: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+    total = float(sum(len(ws) for ws in docs.values()))
+    for i, ws in docs.items():
+        assert got[i][0] == len(ws)
+        if not ws:
+            assert got[i][1] is None
+            continue
+        per_term: dict[str, int] = {}
+        for w in ws:
+            per_term[w] = per_term.get(w, 0) + 1
+        s = 0.0
+        for w in sorted(per_term):
+            s += per_term[w] * math.log(freq[w] / total)
+        want = math.floor((-s / len(ws)) * 10000.0 + 0.5) / 10000.0
+        assert got[i][1] == want
+    # the rare-token doc is the least corpus-typical
+    scored = {i: v[1] for i, v in got.items() if v[1] is not None}
+    assert max(scored, key=scored.get) == 3
