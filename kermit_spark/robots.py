@@ -129,9 +129,20 @@ def parse_robots(
             try:
                 parsed = float(val)
                 if parsed >= 0:
-                    delay = parsed
+                    delay = max(delay or 0.0, parsed)
             except ValueError:
                 pass
+        elif key == "request-rate":
+            # legacy but still-served directive: "n/m[ hhmm-hhmm]" = n pages
+            # per m seconds → m/n seconds between requests; folded into the
+            # same per-group delay channel (the stricter value wins), so
+            # Crawl-delay budget caps and fetch pacing honor it for free.
+            # Time-of-day windows are ignored (the wave clock has no
+            # wall-time identity); malformed or zero-page forms are skipped.
+            in_group_rules = True
+            m = re.match(r"^(\d+)\s*/\s*(\d+)", val)
+            if m and int(m.group(1)) > 0 and int(m.group(2)) >= 0:
+                delay = max(delay or 0.0, int(m.group(2)) / int(m.group(1)))
         elif key == "sitemap":
             # group-independent record: does not open/close a group
             if val:

@@ -374,3 +374,32 @@ def test_robots_refresh_replaces_only_stale_host_rows(spark, tmp_path):
     assert got["a.test"][0] == 5  # refreshed
     assert any("z" in p for p in got["a.test"][1])
     assert not any("x" in p for p in got["a.test"][1])
+
+
+def test_request_rate_folds_into_delay_channel():
+    from kermit_spark.robots import parse_robots
+
+    # 1 page per 5 seconds -> 5 s effective delay
+    _, d, _ = parse_robots("User-agent: *\nRequest-rate: 1/5\n")
+    assert d == 5.0
+    # stricter of Request-rate and Crawl-delay wins
+    _, d, _ = parse_robots(
+        "User-agent: *\nCrawl-delay: 2\nRequest-rate: 1/7\n"
+    )
+    assert d == 7.0
+    _, d, _ = parse_robots(
+        "User-agent: *\nRequest-rate: 2/4\nCrawl-delay: 9\n"
+    )
+    assert d == 9.0
+    # time-of-day suffix ignored, fraction still parsed
+    _, d, _ = parse_robots("User-agent: *\nRequest-rate: 1/10 0600-1800\n")
+    assert d == 10.0
+    # malformed / zero-page forms are skipped
+    for bad in ("Request-rate: 0/5", "Request-rate: fast", "Request-rate: /3"):
+        _, d, _ = parse_robots(f"User-agent: *\n{bad}\n")
+        assert d is None
+    # group binding: the rate in another agent's group does not apply
+    _, d, _ = parse_robots(
+        "User-agent: otherbot\nRequest-rate: 1/30\n\nUser-agent: *\nDisallow: /x\n"
+    )
+    assert d is None
