@@ -1300,6 +1300,26 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation planning through the REAL library op
+    (ops.media.audio_segment_plan): overlapping 30 s windows at a 20 s hop
+    (ASR convention) over synthetic track durations derived from part keys
+    — includes zero-duration tracks (no segments) and short-tail final
+    segments. Pure-JVM sequence/explode; the oracle replays the same
+    arithmetic with generate_series."""
+    from kermit_spark.ops.media import audio_segment_plan
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    media = part.select(
+        F.md5(F.col("p_name")).alias("media_id"),
+        ((F.col("p_partkey") % 100) * 7000).cast("long").alias("duration_ms"),
+    )
+    return (
+        audio_segment_plan(media, window_ms=30_000, hop_ms=20_000)
+        .orderBy("media_id", "seg_no")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-feature extraction through the REAL library mapInPandas op
     (ops.media.decode_image_features). The codec layer is the documented
@@ -1411,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headers_histogram": q_headers_histogram,
         # multimodal
         "media_frame_plan": q_media_frame_plan,
+        "media_audio_segments": q_media_audio_segments,
         "media_features": q_media_features,
     }
 
@@ -2658,6 +2679,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT md5(p_name) AS media_id FROM part),
                  unnest(generate_series(0, 20, 10)) AS t(frame_no)
             ORDER BY media_id, frame_no
+        """,
+        # audio segmentation plan: generate_series replays the same
+        # start/hop/least arithmetic (zero-duration -> no rows; short tail
+        # segment clamped by least)
+        "media_audio_segments": """
+            WITH m AS (
+                SELECT md5(p_name) AS media_id,
+                       ((p_partkey % 100) * 7000)::BIGINT AS dur
+                FROM part
+            )
+            SELECT m.media_id,
+                   CAST(u.s / 20000 AS INTEGER) AS seg_no,
+                   u.s::BIGINT AS start_ms,
+                   least(u.s + 30000, m.dur)::BIGINT AS end_ms,
+                   m.media_id || '#s' || CAST(u.s / 20000 AS INTEGER) AS seg_ref
+            FROM m, UNNEST(CASE WHEN m.dur > 0
+                                THEN generate_series(0, m.dur - 1, 20000)
+                                ELSE [] END) AS u(s)
+            WHERE u.s = 0 OR u.s + 10000 < m.dur
+            ORDER BY media_id, seg_no
         """,
         "media_features": """
             WITH m AS (

@@ -173,6 +173,53 @@ def media_caption_context(documents: DataFrame) -> DataFrame:
     )
 
 
+def audio_segment_plan(
+    media: DataFrame,
+    window_ms: int = 30_000,
+    hop_ms: int | None = None,
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Audio segmentation plan — the audio analog of ``frame_sample``:
+    deterministic fixed-window segments (optionally overlapping via
+    ``hop_ms`` < ``window_ms``, the ASR-pipeline convention) per media id
+    from DURATION METADATA alone; decoding the samples of a segment is the
+    stubbed codec step. Pure JVM (sequence + explode + least), so planning
+    over billions of tracks is whole-stage codegen with zero Python.
+
+    Segments start at 0, hop, 2·hop, …; each ends at min(start + window,
+    duration). A segment is emitted only while it EXTENDS coverage — the
+    first always, a later one iff its end exceeds the previous segment's
+    end (start + window − hop < duration) — so a genuine short tail is
+    kept (ASR wants the last words) but a window wholly contained in its
+    predecessor is not. The condition is monotone in start, so seg_no
+    stays a dense 0..k prefix. Tracks with duration ≤ 0 produce no rows.
+    Output: (media_id, seg_no, start_ms, end_ms, seg_ref)."""
+    hop = int(hop_ms if hop_ms is not None else window_ms)
+    if hop <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    overlap = window_ms - hop
+    dur = F.col(duration_col).cast("long")
+    starts = F.when(
+        dur > 0, F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(hop).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    starts = F.filter(
+        starts, lambda s: (s == 0) | (s + F.lit(overlap) < dur)
+    )
+    return media.select(
+        "media_id",
+        dur.alias("_dur"),
+        F.posexplode(starts).alias("seg_no", "start_ms"),
+    ).select(
+        "media_id",
+        F.col("seg_no").cast("int"),
+        "start_ms",
+        F.least(F.col("start_ms") + F.lit(window_ms), F.col("_dur")).alias("end_ms"),
+        F.concat(
+            F.col("media_id"), F.lit("#s"), F.col("seg_no").cast("string")
+        ).alias("seg_ref"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Video frame-sampling plan: deterministic frame indices per media id
     (the decode of those frames is the stubbed codec step). JVM-side:

@@ -113,3 +113,42 @@ def test_media_caption_context_plan_has_no_shuffle(spark):
     plan = media_caption_context(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_audio_segment_plan_windows_and_tail(spark):
+    import pytest as _pytest
+
+    from kermit_spark.ops.media import audio_segment_plan
+
+    media = spark.createDataFrame(
+        [("a", 70_000), ("b", 30_000), ("c", 0), ("d", 5_000)],
+        "media_id string, duration_ms long",
+    )
+    rows = sorted(
+        (r["media_id"], r["seg_no"], r["start_ms"], r["end_ms"], r["seg_ref"])
+        for r in audio_segment_plan(media, window_ms=30_000, hop_ms=20_000).collect()
+    )
+    assert rows == [
+        # 70s track: 0-30, 20-50, 40-70; the would-be 60-70 window is
+        # wholly inside 40-70 and is NOT emitted
+        ("a", 0, 0, 30_000, "a#s0"),
+        ("a", 1, 20_000, 50_000, "a#s1"),
+        ("a", 2, 40_000, 70_000, "a#s2"),
+        # exactly one window (no redundant contained tail)
+        ("b", 0, 0, 30_000, "b#s0"),
+        # zero duration -> no rows; 5s track: one clamped segment
+        ("d", 0, 0, 5_000, "d#s0"),
+    ]
+    # a genuine tail that extends coverage IS kept: 75s track -> 60-75
+    tail = audio_segment_plan(
+        spark.createDataFrame([("e", 75_000)], "media_id string, duration_ms long"),
+        window_ms=30_000, hop_ms=20_000,
+    ).collect()
+    assert [(r["seg_no"], r["start_ms"], r["end_ms"]) for r in sorted(tail, key=lambda r: r["seg_no"])] == [
+        (0, 0, 30_000), (1, 20_000, 50_000), (2, 40_000, 70_000), (3, 60_000, 75_000)
+    ]
+    # non-overlapping default: hop == window
+    n = audio_segment_plan(media, window_ms=30_000).count()
+    assert n == 3 + 1 + 0 + 1  # a: 0/30/60, b: 0, d: 0
+    with _pytest.raises(ValueError):
+        audio_segment_plan(media, window_ms=0)
