@@ -191,6 +191,19 @@ class CrawlConfig:
     # frontier (discovery) and never burn budget (F5 second check). None =
     # off (reference behavior: no trap handling anywhere).
     trap_rules: TrapRules | None = None
+    # crawl scoping (Heritrix max-pages-per-host analog): cumulative cap on
+    # URLs DEQUEUED per host across the whole crawl — a huge site cannot
+    # monopolize the frontier however many waves run. Rides the same
+    # host_budgets join as Crawl-delay/backoff (remaining = cap - attempted,
+    # 0 filters the host out of the dequeue entirely). Counts live in a
+    # driver dict fed by the per-wave per-host stats the wave already
+    # collects (zero extra jobs); a resumed crawl rebuilds them with one
+    # frontier aggregation (rows no longer 'scheduled' were dequeued once;
+    # attempts of error rows currently rescheduled for retry are missed by
+    # the recount — a slight post-resume under-count, bounded by max_tries,
+    # so a resumed crawl may admit that many extra retries per host).
+    # None = unlimited (reference behavior).
+    max_pages_per_host: int | None = None
     # robots cache expiry: a host's rules older than k waves are re-fetched
     # through the same batch probe (RFC 9309 §2.4 bounds robots caching,
     # commonly at 24 h — the wave clock is the engine's time base, matching
@@ -249,6 +262,9 @@ class Crawler:
         # host -> fetched_wave of its robots row (age answers staleness
         # driver-side in the common case; value unused when expiry is off)
         self._robots_hosts: dict[str, int] = {}
+        # host -> cumulative dequeued count (max_pages_per_host scoping);
+        # None = not yet loaded (lazy resume rebuild, see _page_cap_budgets)
+        self._host_attempted: dict[str, int] | None = None
         # None = unknown (probe the robots table on next use); False skips
         # the Crawl-delay join entirely — the common case pays nothing
         self._has_crawl_delays: bool | None = None
@@ -499,6 +515,36 @@ class Crawler:
             )
         return self._delay_caps
 
+    _PAGE_CAP_MAX_HOSTS = 5_000_000  # driver ints; beyond this the count
+    # moves to a frontier-side aggregate in production — documented bound
+
+    def _page_cap_budgets(self) -> DataFrame | None:
+        """(host, budget_cap) rows for max_pages_per_host: remaining quota
+        per already-attempted host (0 filters an exhausted host out of the
+        dequeue). Hosts never attempted carry no row — they keep the
+        configured budget. Counts load lazily: a resumed crawl rebuilds
+        them with ONE frontier aggregation (rows no longer scheduled were
+        dequeued exactly once), then per-wave updates are free (the wave's
+        per-host collect feeds the dict)."""
+        cap = self.config.max_pages_per_host
+        if cap is None:
+            return None
+        if self._host_attempted is None:
+            rows = (
+                self.frontier.read()
+                .filter(F.col("status") != SCHEDULED)
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            self._host_attempted = {r["host"]: int(r["n"]) for r in rows}
+        if not self._host_attempted:
+            return None
+        remaining = [
+            (h, max(cap - n, 0)) for h, n in self._host_attempted.items()
+        ]
+        return self.spark.createDataFrame(remaining, "host string, budget_cap int")
+
     def _error_backoff_caps(self, wave: int) -> DataFrame | None:
         """(host, budget_cap) rows for hosts currently under error backoff;
         None when the feature is off or no cap is active (the steady-state
@@ -563,16 +609,24 @@ class Crawler:
         # SPOOLED→READY: politeness dequeue (Q5/Q8/Q9; robots Crawl-delay
         # caps — fetched in an earlier wave — and error-backoff caps tighten
         # per-host budgets; both ride the same single host_budgets join)
-        delay_caps = self._crawl_delay_caps()
-        backoff_caps = self._error_backoff_caps(wave)
-        if delay_caps is not None and backoff_caps is not None:
-            host_budgets = (
-                delay_caps.unionByName(backoff_caps)
-                .groupBy("host")
-                .agg(F.min("budget_cap").alias("budget_cap"))
+        cap_sources = [
+            c
+            for c in (
+                self._crawl_delay_caps(),
+                self._error_backoff_caps(wave),
+                self._page_cap_budgets(),
+            )
+            if c is not None
+        ]
+        if len(cap_sources) > 1:
+            merged = cap_sources[0]
+            for c in cap_sources[1:]:
+                merged = merged.unionByName(c)
+            host_budgets = merged.groupBy("host").agg(
+                F.min("budget_cap").alias("budget_cap")
             )
         else:
-            host_budgets = delay_caps if delay_caps is not None else backoff_caps
+            host_budgets = cap_sources[0] if cap_sources else None
         selected = dequeue(
             eligible,
             cfg.politeness,
@@ -599,6 +653,14 @@ class Crawler:
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)
         batch_parts = sorted({r["p"] for r in per_host})
+        if cfg.max_pages_per_host is not None and self._host_attempted is not None:
+            # fold this wave's dequeues into the scoping counts — the
+            # per-host collect above is the data, no extra job
+            if len(self._host_attempted) < self._PAGE_CAP_MAX_HOSTS:
+                for r in per_host:
+                    self._host_attempted[r["host"]] = (
+                        self._host_attempted.get(r["host"], 0) + int(r["count"])
+                    )
         if n_selected == 0:
             selected.unpersist()
             return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)

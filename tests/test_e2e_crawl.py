@@ -718,3 +718,47 @@ def test_rollback_to_wave_recovers_all_crawl_state(spark, tmp_path):
     assert c2.frontier.schedule(
         spark.createDataFrame([("http://a.test/2.html",)], "url string"), wave=9
     ) == 0
+
+
+def test_max_pages_per_host_scopes_the_crawl(spark, tmp_path):
+    """Cumulative per-host cap: a deep site stops at the cap while a small
+    host completes; a RESUMED crawl rebuilds the counts from the frontier
+    and the cap still holds."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    # a.test: chain of 8 pages; b.test: 2 pages
+    rows = []
+    for i in range(8):
+        nxt = f'<a href="/p/{i + 1}.html">n</a>' if i < 7 else "end"
+        rows.append((f"http://a.test/p/{i}.html", "a.test", 200, "text/html",
+                     f"<html><body>{nxt}</body></html>"))
+    rows += [
+        ("http://b.test/1.html", "b.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a></body></html>'),
+        ("http://b.test/2.html", "b.test", 200, "text/html", "<html><body>leaf</body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    root = str(tmp_path / "cat")
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 2),)),  # 2/host/wave
+        obey_robots=False,
+        max_pages_per_host=3,
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/p/0.html", "http://b.test/1.html"])
+    c.crawl(2)  # 2 waves, then RESUME with a fresh crawler (counts rebuilt)
+    c2 = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c2.crawl(6)
+    st = [(r["url"], r["status"]) for r in c2.frontier.read().collect()]
+    attempted_a = sum(1 for u, s in st if "a.test" in u and s != "scheduled")
+    visited_b = sum(1 for u, s in st if "b.test" in u and s == "visited")
+    assert attempted_a == 3, st  # capped: 8-page chain stops at 3
+    assert visited_b == 2        # small host unaffected, completes
+    # the capped host's next link IS discovered but stays queued forever
+    assert ("http://a.test/p/3.html", "scheduled") in st
