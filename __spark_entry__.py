@@ -674,6 +674,56 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 rolling-window
+    form) through the REAL library op (ops.dedup.substring_dup_spans):
+    20-char windows hashed at every offset, hashes occurring in ≥2 distinct
+    documents kept, per-document runs of overlapping duplicated windows
+    merged into maximal (span_start, span_end) char ranges — the "cut these
+    byte ranges" work-list of an exact-substring dedup pass. The DuckDB
+    oracle replays the identical window/md5/island pipeline."""
+    from kermit_spark.ops.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return substring_dup_spans(
+        docs, id_col="doc_id", text_col="text", k=20, stride=1
+    ).orderBy("doc_id", "span_start")
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical unicode/whitespace normalization through the REAL library
+    op (ops.text.normalize_text): NFC-compose (Arrow-batched pandas UDF —
+    DuckDB's nfc_normalize reproduces it exactly), strip control chars,
+    collapse whitespace runs, trim. Documents are deliberately dirtied with
+    a tab-indented lead, a combining-acute 'e'+U+0301 and a BEL control so
+    every stage is exercised; the oracle builds the identical dirty text
+    and shares CTRL_CHARS_RE / WS_RUN_RE with the engine."""
+    from kermit_spark.ops.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("  lead\t"), F.col("text"), F.lit(" e\u0301\u0007  ")
+        ).alias("text"),
+    )
+    return normalize_text(docs, id_col="doc_id").orderBy("doc_id")
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing through the REAL library op
+    (ops.sample.temperature_sample): keep each doc of language stratum d
+    with p_d = min(1, 0.5·N·n_d^0.7 / (Σn^0.7·n_d)) — the XLM-R/mT5 mixing
+    rule that flattens the head language — decided deterministically by the
+    portable 48-bit hash against p_d quantized to ppm. The oracle recomputes
+    the per-stratum probabilities and the digit-sum hash exactly."""
+    from kermit_spark.ops.sample import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return temperature_sample(
+        docs, "lang", "doc_id", alpha=0.7, target_frac=0.5
+    ).select("doc_id", "lang", "p_ppm").orderBy("doc_id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-training-data curation workflow, end-to-end through
     the REAL library ops: language filter (detect_language == 'en') →
@@ -1396,7 +1446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "sample_token_budget": q_sample_token_budget,
+        "sample_temperature": q_sample_temperature,
         "dedup_paragraph": q_dedup_paragraph,
+        "dedup_substring": q_dedup_substring,
         "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1407,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index": q_ann_ivf_index,
         # text analysis
         "text_langid": q_text_langid,
+        "text_normalize": q_text_normalize,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
@@ -1629,6 +1682,32 @@ def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
         )
         SELECT query_id, rnk, neighbor_id, score
         FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def _normalize_oracle_sql() -> str:
+    """text_normalize oracle — shares CTRL_CHARS_RE / WS_RUN_RE with the
+    library op (one source of truth); DuckDB's nfc_normalize is the exact
+    twin of the op's Arrow-batched unicodedata.normalize('NFC') step. The
+    dirty-text construction mirrors q_text_normalize char-for-char
+    (chr(9)=tab, chr(769)=U+0301 combining acute, chr(7)=BEL)."""
+    from kermit_spark.ops.text import CTRL_CHARS_RE, WS_RUN_RE
+
+    return f"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       '  lead' || chr(9) || text || ' e' || chr(769) || chr(7) || '  ' AS raw
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id, raw,
+                       trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                            '{CTRL_CHARS_RE}', '', 'g'), '{WS_RUN_RE}', ' ', 'g')) AS text
+                FROM dirty
+            )
+            SELECT doc_id, text, length(raw)::BIGINT AS n_chars_raw,
+                   length(text)::BIGINT AS n_chars, text <> raw AS changed
+            FROM norm ORDER BY doc_id
     """
 
 
@@ -2052,6 +2131,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM ranked WHERE rn <= 10
             ORDER BY source, doc_id
         """,
+        "sample_temperature": """
+            WITH n AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang),
+            tot AS (SELECT sum(pow(cnt, 0.7)) AS sw, sum(cnt)::BIGINT AS total FROM n),
+            p AS (
+                SELECT lang,
+                       CAST(floor(least(1.0, 0.5 * total * (pow(cnt, 0.7) / sw) / cnt)
+                            * 1000000 + 0.5) AS BIGINT) AS p_ppm
+                FROM n, tot
+            ),
+            h AS (
+                SELECT doc_id, lang,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) AS hv
+                FROM documents
+            )
+            SELECT h.doc_id, h.lang, p.p_ppm
+            FROM h JOIN p USING (lang)
+            WHERE hv % 1000000 < p_ppm
+            ORDER BY doc_id
+        """,
+        "dedup_substring": """
+            WITH wins AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, CAST(length(text) - 20 AS BIGINT), 1)) AS off,
+                       text
+                FROM documents WHERE length(text) >= 20
+            ),
+            wh AS (
+                SELECT doc_id, off, md5(substr(text, CAST(off + 1 AS INT), 20)) AS h
+                FROM wins
+            ),
+            dup AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT wh.doc_id, wh.off FROM wh JOIN dup USING (h)),
+            flagged AS (
+                SELECT doc_id, off,
+                       CASE WHEN off - lag(off) OVER w > 20 THEN 1 ELSE 0 END AS brk
+                FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+            ),
+            isl AS (
+                SELECT doc_id, off,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM flagged
+            )
+            SELECT doc_id, min(off) AS span_start, max(off) + 20 AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
+        """,
         "dedup_paragraph": """
             WITH docs AS (
                 SELECT doc_id,
@@ -2230,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
                    score_en, score_de, score_fr, score_es
             FROM s ORDER BY doc_id
         """,
+        "text_normalize": _normalize_oracle_sql(),
         "text_quality": r"""
             WITH f AS (
                 SELECT doc_id,

@@ -479,3 +479,100 @@ def paragraph_dedup(
         "n_kept",
         (F.col("_total") - F.col("n_kept")).alias("n_removed"),
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans across the corpus — the
+    suffix-array-style "exact substring dedup" of Lee et al. 2022
+    (*Deduplicating Training Data Makes Language Models Better*),
+    re-expressed as a rolling-window hash join instead of a distributed
+    suffix array: slide a ``k``-char window (step ``stride``) over every
+    document, hash each window, keep the windows whose hash occurs in
+    ≥ ``min_docs`` DISTINCT documents, and merge per-document runs of
+    adjacent duplicated windows into maximal spans.
+
+    Returns (id_col, span_start, span_end, n_windows): 0-based character
+    offsets, ``span_end`` exclusive (= last window start + k), one row per
+    maximal duplicated run. A shared passage of length L ≥ k yields one
+    span covering it (all L−k+1 windows inside it are duplicated), so the
+    output is the "cut these byte ranges" work-list a dedup pass consumes.
+
+    ``stride`` > 1 samples windows CONTENT-KEYED (keep a window iff its
+    hash ≡ 0 mod stride — the winnowing/MODP selection rule), NOT on a
+    fixed offset grid: a grid in doc A and a grid in doc B land on
+    different phases of the same shared passage and never produce equal
+    windows, so grid-stride silently finds nothing across documents.
+    Content-keyed selection picks the SAME relative windows of a shared
+    passage in every document that contains it, cutting shuffle/agg volume
+    to ~1/stride while staying alignment-free. Two sampled windows are
+    merged into one island while their covered char ranges stay contiguous
+    (gap ≤ k); hashing itself still visits every offset — stride is the
+    shuffle lever, ``k`` the CPU lever.
+
+    Scale shape (100 TB corpus):
+      * window generation + hashing is one pure-JVM projection
+        (transform/sequence/substring/md5 inside whole-stage codegen) —
+        window TEXT never leaves the scan stage; only (md5, id, offset)
+        rows shuffle, constant-size per window regardless of k;
+      * duplicated-hash detection is a hash agg on the digest with
+        map-side partial count-distinct; the join back is 1:1 per window
+        occurrence (each occurrence reported at most once — linear in
+        corpus size, never pairwise like candidate-pair generation);
+      * the island merge windows per DOCUMENT, so its sort partition is
+        bounded by document length, not corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or stride < 1:
+        raise ValueError(f"need k >= 1 and stride >= 1, got k={k} stride={stride}")
+    text = F.col(text_col)
+    wins = (
+        df.filter(F.length(text) >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(text) - k, F.lit(1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("off"),
+                        F.md5(text.substr(i + 1, F.lit(k))).alias("h"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select("_id", F.col("_w.off").alias("_off"), F.col("_w.h").alias("_h"))
+    )
+    if stride > 1:
+        # winnowing-style MODP selection on the same 48-bit portable prefix
+        # the sampling ops use (digit-sum-reproducible in the oracle)
+        hv = F.conv(F.substring(F.col("_h"), 1, 12), 16, 10).cast("long")
+        wins = wins.filter(F.pmod(hv, F.lit(stride)) == 0)
+    dup_h = (
+        wins.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    hits = wins.join(dup_h, "_h").select("_id", "_off")
+    w = Window.partitionBy("_id").orderBy("_off")
+    gap_break = (
+        F.when(F.col("_off") - F.lag("_off").over(w) > k, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_brk")
+    )
+    isl = hits.select("_id", "_off", gap_break).withColumn(
+        "_grp",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("_id", "_grp").agg(
+        F.min("_off").alias("span_start"),
+        (F.max("_off") + k).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")

@@ -160,3 +160,60 @@ def token_budget_sample(
         .drop("_h", "_b", "_cs", "_cb", "_pre", "budget", "_full", "_cum_before")
     )
     return full.unionByName(boundary)
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the multilingual-LM mixing
+    rule (XLM-R / mT5: sample domain d with probability ∝ n_d^alpha,
+    alpha < 1 flattens the head, alpha = 1 is natural frequency): keep each
+    row of stratum d with probability
+
+        p_d = min(1, target_frac · N_total · n_d^alpha / (Σ n^alpha · n_d))
+
+    so the expected output is ``target_frac·N_total`` rows whose per-domain
+    shares follow n^alpha instead of n. The keep decision is DETERMINISTIC
+    (portable 48-bit hash of the key vs p_d quantized to parts-per-million),
+    so re-runs, resumes and the DuckDB oracle pick the identical rows —
+    same contract as every sampler here.
+
+    Returns the kept rows with all input columns plus ``p_ppm`` (the
+    stratum's quantized keep probability, for auditability).
+
+    Scale shape: one map-side-partial count per stratum, one single-row
+    global aggregate that rides the plan as a broadcast (no driver
+    collect), then a broadcast hash join of the per-stratum probability
+    onto the data and a stateless codegen filter — the corpus itself is
+    scanned once and never sorted or re-shuffled; a 10^9-row hot domain
+    costs exactly one pass."""
+    if not 0 < target_frac <= 1:
+        raise ValueError(f"need 0 < target_frac <= 1, got {target_frac}")
+    if alpha < 0:
+        raise ValueError(f"need alpha >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_sw"),
+        F.sum("_n").alias("_total"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("_total")
+                * (F.pow(F.col("_n"), F.lit(alpha)) / F.col("_sw"))
+                / F.col("_n"),
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long").alias("p_ppm"),
+    )
+    return df.join(F.broadcast(probs), strata_col).filter(
+        F.pmod(portable_hash48(F.col(key_col)), F.lit(1_000_000)) < F.col("p_ppm")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from ..udf import session_safe_pandas_udf
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 # small, discriminative stopword sets (word-boundary regexes below).
 # THE canonical marker constant: __spark_entry__ queries and their DuckDB
@@ -666,6 +666,63 @@ def _winnow_batch(texts: pd.Series) -> pd.Series:
 
 
 winnow_fingerprint = session_safe_pandas_udf(_winnow_batch, ArrayType(LongType()))
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization — the canonical-form pass before any hashing/dedup
+# ---------------------------------------------------------------------------
+
+
+def _nfc_batch(texts: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return texts.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+#: NFC-normalize a string column (Arrow-batched; Spark SQL has no built-in
+#: unicode normalizer). DuckDB's nfc_normalize reproduces it exactly, so the
+#: pass stays oracle-checkable.
+nfc_normalize = session_safe_pandas_udf(_nfc_batch, StringType())
+
+# control chars except \t \n \r — Java regex and RE2 read this class the
+# same way, so the Spark expression and the DuckDB oracle share it verbatim
+CTRL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+#: any whitespace run → one space (single-line canonical form)
+WS_RUN_RE = r"[ \t\r\n]+"
+
+
+def normalize_text(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the pass that must run BEFORE any
+    content hashing (exact dedup, minhash, fingerprints), because 'é' as
+    U+00E9 and as 'e'+U+0301 are the same text to a reader but different
+    bytes to md5: NFC-compose, strip non-printing control characters,
+    collapse every whitespace run to a single space, trim.
+
+    Returns (id_col, text, n_chars_raw, n_chars, changed) where ``text`` is
+    the normalized form and ``changed`` flags rows the pass rewrote.
+
+    Scale shape: NFC is the one step Spark SQL cannot express — it runs as
+    an Arrow-batched pandas UDF (vectorized transfer, no per-row Python
+    call overhead); the control-strip / whitespace-collapse / trim chain is
+    pure-JVM regexp_replace in the same projection, and the whole pass is
+    a stateless narrow map — no shuffle, pushdown-transparent."""
+    raw = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc_normalize(raw), CTRL_CHARS_RE, ""),
+            WS_RUN_RE,
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        norm.alias("text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars"),
+        (norm != raw).alias("changed"),
+    )
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -192,3 +192,87 @@ def test_paragraph_dedup_deterministic_across_partitionings(spark):
     # each boiler paragraph survives exactly once, in ids 0,1,2
     boiler_keepers = [t for t in a if "boiler" in t[1]]
     assert sorted(t[0] for t in boiler_keepers) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022 rolling-window form)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_spans_exact_shared_passage(spark):
+    """A passage shared verbatim by two docs comes back as ONE maximal span
+    per doc whose character range slices out exactly the shared text."""
+    from kermit_spark.ops.dedup import substring_dup_spans
+
+    # boundary chars differ between the two docs (A/B vs C/D) so the maximal
+    # shared substring is EXACTLY `shared` — no accidental shared spaces
+    shared = "the quick brown fox jumps over the lazy dog once more"
+    rows = [
+        (1, "alpha opener wordsA" + shared + "Bclosing run one"),
+        (2, "beta start tokens leadC" + shared + "Dending here two"),
+        (3, "gamma has nothing in common with the others at all, honest"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = substring_dup_spans(df, k=20).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert 3 not in by_id
+    for doc_id, text in [(1, rows[0][1]), (2, rows[1][1])]:
+        spans = by_id[doc_id]
+        assert len(spans) == 1
+        s = spans[0]
+        assert text[s["span_start"] : s["span_end"]] == shared
+        assert s["n_windows"] == len(shared) - 20 + 1
+
+
+def test_substring_dup_spans_two_islands_and_stride(spark):
+    """Two separate shared passages merge into two distinct spans; stride>1
+    still covers each passage with one (coarser) span."""
+    from kermit_spark.ops.dedup import substring_dup_spans
+
+    p1 = "first shared passage body goes here ok"
+    p2 = "second shared block with different words"
+    d1 = p1 + "Axxxx middle unique to oneB" + p2
+    d2 = "yy openerC" + p1 + "Dzz unrelated fillerE" + p2 + "Ftail"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "id long, text string")
+
+    out = {r["id"]: [] for r in substring_dup_spans(df, k=20).collect()}
+    for r in substring_dup_spans(df, k=20).collect():
+        out[r["id"]].append((r["span_start"], r["span_end"]))
+    assert len(out[1]) == 2 and len(out[2]) == 2
+    # spans slice exactly the two passages in doc 1
+    got = sorted(d1[a:b] for a, b in out[1])
+    assert got == sorted([p1, p2])
+
+    # content-keyed stride: both docs sample the SAME relative windows of a
+    # shared passage, so the island structure (sizes, window counts) is
+    # identical across the two docs even though absolute offsets differ
+    coarse = substring_dup_spans(df, k=20, stride=3).collect()
+    shape = {1: [], 2: []}
+    for r in coarse:
+        shape[r["id"]].append((r["span_end"] - r["span_start"], r["n_windows"]))
+    assert shape[1] and sorted(shape[1]) == sorted(shape[2])
+    # sampling keeps ~1/3 of the full-stride windows
+    full = sum(r["n_windows"] for r in substring_dup_spans(df, k=20).collect())
+    kept = sum(r["n_windows"] for r in coarse)
+    assert 0 < kept < full
+
+
+def test_substring_dup_spans_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from kermit_spark.ops.dedup import substring_dup_spans
+
+    df = spark.range(60).select(
+        F.col("id"),
+        F.concat(
+            F.lit("shared boilerplate sentence that recurs across docs "),
+            F.pmod("id", F.lit(4)).cast("string"),
+            F.lit(" unique suffix "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, substring_dup_spans(df.repartition(1), k=16).collect()))
+    b = sorted(map(tuple, substring_dup_spans(df.repartition(8), k=16).collect()))
+    assert a == b and len(a) == 60  # every doc shares its residue-group prefix

@@ -163,3 +163,62 @@ def test_token_budget_first_row_always_kept(spark):
     out = token_budget_sample(df, "source", "doc_id", "tokens", 1, num_buckets=4)
     by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert by == {"s0": 1, "s1": 1, "s2": 1}
+
+
+# ---------------------------------------------------------------------------
+# temperature (alpha) domain rebalancing
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark):
+    # 900 rows in 'big', 100 in 'small'
+    return spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("source"),
+    )
+
+
+def test_temperature_sample_flattens_head(spark):
+    from kermit_spark.ops.sample import temperature_sample
+
+    df = _skewed(spark)
+    out = temperature_sample(df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    rows = out.collect()
+    ppm = {r["source"]: r["p_ppm"] for r in rows}
+    # w_big=30, w_small=10, sw=40: p_small = 0.5*1000*10/(40*100) = 1.25 → capped
+    assert ppm["small"] == 1_000_000
+    # p_big = 0.5*1000*30/(40*900) = 0.41666.. → 416667 ppm (half-up)
+    assert ppm["big"] == 416_667
+    counts = {"big": 0, "small": 0}
+    for r in rows:
+        counts[r["source"]] += 1
+    assert counts["small"] == 100                 # p=1 keeps everything
+    assert 330 <= counts["big"] <= 500            # ~375 expected, hash-uniform
+    # deterministic across runs and partitionings
+    again = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(8), "source", "doc_id", alpha=0.5, target_frac=0.5
+        ).collect()
+    )
+    assert again == sorted(r["doc_id"] for r in rows)
+
+
+def test_temperature_sample_alpha_one_is_uniform(spark):
+    from kermit_spark.ops.sample import temperature_sample
+
+    df = _skewed(spark)
+    out = temperature_sample(df, "source", "doc_id", alpha=1.0, target_frac=0.4)
+    ppm = {r["source"]: r["p_ppm"] for r in out.collect()}
+    # alpha=1 → natural frequency: every stratum keeps the same fraction
+    assert ppm == {"big": 400_000, "small": 400_000}
+
+
+def test_temperature_sample_validates_args(spark):
+    from kermit_spark.ops.sample import temperature_sample
+
+    df = _skewed(spark)
+    with pytest.raises(ValueError):
+        temperature_sample(df, "source", "doc_id", target_frac=0.0)
+    with pytest.raises(ValueError):
+        temperature_sample(df, "source", "doc_id", alpha=-0.1)

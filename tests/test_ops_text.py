@@ -469,3 +469,44 @@ def test_unigram_logprob_matches_python_mirror(spark):
     # the rare-token doc is the least corpus-typical
     scored = {i: v[1] for i, v in got.items() if v[1] is not None}
     assert max(scored, key=scored.get) == 3
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfc_ctrl_ws(spark):
+    from kermit_spark.ops.text import normalize_text
+
+    rows = [
+        (1, "café  du\tmonde\r\nok"),   # combining acute + ws runs
+        (2, "plain text"),                      # already canonical
+        (3, "bad\x00chars\x07here"),            # control chars stripped
+        (4, "  lead and trail  "),              # trimmed
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text"] == "café du monde ok" and out[1]["changed"]
+    assert out[1]["n_chars_raw"] == len(rows[0][1])
+    assert out[1]["n_chars"] == len("café du monde ok")
+    assert out[2]["text"] == "plain text" and not out[2]["changed"]
+    assert out[3]["text"] == "badcharshere" and out[3]["changed"]
+    assert out[4]["text"] == "lead and trail" and out[4]["changed"]
+
+
+def test_normalize_text_stabilizes_hashing(spark):
+    """The motivating property: NFC + ws canonicalization makes visually
+    identical docs byte-identical, so exact_dedup collapses them."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.ops.dedup import exact_dedup
+    from kermit_spark.ops.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café crema"), (2, "café  crema"), (3, "other doc")],
+        "id long, text string",
+    )
+    before = exact_dedup(df).filter(F.col("n_copies") > 1).count()
+    after = exact_dedup(normalize_text(df)).filter(F.col("n_copies") > 1).count()
+    assert before == 0 and after == 1
