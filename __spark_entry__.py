@@ -370,6 +370,37 @@ def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate re-crawl scheduling through the REAL library op
+    (kermit_spark.frontier.recrawl_schedule): a synthetic fetch history —
+    100 URLs × 5 waves from the documents table, where URL u's content
+    version advances every (1 + u%6) waves — yields per-URL change counts
+    and integerized revisit intervals (Cho & Garcia-Molina freshness,
+    Laplace-smoothed), so fast-changing pages come due immediately and
+    static ones back off to the cap. The oracle replays the identical
+    history synthesis and integer estimator in SQL."""
+    from kermit_spark.frontier import recrawl_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.pmod(F.col("doc_id"), F.lit(100))
+    wave = F.floor(F.col("doc_id") / 100).cast("long")
+    hist = docs.select(
+        F.concat(F.lit("http://r.test/p/"), u.cast("string")).alias("url"),
+        wave.alias("wave"),
+        F.md5(
+            F.concat(
+                F.lit("v"),
+                F.floor(wave / (1 + F.pmod(u, F.lit(6)))).cast("string"),
+                F.lit("#"),
+                u.cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return recrawl_schedule(
+        hist, current_wave=6, min_interval=1, max_interval=8
+    ).orderBy("url")
+
+
 def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint per-row invariant — span-sequence equality over
     (kind, text, media_ref, order) — as a HARD oracle row: HTML bodies are
@@ -488,6 +519,139 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spans"),
     )
     return anchor_text_stats(docs, clean=False).orderBy("url")
+
+
+def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_pack_interleaved / q_media_assets / q_interleaved_quality:
+    VARIABLE-LENGTH interleaved span documents synthesized deterministically
+    from the documents table (the input_hint shape: doc_id +
+    spans array<struct<kind,text,media_ref,offset>>). Each doc yields
+    nc = clamp(n_chars//40, 1, 12) 40-char text chunks; a media span follows
+    chunk i when i%3==2 — and ALSO when i%3==1 for doc_id%7==0 (media-heavy
+    docs, so the quality gate's ratio branch actually discriminates); one
+    trailing link span exercises navigation dropping. The oracle constructs
+    the identical spans via _INTERLEAVED_BASE_SQL — one rule, two engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    nc = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 40), F.lit(1)), F.lit(12)
+    ).cast("long")
+    heavy = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+
+    def text_span(i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr((i * 40 + 1).cast("int"), F.lit(40)).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i * 2).cast("int").alias("offset"),
+        )
+
+    def media_span(i):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(
+                F.lit("/img/"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                F.lit("_"), i.cast("string"), F.lit(".png"),
+            ).alias("media_ref"),
+            (i * 2 + 1).cast("int").alias("offset"),
+        )
+
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nc - 1),
+            lambda i: F.when(
+                (i % 3 == 2) | (heavy & (i % 3 == 1)),
+                F.array(text_span(i), media_span(i)),
+            ).otherwise(F.array(text_span(i))),
+        )
+    )
+    link = F.struct(
+        F.lit("link").alias("kind"),
+        F.lit("next").alias("text"),
+        F.concat(F.lit("/n/"), (F.col("doc_id") + 1).cast("string")).alias("media_ref"),
+        (nc * 2).cast("int").alias("offset"),
+    )
+    return docs.select("doc_id", F.concat(spans, F.array(link)).alias("spans"))
+
+
+#: DuckDB twin of _synth_interleaved_docs: tspans/mspans CTEs with per-span
+#: token cost (media excluded from tspans cost; links never materialized —
+#: the ops drop or merely count them). Kept as ONE constant so all three
+#: interleaved oracles share the synthesis rule.
+_INTERLEAVED_BASE_SQL = r"""
+            d AS (
+                SELECT doc_id, text,
+                       least(greatest(n_chars // 40, 1), 12)::BIGINT AS nc
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, text, nc,
+                       unnest(generate_series(0, nc - 1)) AS i
+                FROM d
+            ),
+            tspans AS (
+                SELECT doc_id, (i*2)::INT AS off, 'text' AS kind,
+                       substring(text, (i*40+1)::INT, 40) AS t
+                FROM idx
+            ),
+            mspans AS (
+                SELECT doc_id, (i*2+1)::INT AS off, 'media' AS kind,
+                       '/img/' || (doc_id % 50) || '_' || i || '.png' AS ref
+                FROM idx
+                WHERE i % 3 = 2 OR (doc_id % 7 = 0 AND i % 3 = 1)
+            ),
+            tcost AS (
+                SELECT doc_id, off, kind,
+                       (CASE WHEN length(trim(t)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(t), '\s+'))
+                        END)::BIGINT AS cost
+                FROM tspans
+            )
+"""
+
+
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-sample packing through the REAL library op
+    (ops.media.pack_interleaved): interleaved spans → fixed-token-budget
+    samples (budget 16, media placeholder 8 tokens — small on purpose so
+    every synthetic doc splits into several samples), spans atomic, links
+    dropped, boundary rule = floor(cum_before/budget). The oracle replays
+    the identical costing + window cumsum over the shared synthesis CTE."""
+    from kermit_spark.ops.media import pack_interleaved
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    return pack_interleaved(docs, budget=16, media_cost=8).orderBy(
+        "doc_id", "seq_idx"
+    )
+
+
+def q_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset dedup through the REAL library op
+    (ops.media.media_asset_stats): the fetch-once worklist over the
+    synthetic interleaved corpus — assets are shared across every doc with
+    the same doc_id%50 residue (and media-heavy doc_id%7==0 docs add extra
+    refs), so n_refs/n_docs/first_doc all discriminate."""
+    from kermit_spark.ops.media import media_asset_stats
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    return media_asset_stats(docs).orderBy("media_ref")
+
+
+def q_interleaved_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document quality gate through the REAL library op
+    (ops.media.interleaved_quality): prose-token floor 30, media-ratio cap
+    0.35 — normal docs sit at ~25% media (kept when long enough), the
+    doc_id%7==0 media-heavy docs at ~40% (rejected on ratio), short docs
+    rejected on tokens, so BOTH branches of the gate discriminate. ppm
+    quantization keeps the ratio bit-portable to the oracle."""
+    from kermit_spark.ops.media import interleaved_quality
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    return interleaved_quality(
+        docs, min_text_tokens=30, max_media_ratio=0.35
+    ).orderBy("doc_id")
 
 
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,6 +1600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
         "media_caption": q_media_caption,
+        "recrawl_schedule": q_recrawl_schedule,
+        "pack_interleaved": q_pack_interleaved,
+        "media_assets": q_media_assets,
+        "interleaved_quality": q_interleaved_quality,
         "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -1920,6 +2088,88 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 4, 'text', t2, NULL FROM d
             ) ORDER BY doc_id, "offset"
+        """,
+        "recrawl_schedule": """
+            WITH hist AS (
+                SELECT 'http://r.test/p/' || (doc_id % 100) AS url,
+                       (doc_id // 100)::BIGINT AS wave,
+                       md5('v' || ((doc_id // 100) // (1 + doc_id % 100 % 6))
+                           || '#' || (doc_id % 100)) AS ch
+                FROM documents
+            ),
+            ordered AS (
+                SELECT url, wave, ch,
+                       lag(ch) OVER (PARTITION BY url ORDER BY wave, ch) AS prev
+                FROM hist
+            ),
+            agg AS (
+                SELECT url, count(*)::BIGINT AS n_fetches,
+                       sum(CASE WHEN prev IS NOT NULL AND ch <> prev
+                                THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                       max(wave)::BIGINT AS last_wave
+                FROM ordered GROUP BY url
+            ),
+            est AS (
+                SELECT url, n_fetches, n_changes, last_wave,
+                       greatest(1, least(8, n_fetches // (n_changes + 1)))::BIGINT
+                           AS interval_waves
+                FROM agg
+            )
+            SELECT url, n_fetches, n_changes, interval_waves, last_wave,
+                   (last_wave + interval_waves)::BIGINT AS next_due,
+                   6 >= last_wave + interval_waves AS overdue
+            FROM est ORDER BY url
+        """,
+        "pack_interleaved": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            costs AS (
+                SELECT doc_id, off, kind, cost FROM tcost
+                UNION ALL
+                SELECT doc_id, off, kind, 8::BIGINT AS cost FROM mspans
+            ),
+            cum AS (
+                SELECT doc_id, off, kind, cost,
+                       coalesce(sum(cost) OVER (
+                           PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM costs
+            )
+            SELECT doc_id, (cb // 16)::BIGINT AS seq_idx, count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+                   sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT AS n_media,
+                   sum(cost)::BIGINT AS tokens,
+                   min(off)::INT AS first_offset, max(off)::INT AS last_offset
+            FROM cum GROUP BY doc_id, cb // 16
+            ORDER BY doc_id, seq_idx
+        """,
+        "media_assets": f"""
+            WITH {_INTERLEAVED_BASE_SQL}
+            SELECT ref AS media_ref, count(*)::BIGINT AS n_refs,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM mspans GROUP BY ref ORDER BY media_ref
+        """,
+        "interleaved_quality": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            t AS (
+                SELECT doc_id, count(*)::BIGINT AS n_text,
+                       sum(cost)::BIGINT AS text_tokens
+                FROM tcost GROUP BY doc_id
+            ),
+            m AS (SELECT doc_id, count(*)::BIGINT AS n_media FROM mspans GROUP BY doc_id),
+            q AS (
+                SELECT t.doc_id, n_text, coalesce(n_media, 0) AS n_media,
+                       1::BIGINT AS n_link, text_tokens,
+                       CASE WHEN n_text + coalesce(n_media, 0) = 0 THEN 0
+                            ELSE (coalesce(n_media, 0) * 1000000)
+                                 // (n_text + coalesce(n_media, 0))
+                       END::BIGINT AS media_ppm
+                FROM t LEFT JOIN m USING (doc_id)
+            )
+            SELECT doc_id, n_text, n_media, n_link, text_tokens, media_ppm,
+                   (text_tokens >= 30 AND media_ppm <= 350000) AS keep
+            FROM q ORDER BY doc_id
         """,
         "link_pagerank": f"""
             WITH

@@ -932,3 +932,85 @@ class Frontier:
         )
         self.update_status(retriable)
         return self.catalog.current_snapshot(FRONTIER_TABLE)
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    current_wave: int,
+    min_interval: int = 1,
+    max_interval: int = 16,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Change-rate-driven re-crawl scheduling (the Cho & Garcia-Molina
+    freshness policy, integerized): from the per-URL fetch HISTORY
+    (url, wave, content_hash — one row per completed fetch), estimate how
+    often each URL's content actually changes and derive the next wave it
+    is due for a re-fetch. The reference crawls once and stops
+    (kermit/README.md 'not: recurrent crawling jobs'); a production frontier
+    must decide *when to come back*, and refetching everything every wave
+    wastes the politeness budget on pages that never change.
+
+    Estimator: ``interval = clamp(n_fetches // (n_changes+1), min, max)`` —
+    the observed mean revisits-per-change with +1 Laplace smoothing. A URL
+    that changed on every revisit gets interval 1; one never seen to change
+    backs off linearly with its revisit count until ``max_interval``; a
+    single-fetch URL (nothing known) gets ``min_interval`` (check soon).
+    All arithmetic is integer, so the schedule is bit-reproducible across
+    engines/partitionings (DuckDB-oracle-checkable).
+
+    Returns (url, n_fetches, n_changes, interval_waves, last_wave,
+    next_due, overdue) with ``overdue = current_wave >= next_due`` — feed
+    the overdue set to ``Frontier.schedule`` (status=scheduled, rank by
+    staleness) to close the loop.
+
+    Scale shape: ONE shuffle (hash agg on url with map-side partial
+    collect_list); each URL's history array is bounded by its own fetch
+    count, never corpus size, and the change-count scan over it is
+    higher-order array algebra in the same projection — no window sort, no
+    second exchange. content hashes are fixed-width digests, so shuffle
+    rows are constant-size."""
+    if min_interval < 1 or max_interval < min_interval:
+        raise ValueError(
+            f"need 1 <= min_interval <= max_interval; got {min_interval}, {max_interval}"
+        )
+    g = history.groupBy(F.col(url_col).alias("url")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(wave_col).cast("long").alias("w"),
+                    F.col(hash_col).alias("h"),
+                )
+            )
+        ).alias("_a")
+    )
+    n = F.size("_a").cast("long")
+    changes = (
+        F.when(
+            n >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1).cast("long"), n - 1),
+                    lambda i: F.get("_a", i.cast("int"))["h"]
+                    != F.get("_a", (i - 1).cast("int"))["h"],
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    interval = F.greatest(
+        F.lit(min_interval).cast("long"),
+        F.least(F.lit(max_interval).cast("long"), F.floor(n / (changes + 1))),
+    )
+    last_wave = F.element_at("_a", -1)["w"]
+    return g.select(
+        "url",
+        n.alias("n_fetches"),
+        changes.alias("n_changes"),
+        interval.alias("interval_waves"),
+        last_wave.alias("last_wave"),
+        (last_wave + interval).alias("next_due"),
+        (F.lit(current_wave) >= last_wave + interval).alias("overdue"),
+    )

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 try:  # pragma: no cover — not present in this sandbox
     from PIL import Image  # noqa: F401
@@ -170,6 +171,166 @@ def media_caption_context(documents: DataFrame) -> DataFrame:
         F.col("pair.offset").alias("offset"),
         F.col("pair.context_before").alias("context_before"),
         F.col("pair.context_after").alias("context_after"),
+    )
+
+
+def _span_token_cost(text):
+    """Whitespace-token count of a text span (0 for null/blank) — the shared
+    cost unit for interleaved packing/quality. Pure JVM split/size, and
+    reproducible in the DuckDB oracle via regexp_split_to_array."""
+    t = F.trim(text)
+    return (
+        F.when(text.isNull() | (F.length(t) == 0), F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+
+
+def pack_interleaved(
+    documents: DataFrame,
+    budget: int = 1024,
+    media_cost: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Pack one interleaved text+media document into fixed-token-budget
+    training samples — the multimodal analog of ``ops.text.pack_sequences``
+    at SPAN granularity: text spans cost their whitespace-token count,
+    media spans a fixed ``media_cost`` placeholder (the patch-token budget
+    a vision encoder consumes), link/resource spans are navigation and are
+    dropped. Spans are atomic (never split) and order is preserved.
+
+    Boundary rule — budget-ALIGNED, not greedy: a span belongs to sample
+    ``floor(cum_tokens_before / budget)``, so sample k holds the spans whose
+    preceding cumulative cost lies in [k·budget, (k+1)·budget). A span
+    straddling the boundary stays whole and overflows its sample by at most
+    its own cost; greedy first-fit (as in pack_sequences) is inherently
+    sequential, while this rule is one window cumsum — pure JVM, no
+    applyInPandas, and the DuckDB oracle replays it exactly.
+
+    Returns one row per (document, sample): (id_col, seq_idx, n_spans,
+    n_text, n_media, tokens, first_offset, last_offset).
+
+    Scale shape: explode → window cumsum partitioned BY DOCUMENT (sort
+    bounded by document length, never corpus size) → hash agg on
+    (doc, seq_idx). Span text itself never shuffles — only its token count
+    does (the projection drops text before the exchange)."""
+    if budget < 1 or media_cost < 0:
+        raise ValueError(f"need budget >= 1, media_cost >= 0; got {budget}, {media_cost}")
+    s = F.col("_s")
+    spans = documents.select(
+        F.col(id_col).alias("_id"), F.explode(spans_col).alias("_s")
+    ).filter(s["kind"].isin("text", "media"))
+    costed = spans.select(
+        "_id",
+        s["kind"].alias("_kind"),
+        s["offset"].alias("_off"),
+        F.when(s["kind"] == "media", F.lit(media_cost).cast("long"))
+        .otherwise(_span_token_cost(s["text"]))
+        .alias("_cost"),
+    )
+    w = Window.partitionBy("_id").orderBy("_off")
+    cum_before = F.coalesce(
+        F.sum("_cost").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = costed.withColumn("_seq", F.floor(cum_before / budget))
+    return binned.groupBy("_id", "_seq").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("_kind") == "text").cast("long")).alias("n_text"),
+        F.sum((F.col("_kind") == "media").cast("long")).alias("n_media"),
+        F.sum("_cost").alias("tokens"),
+        F.min("_off").alias("first_offset"),
+        F.max("_off").alias("last_offset"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_seq").alias("seq_idx"),
+        "n_spans", "n_text", "n_media", "tokens", "first_offset", "last_offset",
+    )
+
+
+def media_asset_stats(
+    documents: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Media-asset dedup over interleaved documents: group the media spans
+    of the whole corpus by ``media_ref`` — the fetch-once worklist (one
+    fetch per distinct asset, owned by the smallest referencing document)
+    plus the duplication profile (site logos/icons recur on every page; a
+    crawler that refetches them per page wastes its politeness budget).
+
+    Returns (media_ref, n_refs, n_docs, first_doc) — total occurrences,
+    distinct referencing documents, canonical fetch owner.
+
+    Scale shape: explode is a narrow map; the only shuffle is the hash agg
+    keyed on the (short) media_ref string with map-side partial
+    count/count-distinct — document text never leaves the scan."""
+    s = F.col("_s")
+    media = documents.select(
+        F.col(id_col).alias("_id"), F.explode(spans_col).alias("_s")
+    ).filter((s["kind"] == "media") & s["media_ref"].isNotNull())
+    return (
+        media.groupBy(s["media_ref"].alias("media_ref"))
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+    )
+
+
+def interleaved_quality(
+    documents: DataFrame,
+    min_text_tokens: int = 50,
+    max_media_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Document-level quality gate for interleaved text+media docs — the
+    multimodal-curation twin of ops.text.quality_score: per document, span
+    mix counts, total prose tokens, and the media fraction, with a keep
+    flag (enough prose AND not media-dominated — pages that are all images
+    or all navigation train nothing).
+
+    ``media_ratio`` is quantized to parts-per-million with integer
+    arithmetic (``media_ppm = floor(n_media·10⁶ / (n_text+n_media))``) so
+    the keep decision is bit-portable to the DuckDB oracle — same
+    convention as the sampling ops' p_ppm.
+
+    Scale shape: ZERO shuffle — every statistic is higher-order array
+    algebra (filter/size/aggregate) over the spans column inside one
+    whole-stage-codegen projection; the gate composes with any downstream
+    op as a pushdown-transparent narrow filter."""
+    if min_text_tokens < 0 or not 0 <= max_media_ratio <= 1:
+        raise ValueError(
+            f"need min_text_tokens >= 0 and 0 <= max_media_ratio <= 1; "
+            f"got {min_text_tokens}, {max_media_ratio}"
+        )
+    max_ppm = int(max_media_ratio * 1_000_000)
+    spans = F.col(spans_col)
+
+    def _n(kind: str):
+        return F.size(F.filter(spans, lambda s: s["kind"] == F.lit(kind))).cast("long")
+
+    text_tokens = F.aggregate(
+        F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + _span_token_cost(s["text"]),
+    )
+    n_text, n_media, n_link = _n("text"), _n("media"), _n("link")
+    media_ppm = F.when(n_text + n_media == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(n_media * F.lit(1_000_000) / (n_text + n_media))
+    )
+    return documents.select(
+        F.col(id_col).alias(id_col),
+        n_text.alias("n_text"),
+        n_media.alias("n_media"),
+        n_link.alias("n_link"),
+        text_tokens.alias("text_tokens"),
+        media_ppm.alias("media_ppm"),
+        (
+            (text_tokens >= F.lit(min_text_tokens))
+            & (media_ppm <= F.lit(max_ppm))
+        ).alias("keep"),
     )
 
 

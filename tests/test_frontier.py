@@ -563,3 +563,62 @@ def test_reprioritize_hits_scorer(spark, frontier):
     assert rows["http://h0.test/c"]["priority"] > rows["http://h0.test/d"]["priority"]
     with pytest.raises(ValueError):
         frontier.reprioritize(edges, scorer="opic")
+
+
+# ---------------------------------------------------------------------------
+# change-rate recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_schedule_estimator(spark):
+    from kermit_spark.frontier import recrawl_schedule
+
+    rows = []
+    # u0: changes every revisit (hash = wave) over waves 0..4
+    rows += [("u0", w, f"h{w}") for w in range(5)]
+    # u1: never changes over 5 fetches -> backoff 5, capped at max 4
+    rows += [("u1", w, "same") for w in range(5)]
+    # u2: changes every 2nd wave: versions 0,0,1,1,2
+    rows += [("u2", w, f"v{w // 2}") for w in range(5)]
+    # u3: single fetch -> min_interval
+    rows += [("u3", 7, "x")]
+    df = spark.createDataFrame(rows, "url string, wave long, content_hash string")
+    out = {r["url"]: r for r in recrawl_schedule(
+        df, current_wave=5, min_interval=1, max_interval=4).collect()}
+
+    assert (out["u0"]["n_fetches"], out["u0"]["n_changes"]) == (5, 4)
+    assert out["u0"]["interval_waves"] == 1 and out["u0"]["next_due"] == 5
+    assert out["u0"]["overdue"]
+
+    assert out["u1"]["n_changes"] == 0
+    assert out["u1"]["interval_waves"] == 4  # 5//1 capped at max_interval
+    assert out["u1"]["next_due"] == 8 and not out["u1"]["overdue"]
+
+    assert out["u2"]["n_changes"] == 2 and out["u2"]["interval_waves"] == 1
+
+    assert out["u3"]["n_fetches"] == 1 and out["u3"]["interval_waves"] == 1
+    assert out["u3"]["last_wave"] == 7 and not out["u3"]["overdue"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recrawl_schedule(df, current_wave=5, min_interval=0)
+    with _pytest.raises(ValueError):
+        recrawl_schedule(df, current_wave=5, min_interval=3, max_interval=2)
+
+
+def test_recrawl_schedule_partition_invariant_and_order_free(spark):
+    """History arrives unordered and however partitioned; the schedule is
+    identical (sort_array canonicalizes before the change scan)."""
+    import random
+
+    from kermit_spark.frontier import recrawl_schedule
+
+    rows = [(f"u{i % 37}", w, f"v{(w // (1 + i % 3))}_{i % 37}")
+            for i, w in ((i, i // 37) for i in range(370))]
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+    a = spark.createDataFrame(rows, "url string, wave long, content_hash string")
+    b = spark.createDataFrame(shuffled, "url string, wave long, content_hash string").repartition(13)
+    ra = sorted(map(tuple, recrawl_schedule(a, current_wave=10).collect()))
+    rb = sorted(map(tuple, recrawl_schedule(b, current_wave=10).collect()))
+    assert ra == rb and len(ra) == 37

@@ -152,3 +152,98 @@ def test_audio_segment_plan_windows_and_tail(spark):
     assert n == 3 + 1 + 0 + 1  # a: 0/30/60, b: 0, d: 0
     with _pytest.raises(ValueError):
         audio_segment_plan(media, window_ms=0)
+
+
+# ---------------------------------------------------------------------------
+# interleaved spans: packing, asset dedup, quality gate
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def interleaved(spark):
+    # doc i1: text(3 tok) media text(2) link media text(4) — pack/quality mix
+    # doc i2: all navigation (no prose, no media)
+    # doc i3: media-only
+    rows = [
+        (
+            "i1", "u1", "text/html", 200,
+            [
+                ("text", "one two three", None, 0),
+                ("media", None, "/img/logo.png", 1),
+                ("text", "four five", None, 2),
+                ("link", "next", "/n/2", 3),
+                ("media", None, "/img/fig1.png", 4),
+                ("text", "a b c d", None, 5),
+            ],
+        ),
+        ("i2", "u2", "text/html", 200, [("link", "home", "/", 0)]),
+        (
+            "i3", "u3", "text/html", 200,
+            [("media", None, "/img/logo.png", 0), ("media", None, "/img/logo.png", 1)],
+        ),
+    ]
+    return spark.createDataFrame(rows, SPANS_DDL)
+
+
+def test_pack_interleaved_boundary_rule(interleaved):
+    from kermit_spark.ops.media import pack_interleaved
+
+    # costs in offset order for i1: 3, 5(media), 2, [link dropped], 5, 4
+    # cum_before: 0, 3, 8, 10, 15 → budget 8 → seq 0,0,1,1,1
+    out = {
+        (r["doc_id"], r["seq_idx"]): r
+    for r in pack_interleaved(interleaved, budget=8, media_cost=5).collect()}
+    s0, s1 = out[("i1", 0)], out[("i1", 1)]
+    assert (s0["n_spans"], s0["n_text"], s0["n_media"], s0["tokens"]) == (2, 1, 1, 8)
+    assert (s0["first_offset"], s0["last_offset"]) == (0, 1)
+    assert (s1["n_spans"], s1["n_text"], s1["n_media"], s1["tokens"]) == (3, 2, 1, 11)
+    assert (s1["first_offset"], s1["last_offset"]) == (2, 5)
+    # i2 is navigation-only → no samples; i3 packs its two media spans
+    assert not any(k[0] == "i2" for k in out)
+    assert out[("i3", 0)]["n_media"] == 2 and out[("i3", 0)]["tokens"] == 10
+    with pytest.raises(ValueError):
+        pack_interleaved(interleaved, budget=0)
+
+
+def test_pack_interleaved_partition_invariant(interleaved):
+    from kermit_spark.ops.media import pack_interleaved
+
+    a = sorted(map(tuple, pack_interleaved(interleaved.repartition(1), budget=8).collect()))
+    b = sorted(map(tuple, pack_interleaved(interleaved.repartition(7), budget=8).collect()))
+    assert a == b
+
+
+def test_media_asset_stats_fetch_once(interleaved):
+    from kermit_spark.ops.media import media_asset_stats
+
+    out = {r["media_ref"]: r for r in media_asset_stats(interleaved).collect()}
+    assert set(out) == {"/img/logo.png", "/img/fig1.png"}
+    logo = out["/img/logo.png"]
+    assert (logo["n_refs"], logo["n_docs"], logo["first_doc"]) == (3, 2, "i1")
+    fig = out["/img/fig1.png"]
+    assert (fig["n_refs"], fig["n_docs"], fig["first_doc"]) == (1, 1, "i1")
+
+
+def test_interleaved_quality_gate(interleaved):
+    from kermit_spark.ops.media import interleaved_quality
+
+    out = {r["doc_id"]: r for r in interleaved_quality(
+        interleaved, min_text_tokens=5, max_media_ratio=0.5).collect()}
+    i1 = out["i1"]
+    assert (i1["n_text"], i1["n_media"], i1["n_link"], i1["text_tokens"]) == (3, 2, 1, 9)
+    assert i1["media_ppm"] == 400_000 and i1["keep"]
+    # navigation-only: no prose, ratio 0 (empty denominator) → fails min tokens
+    i2 = out["i2"]
+    assert (i2["text_tokens"], i2["media_ppm"], i2["keep"]) == (0, 0, False)
+    # media-only: ratio 1.0 → rejected on both gates
+    i3 = out["i3"]
+    assert i3["media_ppm"] == 1_000_000 and not i3["keep"]
+    with pytest.raises(ValueError):
+        interleaved_quality(interleaved, max_media_ratio=1.5)
+
+
+def test_interleaved_quality_plan_has_no_shuffle(interleaved):
+    from kermit_spark.ops.media import interleaved_quality
+
+    plan = interleaved_quality(interleaved)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
