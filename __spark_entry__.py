@@ -888,6 +888,23 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "p_ppm").orderBy("doc_id")
 
 
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering through the REAL library op
+    (ops.text.hashed_linear_score): a 64-bucket hashed-bag-of-words linear
+    classifier with deterministic synthetic weights
+    w(b) = (b·2654435761) mod 2001 − 1000 ppm, applied zero-shuffle over
+    the documents table. The oracle re-hashes every token with the shared
+    48-bit md5 fold and replays the same weight formula."""
+    from kermit_spark.ops.text import hashed_linear_score
+
+    n_buckets = 64
+    weights = {b: (b * 2654435761) % 2001 - 1000 for b in range(n_buckets)}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return hashed_linear_score(
+        docs, weights, n_buckets, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-training-data curation workflow, end-to-end through
     the REAL library ops: language filter (detect_language == 'en') →
@@ -1628,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_langid": q_text_langid,
         "text_normalize": q_text_normalize,
+        "text_classifier": q_text_classifier,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
@@ -2611,6 +2629,32 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "text_normalize": _normalize_oracle_sql(),
+        "text_classifier": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           t -> length(t) > 0)) AS tok
+                FROM documents
+            ),
+            bucketed AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(tok), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) % 64 AS b
+                FROM toks
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       sum((b * 2654435761) % 2001 - 1000)::BIGINT AS score_ppm
+                FROM bucketed GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.score_ppm, 0)::BIGINT AS score_ppm
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         "text_quality": r"""
             WITH f AS (
                 SELECT doc_id,

@@ -977,6 +977,50 @@ class Crawler:
         the automated per-wave policy use CrawlConfig.recrawl_after_waves."""
         return self.frontier.recrawl(match, wave=self.last_wave + 1)
 
+    def adaptive_recrawl(self, min_interval: int = 1, max_interval: int = 16) -> int:
+        """Change-rate-driven re-crawl: estimate each URL's revisit interval
+        from the engine's OWN fetch history (frontier.recrawl_schedule over
+        per-URL content hashes — md5 of the span payload from the documents
+        table; a 304 revalidation row forward-fills the previous hash, i.e.
+        counts as an observed no-change revisit) and flip exactly the
+        OVERDUE visited URLs back to scheduled for the next wave.
+
+        The fixed-clock policy (CrawlConfig.recrawl_after_waves) re-fetches
+        everything of the same age; this one spends the politeness budget
+        where content actually churns — static pages back off to
+        ``max_interval`` waves, fast-changing ones come due every wave.
+        Run at policy cadence, then crawl() again. Returns the number of
+        URLs rescheduled."""
+        from pyspark.sql.window import Window
+
+        from .frontier import recrawl_schedule
+
+        next_wave = self.last_wave + 1
+        w = (
+            Window.partitionBy("url")
+            .orderBy("wave")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hash_raw = F.when(F.col("status") != 304, F.md5(F.to_json("spans")))
+        hist = (
+            self.documents()
+            .select(
+                "url",
+                F.col("wave").cast("long").alias("wave"),
+                F.last(hash_raw, ignorenulls=True).over(w).alias("content_hash"),
+            )
+            .filter(F.col("content_hash").isNotNull())
+        )
+        sched = recrawl_schedule(
+            hist,
+            current_wave=next_wave,
+            min_interval=min_interval,
+            max_interval=max_interval,
+        )
+        return self.frontier.recrawl_urls(
+            sched.filter(F.col("overdue")), wave=next_wave
+        )
+
     def rollback_to_wave(self, wave: int) -> int:
         """Bad-wave recovery across ALL crawl state: restore the frontier to
         its snapshot at the end of ``wave`` (catalog.rollback_to) and drop

@@ -909,6 +909,48 @@ class Frontier:
         )
         return n
 
+    def recrawl_urls(self, urls: DataFrame, wave: int) -> int:
+        """Set-driven variant of ``recrawl``: flip the VISITED rows whose
+        ``url`` appears in ``urls`` (any DataFrame with a url column — e.g.
+        the overdue set from ``recrawl_schedule``) back to scheduled with
+        the age clock reset, URL-seen membership untouched.
+
+        Same partition-pruned copy-on-write as recrawl; the extra cost is
+        one join keyed on url against the pruned partitions (the flip set
+        itself bounds the shuffle). Run at policy cadence. Returns the
+        number of rows rescheduled."""
+        marks = urls.select("url").distinct()
+        hits = (
+            self.read()
+            .filter(F.col("status") == VISITED)
+            .join(marks, "url")
+            .select("p")
+        )
+        per_part = hits.groupBy("p").count().collect()
+        n = int(sum(r["count"] for r in per_part))
+        if not n:
+            return 0
+        parts = sorted(int(r["p"]) for r in per_part)
+        flagged = (
+            self.read()
+            .filter(F.col("p").isin(parts))
+            .join(marks.withColumn("_mark", F.lit(True)), "url", "left")
+            .withColumn(
+                "_flip", (F.col("status") == VISITED) & F.col("_mark").isNotNull()
+            )
+        )
+        rewritten = flagged.withColumn(
+            "wave", F.when(F.col("_flip"), F.lit(wave)).otherwise(F.col("wave"))
+        ).withColumn(
+            "status",
+            F.when(F.col("_flip"), F.lit(SCHEDULED)).otherwise(F.col("status")),
+        )
+        self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, rewritten.select(*FRONTIER_COLS), parts,
+            properties=dict(self.catalog.snapshot_property(FRONTIER_TABLE)),
+        )
+        return n
+
     def changes_since(self, from_snapshot: int) -> DataFrame:
         """Frontier rows added or changed since ``from_snapshot`` — the CDC
         read for downstream consumers (incremental training-data export,

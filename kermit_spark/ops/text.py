@@ -734,3 +734,74 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_token_estimate(t).alias("bpe_tokens"),
         min_shingle_fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier — apply an EXTERNAL model, fastText-style
+# ---------------------------------------------------------------------------
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights_ppm: dict[int, int],
+    n_buckets: int,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained linear text classifier over hashed bag-of-words
+    features (the fastText / Vowpal-Wabbit hashing trick) — the
+    model-based quality-filter primitive (GPT-3/LLaMA-style "looks like
+    reference corpus" classifiers): each token hashes to a bucket in
+    [0, n_buckets); the document score is the sum of the buckets' weights.
+    Training happens elsewhere; this op is the corpus-scale APPLY.
+
+    ``weights_ppm`` maps bucket → integer weight in parts-per-million
+    (quantize trained floats once at load time), so scores are exact
+    integers — bit-reproducible across engines/partitionings and
+    DuckDB-oracle-checkable, same convention as the samplers' p_ppm.
+    Buckets absent from the dict weigh 0. Token hashing uses the portable
+    48-bit md5 prefix every deterministic op here shares.
+
+    Returns (id_col, n_tokens, score_ppm). Thresholding/keep policy is the
+    caller's (scores mean nothing without the model's calibration).
+
+    Scale shape: ZERO shuffle — tokenize/hash/lookup/sum is one
+    higher-order aggregate over the split array inside a single codegen
+    projection; the weight table rides the PLAN as a map literal (it is a
+    model artifact, small by construction — hash dims are 10³-10⁶; for the
+    top of that range, broadcast-join an exploded form instead)."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    bad = [b for b in weights_ppm if not 0 <= int(b) < n_buckets]
+    if bad:
+        raise ValueError(f"buckets out of range [0, {n_buckets}): {sorted(bad)[:5]}")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    wmap = F.create_map(
+        *[
+            x
+            for b, w in sorted(weights_ppm.items())
+            for x in (F.lit(int(b)).cast("long"), F.lit(int(w)).cast("long"))
+        ]
+    )
+
+    def bucket(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+            F.lit(n_buckets).cast("long"),
+        )
+
+    score = F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, bucket(t)), F.lit(0).cast("long")),
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        score.alias("score_ppm"),
+    )

@@ -762,3 +762,47 @@ def test_max_pages_per_host_scopes_the_crawl(spark, tmp_path):
     assert visited_b == 2        # small host unaffected, completes
     # the capped host's next link IS discovered but stays queued forever
     assert ("http://a.test/p/3.html", "scheduled") in st
+
+
+def test_adaptive_recrawl_follows_change_rate(spark, tmp_path):
+    """Change-rate policy e2e: after two visits, a URL whose content CHANGED
+    between them comes due immediately (interval 1) and is rescheduled;
+    an unchanged URL backs off (interval 2) and stays visited."""
+    root = str(tmp_path / "adaptive")
+
+    def corpus(body_a: str):
+        return spark.createDataFrame(
+            [
+                ("http://ha.test/a.html", 200, "text/html", body_a),
+                ("http://hb.test/b.html", 200, "text/html",
+                 "<html><body><p>stable content forever</p></body></html>"),
+            ],
+            "url string, status int, content_type string, body string",
+        )
+
+    seeds = ["http://ha.test/a.html", "http://hb.test/b.html"]
+    cfg = CrawlConfig(num_partitions=4, politeness=Politeness((Limit(r".*", 10),)))
+
+    c1 = Crawler(
+        spark, SnapshotCatalog(spark, root),
+        CorpusFetcher(corpus("<html><body><p>version one</p></body></html>")), cfg,
+    )
+    c1.seed(seeds)
+    c1.crawl(1)
+    # single observation per URL -> min_interval, everything overdue
+    assert c1.adaptive_recrawl() == 2
+
+    # second pass fetches both again; page a changed, page b did not
+    c2 = Crawler(
+        spark, SnapshotCatalog(spark, root),
+        CorpusFetcher(corpus("<html><body><p>version two changed</p></body></html>")), cfg,
+    )
+    c2.crawl(1)
+    n = c2.adaptive_recrawl()
+    assert n == 1
+    status = {
+        r["url"]: r["status"]
+        for r in c2.frontier.read().select("url", "status").collect()
+    }
+    assert status["http://ha.test/a.html"] == "scheduled"
+    assert status["http://hb.test/b.html"] == "visited"

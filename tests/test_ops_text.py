@@ -510,3 +510,50 @@ def test_normalize_text_stabilizes_hashing(spark):
     before = exact_dedup(df).filter(F.col("n_copies") > 1).count()
     after = exact_dedup(normalize_text(df)).filter(F.col("n_copies") > 1).count()
     assert before == 0 and after == 1
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier apply
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_matches_python_mirror(spark):
+    import hashlib
+
+    from kermit_spark.ops.text import hashed_linear_score
+
+    n_buckets = 32
+    weights = {b: (b * 37) % 500 - 250 for b in range(n_buckets)}
+    rows = [
+        (1, "The quick brown fox JUMPS over  the lazy dog"),
+        (2, "short"),
+        (3, "   "),          # blank -> 0 tokens, score 0
+        (4, None),           # null text -> 0 tokens, score 0
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["n_tokens"], r["score_ppm"]) for r in
+           hashed_linear_score(df, weights, n_buckets).collect()}
+
+    def mirror(text):
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        s = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % n_buckets
+            s += weights.get(b, 0)
+        return len(toks), s
+
+    for i, text in rows:
+        assert got[i] == mirror(text), f"doc {i}"
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_hashed_linear_score_validates_and_zero_shuffle(spark):
+    from kermit_spark.ops.text import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, {}, 8)
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, {9: 1}, 8)
+    plan = hashed_linear_score(df, {0: 1}, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
