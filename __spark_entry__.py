@@ -654,6 +654,71 @@ def q_interleaved_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_spans_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span classification through the REAL library op
+    (ops.media.classify_spans, default thresholds: token floor 4, stop
+    density 10%, link-sandwich). The synthesis wraps each document's body
+    chunks in realistic page chrome so every rule discriminates
+    independently: a nav text span that passes length AND stop density but
+    sits between two link spans (sandwich-only reject), a footer that is
+    long enough but stopword-free (density-only reject), 40-char body
+    chunks whose token counts and stop densities vary naturally (both
+    accept and reject), and an empty trailing chunk for the token floor.
+    The oracle replays the identical synthesis + integerized rules."""
+    from kermit_spark.ops.media import classify_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    nc = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 40), F.lit(1)), F.lit(12)
+    ).cast("long")
+
+    def lit_text(s, off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.lit(s).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    def link(ref, off):
+        return F.struct(
+            F.lit("link").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(ref).alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    body = F.transform(
+        F.sequence(F.lit(0).cast("long"), nc - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr((i * 40 + 1).cast("int"), F.lit(40)).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i + 3).cast("int").alias("offset"),
+        ),
+    )
+    spans = F.concat(
+        F.array(
+            link("/home", F.lit(0)),
+            lit_text(_BOILER_NAV_TEXT, F.lit(1)),
+            link("/about", F.lit(2)),
+        ),
+        body,
+        F.array(lit_text(_BOILER_FOOTER_TEXT, nc + 3)),
+    )
+    synth = docs.select("doc_id", spans.alias("spans"))
+    return classify_spans(synth).orderBy("doc_id", "offset")
+
+
+#: chrome texts for q_spans_boilerplate — shared with the oracle builder.
+#: nav: 9 tokens, 3 stopwords (333,333 ppm) → fails ONLY the sandwich rule;
+#: footer: 6 tokens, 0 stopwords → fails ONLY the stop-density rule.
+_BOILER_NAV_TEXT = "browse the site navigation bar and the index here"
+_BOILER_FOOTER_TEXT = "Copyright Notice Inc All Rights Reserved"
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl prioritization by link importance through the REAL library
     operator (kermit_spark.ops.graph.pagerank — integer fixed-point
@@ -1149,6 +1214,44 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection through the REAL library op
+    (ops.text.soft404_score). The synthetic corpus carries no error-page
+    phrasing, so every fifth doc gets a full soft-404 block injected
+    (3 marker families → flagged) and the %5==2 residue a single casual
+    mention (an article ABOUT 404s → correctly NOT flagged at the default
+    threshold 2) — in the query AND the oracle, generated from the one
+    SOFT404_MARKERS constant."""
+    from kermit_spark.ops.text import soft404_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(base, F.lit(_SOFT404_FULL_BLOCK)),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(base, F.lit(_SOFT404_MENTION)))
+        .otherwise(base),
+    )
+    return (
+        soft404_score(injected)
+        .select(
+            "doc_id", "n_notfound", "n_gone", "n_missing", "n_gohome",
+            "soft404_score", "is_soft404",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: injected texts for q_text_soft404 — shared with the oracle builder
+_SOFT404_FULL_BLOCK = (
+    " Page not found: this document does not exist. Return to the homepage."
+)
+_SOFT404_MENTION = " see our error 404 guide"
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking through the REAL library op
     (ops.text.chunk_documents: 16-token windows, 4-token overlap, covered
@@ -1621,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "media_assets": q_media_assets,
         "interleaved_quality": q_interleaved_quality,
+        "spans_boilerplate": q_spans_boilerplate,
         "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -1651,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
         "text_redact": q_text_redact,
+        "text_soft404": q_text_soft404,
         "text_chunks": q_text_chunks,
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
@@ -1976,6 +2081,99 @@ def _pii_redact_oracle() -> str:
         "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {cols}, t AS text_redacted "
         f"FROM {prev} ORDER BY doc_id"
     )
+
+
+def _soft404_oracle() -> str:
+    """DuckDB twin of q_text_soft404, generated from SOFT404_MARKERS so the
+    query and oracle can never drift: one len(regexp_extract_all) per
+    marker family over the identically-injected text."""
+    from kermit_spark.ops.text import SOFT404_MARKERS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{kind}"
+        for kind, pat in SOFT404_MARKERS
+    )
+    score = " + ".join(f"n_{kind}" for kind, _ in SOFT404_MARKERS)
+    return f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                                THEN coalesce(text, '') || '{_SOFT404_FULL_BLOCK}'
+                            WHEN doc_id % 5 = 2
+                                THEN coalesce(text, '') || '{_SOFT404_MENTION}'
+                            ELSE coalesce(text, '') END AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                   {counts}
+                FROM inj
+            )
+            SELECT doc_id, n_notfound, n_gone, n_missing, n_gohome,
+                   ({score})::BIGINT AS soft404_score,
+                   ({score}) >= 2 AS is_soft404
+            FROM c ORDER BY doc_id
+    """
+
+
+def _boilerplate_oracle() -> str:
+    """DuckDB twin of q_spans_boilerplate: replays the chrome+body span
+    synthesis and the classify_spans rules (token floor 4, stop density
+    100,000 ppm, link sandwich) with the stop list generated from the
+    BOILERPLATE_STOPWORDS constant — one source of truth for both
+    engines. Sandwich flags follow from the synthesis shape: only the nav
+    span sits between two links."""
+    from kermit_spark.ops.media import BOILERPLATE_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in BOILERPLATE_STOPWORDS)
+    return rf"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       least(greatest(n_chars // 40, 1), 12)::BIGINT AS nc
+                FROM documents
+            ),
+            body AS (
+                SELECT doc_id, (i + 3)::INT AS off,
+                       substring(text, (i*40+1)::INT, 40) AS t,
+                       FALSE AS sandwiched
+                FROM (SELECT doc_id, text, nc,
+                             unnest(generate_series(0, nc - 1)) AS i FROM d)
+            ),
+            statics AS (
+                SELECT doc_id, 1::INT AS off, '{_BOILER_NAV_TEXT}' AS t,
+                       TRUE AS sandwiched
+                FROM d
+                UNION ALL
+                SELECT doc_id, (nc + 3)::INT, '{_BOILER_FOOTER_TEXT}', FALSE
+                FROM d
+            ),
+            spans AS (
+                SELECT * FROM body UNION ALL SELECT * FROM statics
+            ),
+            tok AS (
+                SELECT doc_id, off, sandwiched,
+                       list_filter(regexp_split_to_array(trim(coalesce(t, '')), '\s+'),
+                                   x -> length(x) > 0) AS toks
+                FROM spans
+            ),
+            feat AS (
+                SELECT doc_id, off, sandwiched,
+                       len(toks)::BIGINT AS n_tokens,
+                       len(list_filter(toks,
+                           x -> list_contains([{stops}], lower(x))))::BIGINT AS n_stop
+                FROM tok
+            ),
+            scored AS (
+                SELECT doc_id, off, sandwiched, n_tokens,
+                       (CASE WHEN n_tokens = 0 THEN 0
+                             ELSE (n_stop * 1000000) // n_tokens END)::BIGINT AS stop_ppm
+                FROM feat
+            )
+            SELECT doc_id, off AS "offset", n_tokens, stop_ppm, sandwiched,
+                   (n_tokens >= 4 AND stop_ppm >= 100000 AND NOT sandwiched)
+                       AS is_content
+            FROM scored ORDER BY doc_id, "offset"
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2922,6 +3120,12 @@ def oracle_sql() -> dict[str, str]:
         # PII redaction: generated from the SAME PII_PATTERNS constant the
         # library op applies, in the same order, with the same injection.
         "text_redact": _pii_redact_oracle(),
+        # Soft-404 detection: generated from the SAME SOFT404_MARKERS
+        # constant with the identical per-residue text injection.
+        "text_soft404": _soft404_oracle(),
+        # Boilerplate span classification: replays the chrome+body span
+        # synthesis and the integerized jusText-style rules.
+        "spans_boilerplate": _boilerplate_oracle(),
         # Gopher rules: same word/line/gram definitions as ops.text
         # .gopher_features (split on \s+, lines on \n, grams joined with one
         # space); rounding is the portable half-up form; the top-2-gram

@@ -334,6 +334,142 @@ def interleaved_quality(
     )
 
 
+#: Function words for the boilerplate stop-density rule — tiny on purpose
+#: (jusText ships full per-language lists; callers pass their own for real
+#: corpora). Must stay lowercase: the classifier lowercases tokens first.
+BOILERPLATE_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "this", "be", "are", "or",
+)
+
+
+def _span_content_flags(
+    spans,
+    stop_arr,
+    min_tokens: int,
+    min_stop_ppm: int,
+):
+    """Per-index (kind, n_tokens, stop_ppm, sandwiched, is_content) structs
+    for every span in ``spans`` — the shared core of classify_spans and
+    strip_boilerplate. Pure JVM: F.get neighbor probes + higher-order
+    token algebra inside one projection."""
+
+    def one(i):
+        s = F.get(spans, i)
+        txt = F.trim(F.coalesce(s["text"], F.lit("")))
+        toks = F.filter(F.split(txt, r"\s+"), lambda t: F.length(t) > 0)
+        n_tokens = F.size(toks).cast("long")
+        n_stop = F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        ).cast("long")
+        stop_ppm = F.when(n_tokens == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(n_stop * F.lit(1_000_000) / n_tokens)
+        )
+        is_link = lambda sp: F.coalesce(sp["kind"] == F.lit("link"), F.lit(False))  # noqa: E731
+        sandwiched = is_link(F.get(spans, i - 1)) & is_link(F.get(spans, i + 1))
+        is_content = (
+            (s["kind"] == F.lit("text"))
+            & (n_tokens >= F.lit(min_tokens))
+            & (stop_ppm >= F.lit(min_stop_ppm))
+            & ~sandwiched
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            s["offset"].alias("offset"),
+            n_tokens.alias("n_tokens"),
+            stop_ppm.alias("stop_ppm"),
+            sandwiched.alias("sandwiched"),
+            is_content.alias("is_content"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.size(spans) - 1), one)
+
+
+def classify_spans(
+    documents: DataFrame,
+    stopwords: tuple[str, ...] = BOILERPLATE_STOPWORDS,
+    min_tokens: int = 4,
+    min_stop_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Boilerplate classification of TEXT spans in interleaved documents —
+    the jusText/readability-style content-extraction rule set, integerized
+    so a DuckDB oracle reproduces every flag bit-for-bit:
+
+      * token floor: a span with < ``min_tokens`` whitespace tokens is
+        boilerplate (nav labels, buttons, copyright lines);
+      * stop density: ``stop_ppm = floor(n_stopwords·10⁶ / n_tokens)``
+        below ``min_stop_ppm`` marks keyword-list/menu text — real prose
+        carries function words (jusText's core signal);
+      * link sandwich: a text span whose BOTH array neighbors are link
+        spans is navigation chrome regardless of length (the interleaved-
+        span analog of jusText's link-density rule — links are separate
+        spans here, so adjacency IS the density signal).
+
+    A span is content iff it passes all three. Returns one row per text
+    span: (id_col, offset, n_tokens, stop_ppm, sandwiched, is_content).
+
+    Scale shape: ZERO shuffle — neighbor probes are F.get on the spans
+    array and every statistic is higher-order token algebra inside one
+    codegen projection; the explode to span rows is narrow. Reference
+    parity: the reference stores whole bodies and leaves content
+    extraction to user extensions (`src/kermit/Extractor.coffee:11-18`
+    exposes the selector hook); this op is the curation-pipeline pass a
+    training-data user runs downstream."""
+    if min_tokens < 0 or min_stop_ppm < 0:
+        raise ValueError(
+            f"need min_tokens >= 0 and min_stop_ppm >= 0; "
+            f"got {min_tokens}, {min_stop_ppm}"
+        )
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    flags = _span_content_flags(
+        F.col(spans_col), stop_arr, min_tokens, min_stop_ppm
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias(id_col),
+            F.explode(F.filter(flags, lambda x: x["kind"] == F.lit("text"))).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_s.offset").alias("offset"),
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.col("_s.stop_ppm").alias("stop_ppm"),
+            F.col("_s.sandwiched").alias("sandwiched"),
+            F.col("_s.is_content").alias("is_content"),
+        )
+    )
+
+
+def strip_boilerplate(
+    documents: DataFrame,
+    stopwords: tuple[str, ...] = BOILERPLATE_STOPWORDS,
+    min_tokens: int = 4,
+    min_stop_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Content extraction over interleaved documents: drop boilerplate TEXT
+    spans (classify_spans rules) and LINK spans, keep content text and all
+    media spans — the cleaned-document form the packing/quality ops want
+    as input. Span order and offsets are preserved (offsets are document
+    positions, not re-numbered). ZERO shuffle: one array filter aligned by
+    index with the flags transform, all inside a single projection."""
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    spans = F.col(spans_col)
+    flags = _span_content_flags(spans, stop_arr, min_tokens, min_stop_ppm)
+    kept = F.filter(
+        spans,
+        lambda s, i: (s["kind"] == F.lit("media"))
+        | F.get(flags, i)["is_content"],
+    )
+    others = [c for c in documents.columns if c != spans_col]
+    return documents.select(*others, kept.alias(spans_col))
+
+
 def audio_segment_plan(
     media: DataFrame,
     window_ms: int = 30_000,

@@ -612,6 +612,54 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(f"{text_col}_redacted", cur)
 
 
+#: Soft-404 marker families. Each pattern is deliberately portable across
+#: Java regex (Spark) and RE2 (DuckDB oracle): inline (?i), alternation and
+#: optional groups only — no lookaround, no backreferences.
+SOFT404_MARKERS = (
+    ("notfound", r"(?i)(page|file|document) not found|error 404|404 (error|not found)"),
+    ("gone", r"(?i)no longer (available|exists)|has been (removed|deleted|moved)"),
+    ("missing", r"(?i)(does not|doesn.t) exist|could ?n.t find|nothing was found"),
+    ("gohome", r"(?i)try searching|return to (the )?home ?page|back to (the )?home"),
+)
+
+
+def soft404_score(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: int = 2,
+) -> DataFrame:
+    """Soft-404 detection: pages that answer HTTP 200 but are really error
+    pages ("Page not found — return to homepage"). They poison both the
+    crawl (their links are chrome, not content) and training data (they
+    are near-identical boilerplate at enormous multiplicity). Heritrix and
+    Common Crawl both post-filter these; the reference stores whatever the
+    server sends (`src/kermit/extensions/ext.offline.coffee` keeps any
+    FETCHED body).
+
+    Per SOFT404_MARKERS family, counts occurrences in ``text_col``
+    (null-safe); ``soft404_score`` is the total across families and
+    ``is_soft404`` flags score >= ``threshold`` (default 2: one phrase
+    alone — a page ABOUT 404 handling — shouldn't trip it). Combine with
+    the http status column upstream if only 200-responses should be
+    considered; the op itself is pure text.
+
+    Scale shape: map-only regexp codegen, no Python, no shuffle — same
+    cost model as redact_pii."""
+    if threshold < 1:
+        raise ValueError(f"need threshold >= 1, got {threshold}")
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    score = F.lit(0)
+    for kind, pat in SOFT404_MARKERS:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("long")
+        )
+        score = score + F.col(f"n_{kind}")
+    return out.withColumn("soft404_score", score.cast("long")).withColumn(
+        "is_soft404", F.col("soft404_score") >= F.lit(threshold)
+    )
+
+
 def min_shingle_fingerprint(text: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Portable document fingerprint: the n smallest md5(shingle) digests,
     concatenated. Engine-independent (md5 + sort) — the oracle-checkable

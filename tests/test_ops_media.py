@@ -247,3 +247,93 @@ def test_interleaved_quality_plan_has_no_shuffle(interleaved):
 
     plan = interleaved_quality(interleaved)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span classification / content extraction
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def navful(spark):
+    # b1: nav block (link, short text, link) + prose + media + stopword-free
+    #     keyword run + tiny span + null-text span
+    rows = [
+        (
+            "b1", "u1", "text/html", 200,
+            [
+                ("link", "home", "/home", 0),
+                ("text", "Menu Home About", None, 1),
+                ("link", "about", "/about", 2),
+                ("text", "the quick brown fox jumped over the lazy dog", None, 3),
+                ("media", None, "/img/a.png", 4),
+                ("text", "alpha beta gamma delta epsilon zeta", None, 5),
+                ("text", "tiny", None, 6),
+                ("text", None, None, 7),
+            ],
+        ),
+        # b2: long sandwiched span with stopwords -> still boilerplate
+        (
+            "b2", "u2", "text/html", 200,
+            [
+                ("link", "prev", "/p", 0),
+                ("text", "this is the big navigation bar of the site", None, 1),
+                ("link", "next", "/n", 2),
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, SPANS_DDL)
+
+
+def test_classify_spans_rules(navful):
+    from kermit_spark.ops.media import classify_spans
+
+    out = {(r["doc_id"], r["offset"]): r for r in classify_spans(navful).collect()}
+    # only text spans appear
+    assert set(out) == {("b1", 1), ("b1", 3), ("b1", 5), ("b1", 6), ("b1", 7), ("b2", 1)}
+    nav = out[("b1", 1)]
+    assert nav["sandwiched"] and not nav["is_content"]
+    prose = out[("b1", 3)]
+    assert (prose["n_tokens"], prose["stop_ppm"]) == (9, 222_222)
+    assert prose["is_content"] and not prose["sandwiched"]
+    # stopword-free keyword run: long enough but zero stop density
+    assert not out[("b1", 5)]["is_content"] and out[("b1", 5)]["n_tokens"] == 6
+    assert not out[("b1", 6)]["is_content"]     # token floor
+    assert out[("b1", 7)]["n_tokens"] == 0 and not out[("b1", 7)]["is_content"]
+    # sandwich overrides length AND stop density
+    b2 = out[("b2", 1)]
+    assert b2["n_tokens"] == 9 and b2["stop_ppm"] > 100_000 and b2["sandwiched"]
+    assert not b2["is_content"]
+
+
+def test_classify_spans_validates_and_zero_shuffle(navful):
+    from kermit_spark.ops.media import classify_spans
+
+    with pytest.raises(ValueError):
+        classify_spans(navful, stopwords=())
+    with pytest.raises(ValueError):
+        classify_spans(navful, min_tokens=-1)
+    plan = classify_spans(navful)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_strip_boilerplate_keeps_content_and_media(navful):
+    from kermit_spark.ops.media import strip_boilerplate
+
+    out = {r["doc_id"]: r["spans"] for r in strip_boilerplate(navful).collect()}
+    kept = [(s["kind"], s["offset"]) for s in out["b1"]]
+    # content prose + media survive, in original order with original offsets
+    assert kept == [("text", 3), ("media", 4)]
+    assert out["b2"] == []
+    plan = strip_boilerplate(navful)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_strip_boilerplate_partition_invariance(navful):
+    from kermit_spark.ops.media import strip_boilerplate
+
+    a = sorted((r["doc_id"], tuple(map(tuple, r["spans"])))
+               for r in strip_boilerplate(navful.repartition(1)).collect())
+    b = sorted((r["doc_id"], tuple(map(tuple, r["spans"])))
+               for r in strip_boilerplate(navful.repartition(7)).collect())
+    assert a == b

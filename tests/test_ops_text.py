@@ -557,3 +557,41 @@ def test_hashed_linear_score_validates_and_zero_shuffle(spark):
         hashed_linear_score(df, {9: 1}, 8)
     plan = hashed_linear_score(df, {0: 1}, 8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection
+# ---------------------------------------------------------------------------
+
+
+def test_soft404_score_flags_error_pages(spark):
+    from kermit_spark.ops.text import soft404_score
+
+    rows = [
+        (1, "Page Not Found. The page you requested does not exist. "
+            "Return to the homepage."),                       # 3 markers
+        (2, "Our guide to error 404 handling in web servers."),  # 1 marker
+        (3, "perfectly ordinary prose about foxes and dogs"),    # 0
+        (4, None),                                               # null-safe
+        (5, "404 not found — this file has been removed, try searching."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in soft404_score(df).collect()}
+    assert out[1]["soft404_score"] == 3 and out[1]["is_soft404"]
+    assert (out[1]["n_notfound"], out[1]["n_missing"], out[1]["n_gohome"]) == (1, 1, 1)
+    # single mention (an article ABOUT 404s) stays below the default threshold
+    assert out[2]["soft404_score"] == 1 and not out[2]["is_soft404"]
+    assert out[3]["soft404_score"] == 0 and not out[3]["is_soft404"]
+    assert out[4]["soft404_score"] == 0 and not out[4]["is_soft404"]
+    assert out[5]["soft404_score"] == 3 and out[5]["is_soft404"]
+
+
+def test_soft404_threshold_and_plan(spark):
+    from kermit_spark.ops.text import soft404_score
+
+    df = spark.createDataFrame([(1, "page not found")], "doc_id long, text string")
+    assert soft404_score(df, threshold=1).collect()[0]["is_soft404"]
+    with pytest.raises(ValueError):
+        soft404_score(df, threshold=0)
+    plan = soft404_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
