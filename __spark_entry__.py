@@ -1100,6 +1100,21 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-dedup through the REAL library op
+    (ops.similarity.semdedup): md5-sample centroids, argmax-cosine cell
+    assignment, within-cell keep-lowest-id near-dup drop at cosine >=
+    0.95 with the 200-row keeper-pool cap active. The oracle replays
+    centroids, assignment, pool and pair verification with the exact
+    Spark float fold."""
+    from kermit_spark.ops.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(
+        emb, n_clusters=16, threshold=0.95, id_col="vec_id", max_cluster=200
+    ).orderBy("vec_id")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed multi-probe ANN through the REAL library op
     (ops.similarity.lsh_topk). The hyperplanes are md5-derived (engine-
@@ -1250,6 +1265,44 @@ _SOFT404_FULL_BLOCK = (
     " Page not found: this document does not exist. Return to the homepage."
 )
 _SOFT404_MENTION = " see our error 404 guide"
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup through the REAL library op
+    (ops.text.domain_quality_rollup): integerized per-doc quality scores
+    (e4 units) aggregated per source, low-quality ratio in ppm, and the
+    block decision at min_docs=3 / max_low_ppm=400000 — thresholds chosen
+    so the synthetic sources split into blocked and kept."""
+    from kermit_spark.ops.text import domain_quality_rollup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return domain_quality_rollup(
+        docs, low_threshold=0.5, min_docs=3, max_low_ppm=400_000
+    ).orderBy("source")
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal through the REAL library op
+    (ops.text.dedupe_lines). The corpus text is single-line, so the query
+    builds a lined variant with guaranteed duplicates — two 40-char chunks
+    each appearing twice plus a blank separator — identically in the
+    oracle; default min_chars=1 keeps blank-line duplicates."""
+    from kermit_spark.ops.text import dedupe_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    c0 = F.substring(base, 1, 40)
+    c1 = F.substring(base, 41, 40)
+    lined = docs.select(
+        "doc_id", F.concat_ws("\n", c0, c1, F.lit(""), c0, c1).alias("text")
+    )
+    return (
+        dedupe_lines(lined)
+        .select("doc_id", "text_deduped", "n_lines", "n_kept")
+        .orderBy("doc_id")
+    )
 
 
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
+        "semdedup": q_semdedup,
         # text analysis
         "text_langid": q_text_langid,
         "text_normalize": q_text_normalize,
@@ -1756,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "text_redact": q_text_redact,
         "text_soft404": q_text_soft404,
+        "text_line_dedup": q_text_line_dedup,
+        "domain_quality": q_domain_quality,
         "text_chunks": q_text_chunks,
         "corpus_vocab": q_corpus_vocab,
         "text_pack": q_text_pack,
@@ -1973,6 +2029,55 @@ def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
         )
         SELECT query_id, rnk, neighbor_id, score
         FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def _semdedup_oracle(
+    n_centroids: int = 16, threshold: float = 0.95, max_cluster: int = 200
+) -> str:
+    """DuckDB replication of ops.similarity.semdedup: md5-sample centroids
+    + argmax-cosine cells (shared with _ann_ivf_oracle), lowest-id keeper
+    pool per cell, keep = no pool member with smaller id at
+    round(cosine, 6) >= threshold. Float ops use the exact Spark fold."""
+    cos_assign = f"""list_reduce(list_transform(generate_series(1, len(vv.v)),
+                       i -> vv.v[i] * ce.cv[i]), {_LSH_FOLD})
+                   / (sqrt(list_reduce(list_transform(vv.v, x -> x * x), {_LSH_FOLD}))
+                      * sqrt(list_reduce(list_transform(ce.cv, x -> x * x), {_LSH_FOLD})))"""
+    return f"""
+        WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INTEGER - 1 AS cell,
+                   v AS cv
+            FROM vec QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_centroids}
+        ),
+        assign AS (
+            SELECT vv.vec_id, ce.cell, {cos_assign} AS sim
+            FROM vec vv, cent ce
+        ),
+        corpus_cell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM assign) WHERE rn = 1
+        ),
+        pool AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+                FROM corpus_cell) WHERE rn <= {max_cluster}
+        ),
+        dropped AS (
+            SELECT DISTINCT x.vec_id
+            FROM corpus_cell x
+            JOIN pool y ON y.cell = x.cell AND y.vec_id < x.vec_id
+            JOIN vec qv ON qv.vec_id = x.vec_id
+            JOIN vec nv ON nv.vec_id = y.vec_id
+            WHERE {_lsh_cosine_sql(6)} >= {threshold}
+        )
+        SELECT cc.vec_id, cc.cell, d.vec_id IS NULL AS keep
+        FROM corpus_cell cc LEFT JOIN dropped d ON d.vec_id = cc.vec_id
+        ORDER BY cc.vec_id
     """
 
 
@@ -3123,6 +3228,65 @@ def oracle_sql() -> dict[str, str]:
         # Soft-404 detection: generated from the SAME SOFT404_MARKERS
         # constant with the identical per-residue text injection.
         "text_soft404": _soft404_oracle(),
+        # SemDeDup: md5-sample centroids + argmax cells + within-cell
+        # keep-lowest-id at cosine >= 0.95 (Spark float fold throughout).
+        "semdedup": _semdedup_oracle(n_centroids=16, threshold=0.95, max_cluster=200),
+        # Within-doc line dedup: same lined synthesis, 1-based index lambda
+        # mirrors Spark's array_position == i + 1 first-occurrence rule.
+        "text_line_dedup": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                                 substring(coalesce(text, ''), 1, 40),
+                                 substring(coalesce(text, ''), 41, 40),
+                                 '',
+                                 substring(coalesce(text, ''), 1, 40),
+                                 substring(coalesce(text, ''), 41, 40)) AS t
+                FROM documents
+            ),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM lined),
+            k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines,
+                           (x, i) -> length(x) < 1 OR list_position(lines, x) = i)
+                           AS kept
+                FROM l
+            )
+            SELECT doc_id, array_to_string(kept, chr(10)) AS text_deduped,
+                   len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept
+            FROM k ORDER BY doc_id
+        """,
+        # Domain rollup: per-doc e4 score identical to the text_quality
+        # oracle, then order-independent integer aggregation per source.
+        "domain_quality": r"""
+            WITH f AS (
+                SELECT doc_id, source,
+                       length(text) AS n_chars2,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS n_stop
+                FROM documents
+            ),
+            s AS (
+                SELECT source, n_tokens,
+                       floor((least(n_tokens / 100.0, 1.0) * 0.3
+                          + (floor((n_alpha::DOUBLE / greatest(n_chars2, 1)) * 10000.0 + 0.5) / 10000.0) * 0.4
+                          + least((floor((n_stop::DOUBLE / greatest(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0) * 5.0, 1.0) * 0.3)
+                         * 10000.0 + 0.5)::BIGINT AS s4
+                FROM f
+            ),
+            g AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(n_tokens)::BIGINT AS sum_tokens,
+                       (sum(s4) // count(*))::BIGINT AS avg_score_e4,
+                       sum((s4 < 5000)::INT)::BIGINT AS n_low
+                FROM s GROUP BY source
+            )
+            SELECT source, n_docs, sum_tokens, avg_score_e4, n_low,
+                   (n_low * 1000000 // n_docs)::BIGINT AS low_ppm,
+                   (n_docs >= 3 AND n_low * 1000000 // n_docs >= 400000) AS blocked
+            FROM g ORDER BY source
+        """,
         # Boilerplate span classification: replays the chrome+body span
         # synthesis and the integerized jusText-style rules.
         "spans_boilerplate": _boilerplate_oracle(),

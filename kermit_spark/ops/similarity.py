@@ -338,6 +338,92 @@ def ivf_index_topk(
     return _topk_per_query(scored, k)
 
 
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = 200,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster the embedding space coarsely, then
+    drop within-cluster cosine near-duplicates — the cluster step bounds
+    the pair search so the method scales where all-pairs cannot.
+
+    Clustering reuses the IVF machinery: the deterministic md5-sample
+    centroids (:func:`_centroids_of`) and the argmax-cosine cell
+    assignment (ties -> lowest cell), so the whole decision is
+    engine-portable and DuckDB-oracle-checkable (the paper uses k-means;
+    :func:`kmeans_centroids` plugs in where bit-reproducibility isn't
+    required). Within each cell, a row is DROPPED iff some kept-pool
+    member with a smaller id has round(cosine, round_digits) >=
+    threshold — the keep-lowest-id greedy every other dedup op here uses
+    (the paper keeps the member farthest from the centroid; id-greedy is
+    the deterministic, join-expressible variant).
+
+    ``max_cluster`` bounds the keeper pool per cell (lowest ids): rows
+    beyond it can still be dropped but never cause drops, so per-row work
+    is <= max_cluster comparisons — no B² blowup when a giant boilerplate
+    cluster lands in one cell.
+
+    Returns one row per input row: (id_col, cell, keep).
+
+    Scale shape: cell assignment is map-only (centroids are literal
+    arrays in the plan). With ``max_cluster`` set, the pool is at most
+    n_clusters × max_cluster rows, extracted with ONE narrow (cell, id)
+    shuffle — vectors never shuffle — and both the pool-vector fetch and
+    the verification join broadcast the pool, so the corpus itself is
+    scanned twice and shuffled never."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
+    if n_clusters < 1:
+        raise ValueError(f"need n_clusters >= 1, got {n_clusters}")
+    cents = _centroids_of(corpus, n_clusters, id_col, vec_col)
+    cell_expr, _ = _cell_and_probes(cents, vec_col, n_probe=1)
+    tagged = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        cell_expr.alias("cell"),
+    )
+    if max_cluster is not None:
+        if max_cluster < 1:
+            raise ValueError(f"need max_cluster >= 1, got {max_cluster}")
+        # pool ids first WITHOUT vectors (narrow shuffle), then fetch the
+        # pool's vectors with a broadcast semi-join — map-only on the corpus
+        wcap = Window.partitionBy("cell").orderBy("_id")
+        pool_ids = (
+            tagged.select("cell", "_id")
+            .withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= max_cluster)
+            .drop("_rn")
+        )
+        pool = tagged.join(F.broadcast(pool_ids), ["cell", "_id"], "semi")
+        right = F.broadcast(
+            pool.select("cell", F.col("_id").alias("_yid"), F.col("_v").alias("_yv"))
+        )
+    else:
+        right = tagged.select(
+            "cell", F.col("_id").alias("_yid"), F.col("_v").alias("_yv")
+        )
+    left = tagged.select("cell", F.col("_id").alias("_xid"), F.col("_v").alias("_xv"))
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("_yid") < F.col("_xid"))
+        .filter(F.round(cosine_expr("_xv", "_yv"), round_digits) >= F.lit(threshold))
+        .select(F.col("_xid").alias("_did"))
+        .distinct()
+    )
+    return tagged.join(
+        dropped, tagged["_id"] == dropped["_did"], "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "cell",
+        F.col("_did").isNull().alias("keep"),
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs the approximate index recovered."""
     e = exact.select("query_id", "neighbor_id")

@@ -107,6 +107,82 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def domain_quality_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    low_threshold: float = 0.5,
+    min_docs: int = 3,
+    max_low_ppm: int = 500_000,
+) -> DataFrame:
+    """Domain-level quality aggregation — the RefinedWeb/C4-style rollup
+    that blocks whole domains whose pages are mostly junk, instead of (or
+    before) filtering page by page. The reference filters per-URL only
+    (`src/kermit/Filters.coffee`); at 100 TB the domain rollup is what
+    keeps a spam host from costing a billion per-page evaluations.
+
+    Per ``group_col`` group: doc and token counts, the mean
+    :func:`quality_features` composite score, and the fraction of docs
+    scoring below ``low_threshold``. A group is ``blocked`` when it has at
+    least ``min_docs`` docs AND its low-quality fraction reaches
+    ``max_low_ppm`` (parts per million).
+
+    All statistics are integerized before aggregating (score -> e4 units,
+    ratios -> ppm) so sums are order-independent longs and the rollup is
+    bit-reproducible on any engine — float sums would depend on partition
+    order. One shuffle, on ``group_col``, with map-side partial
+    aggregation; domains are tiny relative to docs, so the output is
+    broadcast-able into :func:`filter_blocked_domains`."""
+    if not 0.0 <= low_threshold <= 1.0:
+        raise ValueError(f"need 0 <= low_threshold <= 1, got {low_threshold}")
+    if min_docs < 1 or max_low_ppm < 0:
+        raise ValueError(
+            f"need min_docs >= 1 and max_low_ppm >= 0; got {min_docs}, {max_low_ppm}"
+        )
+    feats = quality_features(df, text_col)
+    # q_score is round_half_up(.., 4): q_score*1e4 is integral up to 1 ulp,
+    # so floor(x + 0.5) recovers the exact integer e4 representation
+    score_e4 = F.floor(F.col("q_score") * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    thr_e4 = int(low_threshold * 10_000)
+    rolled = (
+        feats.select(
+            F.col(group_col),
+            F.col("q_tokens").cast("long").alias("_tok"),
+            score_e4.alias("_s4"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("sum_tokens"),
+            F.floor(F.sum("_s4") / F.count(F.lit(1))).cast("long").alias("avg_score_e4"),
+            F.sum((F.col("_s4") < F.lit(thr_e4)).cast("long")).alias("n_low"),
+        )
+    )
+    low_ppm = F.floor(F.col("n_low") * F.lit(1_000_000) / F.col("n_docs")).cast("long")
+    return rolled.select(
+        group_col,
+        "n_docs",
+        "sum_tokens",
+        "avg_score_e4",
+        "n_low",
+        low_ppm.alias("low_ppm"),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (low_ppm >= F.lit(max_low_ppm))
+        ).alias("blocked"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame, rollup: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Drop every doc whose domain the :func:`domain_quality_rollup`
+    blocked. Broadcast anti-join: the blocked-domain list is tiny, the
+    corpus never shuffles."""
+    blocked = rollup.filter(F.col("blocked")).select(group_col)
+    return df.join(F.broadcast(blocked), group_col, "left_anti")
+
+
 # Gopher document-shape rules (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", §A1.1 — public). The
 # paper's 8 high-frequency English stopwords for the ≥2-stopwords rule:
@@ -657,6 +733,42 @@ def soft404_score(
         score = score + F.col(f"n_{kind}")
     return out.withColumn("soft404_score", score.cast("long")).withColumn(
         "is_soft404", F.col("soft404_score") >= F.lit(threshold)
+    )
+
+
+def dedupe_lines(
+    df: DataFrame, text_col: str = "text", min_chars: int = 1
+) -> DataFrame:
+    """Within-document exact repeated-line removal — the classic crawl
+    cleanup for per-page boilerplate (nav items, cookie banners, footers
+    repeated inside one page). CCNet/RefinedWeb run the same pass before
+    corpus-level dedup; the reference stores bodies verbatim
+    (`src/kermit/extensions/ext.offline.coffee`) and leaves cleanup
+    downstream — this is that downstream pass.
+
+    Splits ``text_col`` on newlines and keeps a line iff it is the FIRST
+    occurrence of that exact string in the document; lines shorter than
+    ``min_chars`` (e.g. blank separators) are always kept. Adds
+    ``{text_col}_deduped`` (kept lines re-joined with newlines, original
+    order), ``n_lines`` and ``n_kept``.
+
+    Scale shape: map-only — one higher-order array expression per row
+    inside codegen, no Python, no shuffle. Per-row cost is O(lines²)
+    string compares (array_position scan), fine for web pages; chunk
+    pathological documents upstream."""
+    if min_chars < 0:
+        raise ValueError(f"need min_chars >= 0, got {min_chars}")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < F.lit(min_chars))
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias(f"{text_col}_deduped"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 

@@ -154,3 +154,68 @@ def test_ivf_kmeans_centroids_recall(spark, emb, tmp_path):
     # 3 natural clusters, 6 cells, 2 probes: the data-adaptive quantizer
     # should recover most exact neighbors
     assert r >= 0.6, r
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_near_identical_keeps_lowest_id(spark, emb, vectors):
+    from kermit_spark.ops.similarity import semdedup
+
+    # append exact copies of vectors 0 and 1 under higher ids
+    dup_rows = [(100, [float(x) for x in vectors[0]]),
+                (101, [float(x) for x in vectors[1]])]
+    dups = spark.createDataFrame(dup_rows, "id long, embedding array<double>")
+    corpus = emb.unionByName(dups)
+    out = {r["id"]: r for r in semdedup(corpus, n_clusters=4, threshold=0.999).collect()}
+    assert len(out) == N + 2                       # one row per input row
+    assert out[0]["keep"] and out[1]["keep"]       # originals (lowest ids) kept
+    assert not out[100]["keep"] and not out[101]["keep"]
+    # an exact copy lands in the SAME cell as its original
+    assert out[100]["cell"] == out[0]["cell"]
+
+
+def test_semdedup_threshold_monotone_and_validates(spark, emb):
+    from kermit_spark.ops.similarity import semdedup
+
+    strict = semdedup(emb, n_clusters=4, threshold=0.999)
+    loose = semdedup(emb, n_clusters=4, threshold=0.8)
+    n_strict = strict.filter("NOT keep").count()
+    n_loose = loose.filter("NOT keep").count()
+    assert n_strict <= n_loose
+    with pytest.raises(ValueError):
+        semdedup(emb, threshold=0.0)
+    with pytest.raises(ValueError):
+        semdedup(emb, n_clusters=0)
+    with pytest.raises(ValueError):
+        semdedup(emb, max_cluster=0)
+
+
+def test_semdedup_max_cluster_bounds_droppers(spark):
+    """With max_cluster=1 only the single lowest id per cell can cause
+    drops — a chain of identicals loses everyone but the pool member."""
+    from kermit_spark.ops.similarity import semdedup
+
+    vec = [1.0] * 8
+    rows = [(i, vec) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = semdedup(df, n_clusters=2, threshold=0.99, max_cluster=1)
+    kept = sorted(r["id"] for r in out.filter("keep").collect())
+    assert kept == [0]                 # id 0 is the pool; everyone else drops
+    # uncapped gives the same answer here (all pairwise identical)
+    out2 = semdedup(df, n_clusters=2, threshold=0.99, max_cluster=None)
+    assert sorted(r["id"] for r in out2.filter("keep").collect()) == [0]
+
+
+def test_semdedup_plan_broadcasts_pool(spark, emb):
+    """With the cap on, the verification join must broadcast the pool —
+    the corpus side never shuffles for the join."""
+    from kermit_spark.ops.similarity import semdedup
+
+    plan = (
+        semdedup(emb, n_clusters=4, threshold=0.95, max_cluster=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -595,3 +595,81 @@ def test_soft404_threshold_and_plan(spark):
         soft404_score(df, threshold=0)
     plan = soft404_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# domain quality rollup / blocklist
+# ---------------------------------------------------------------------------
+
+
+GOOD = ("the cat and the dog are friends that live in a house with the family "
+        "and they play in the garden all day, which is lovely to see.")
+JUNK = "xx 0@@@#### !!!! ~~~~ %%%%"
+
+
+def test_domain_quality_rollup_blocks_junk_domains(spark):
+    from kermit_spark.ops.text import domain_quality_rollup, filter_blocked_domains
+
+    rows = (
+        [(i, "good.com", GOOD) for i in range(4)]
+        + [(10 + i, "junk.com", JUNK) for i in range(4)]
+        + [(20, "tiny.com", JUNK)]          # junky but below min_docs
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    roll = {r["source"]: r for r in domain_quality_rollup(df, min_docs=3).collect()}
+    assert not roll["good.com"]["blocked"]
+    assert roll["junk.com"]["blocked"] and roll["junk.com"]["low_ppm"] == 1_000_000
+    assert not roll["tiny.com"]["blocked"]          # min_docs guard
+    assert roll["good.com"]["n_docs"] == 4
+    assert roll["good.com"]["avg_score_e4"] > roll["junk.com"]["avg_score_e4"]
+
+    kept = filter_blocked_domains(df, domain_quality_rollup(df, min_docs=3))
+    assert sorted(r["source"] for r in kept.select("source").distinct().collect()) == [
+        "good.com", "tiny.com"
+    ]
+
+
+def test_domain_quality_rollup_validates_and_single_shuffle(spark):
+    from kermit_spark.ops.text import domain_quality_rollup
+
+    df = spark.createDataFrame([(1, "a", GOOD)], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        domain_quality_rollup(df, low_threshold=2.0)
+    with pytest.raises(ValueError):
+        domain_quality_rollup(df, min_docs=0)
+    plan = domain_quality_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1          # one shuffle, on the group key
+
+
+# ---------------------------------------------------------------------------
+# within-document line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedupe_lines_keeps_first_occurrence(spark):
+    from kermit_spark.ops.text import dedupe_lines
+
+    text = "Cookie banner\nreal paragraph one\nCookie banner\n\nreal two\n\nreal paragraph one"
+    df = spark.createDataFrame([(1, text), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedupe_lines(df).collect()}
+    r = out[1]
+    # duplicates removed, blank lines (below min_chars) both kept, order held
+    assert r["text_deduped"] == "Cookie banner\nreal paragraph one\n\nreal two\n"
+    assert (r["n_lines"], r["n_kept"]) == (7, 5)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 1)   # null-safe
+
+    # min_chars=0: blank-line duplicates dedupe too
+    strict = dedupe_lines(df, min_chars=0).collect()
+    r0 = {x["doc_id"]: x for x in strict}[1]
+    assert r0["text_deduped"] == "Cookie banner\nreal paragraph one\n\nreal two"
+    assert r0["n_kept"] == 4
+
+
+def test_dedupe_lines_validates_and_zero_shuffle(spark):
+    from kermit_spark.ops.text import dedupe_lines
+
+    df = spark.createDataFrame([(1, "a\na")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedupe_lines(df, min_chars=-1)
+    plan = dedupe_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
