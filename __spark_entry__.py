@@ -654,6 +654,53 @@ def q_interleaved_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_render_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-to-training-string rendering through the REAL library op
+    (ops.media.render_interleaved): text spans trimmed, media spans as the
+    <|image|> sentinel, links and blank text dropped, space-joined in span
+    order — over the shared interleaved synthesis. The oracle re-renders
+    with string_agg ORDER BY offset."""
+    from kermit_spark.ops.media import render_interleaved
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    return render_interleaved(docs).orderBy("doc_id")
+
+
+def q_media_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gallery-run filtering through the REAL library op
+    (ops.media.media_run_stats, max_run=2). The shared synthesis never
+    places two media spans adjacently, so doc_id%4==0 docs get a
+    (doc_id%3 + 2)-image gallery appended after the trailing link —
+    runs of 2 keep, 3-4 drop, and the link between body and gallery
+    proves non-media spans break runs."""
+    from kermit_spark.ops.media import media_run_stats
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+
+    def gal_span(j):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(
+                F.lit("/g/"), F.col("doc_id").cast("string"),
+                F.lit("_"), j.cast("string"), F.lit(".png"),
+            ).alias("media_ref"),
+            (F.lit(1000) + j).cast("int").alias("offset"),
+        )
+
+    full = F.transform(F.sequence(F.lit(1), F.lit(4)), gal_span)
+    g_len = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+               F.pmod(F.col("doc_id"), F.lit(3)) + 2)
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    withgal = docs.select(
+        "doc_id", F.concat(F.col("spans"), F.slice(full, F.lit(1), g_len)).alias("spans")
+    )
+    return media_run_stats(withgal, max_run=2).orderBy("doc_id")
+
+
 def q_spans_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate span classification through the REAL library op
     (ops.media.classify_spans, default thresholds: token floor 4, stop
@@ -1778,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_assets": q_media_assets,
         "interleaved_quality": q_interleaved_quality,
         "spans_boilerplate": q_spans_boilerplate,
+        "render_interleaved": q_render_interleaved,
+        "media_runs": q_media_runs,
         "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -2078,6 +2127,40 @@ def _semdedup_oracle(
         SELECT cc.vec_id, cc.cell, d.vec_id IS NULL AS keep
         FROM corpus_cell cc LEFT JOIN dropped d ON d.vec_id = cc.vec_id
         ORDER BY cc.vec_id
+    """
+
+
+def _render_interleaved_oracle() -> str:
+    """DuckDB twin of q_render_interleaved over the shared interleaved
+    synthesis, with the sentinel taken from the one MEDIA_SENTINEL
+    constant the library op uses."""
+    from kermit_spark.ops.media import MEDIA_SENTINEL
+
+    return f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            pieces AS (
+                SELECT doc_id, off, trim(t) AS piece, 'text' AS kind
+                FROM tspans WHERE length(trim(t)) > 0
+                UNION ALL
+                SELECT doc_id, off, '{MEDIA_SENTINEL}' AS piece, 'media' AS kind
+                FROM mspans
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(piece, ' ' ORDER BY off) AS rendered,
+                       sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT
+                           AS n_media
+                FROM pieces GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id, sum(cost)::BIGINT AS n_text_tokens
+                FROM tcost WHERE cost > 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.rendered, '') AS rendered,
+                   coalesce(tok.n_text_tokens, 0)::BIGINT AS n_text_tokens,
+                   coalesce(a.n_media, 0)::BIGINT AS n_media
+            FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN tok USING (doc_id)
+            ORDER BY d.doc_id
     """
 
 
@@ -2440,6 +2523,52 @@ def oracle_sql() -> dict[str, str]:
                    (last_wave + interval_waves)::BIGINT AS next_due,
                    6 >= last_wave + interval_waves AS overdue
             FROM est ORDER BY url
+        """,
+        # rendering: pieces in span order, media as the SAME MEDIA_SENTINEL
+        # constant the op uses, blank text dropped (cost>0 <=> nonblank),
+        # links never materialized
+        "render_interleaved": _render_interleaved_oracle(),
+        # gallery runs: full span sequence (text+media+link+gallery) by
+        # offset, gaps-and-islands over the media rows, max island size
+        "media_runs": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            lnk AS (SELECT doc_id, (nc*2)::INT AS off, 'link' AS kind FROM d),
+            gal AS (
+                SELECT doc_id, (1000 + j)::INT AS off, 'media' AS kind
+                FROM (SELECT doc_id,
+                             unnest(generate_series(1, (doc_id % 3 + 2)::INT)) AS j
+                      FROM d WHERE doc_id % 4 = 0)
+            ),
+            allsp AS (
+                SELECT doc_id, off, kind FROM tspans
+                UNION ALL SELECT doc_id, off, kind FROM mspans
+                UNION ALL SELECT doc_id, off, kind FROM lnk
+                UNION ALL SELECT doc_id, off, kind FROM gal
+            ),
+            seq AS (
+                SELECT doc_id, kind,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+                FROM allsp
+            ),
+            m AS (
+                SELECT doc_id, rn,
+                       rn - row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS grp
+                FROM seq WHERE kind = 'media'
+            ),
+            runs AS (
+                SELECT doc_id, count(*)::BIGINT AS run FROM m GROUP BY doc_id, grp
+            ),
+            mx AS (SELECT doc_id, max(run) AS max_media_run FROM runs GROUP BY doc_id),
+            nm AS (
+                SELECT doc_id, count(*)::BIGINT AS n_media
+                FROM allsp WHERE kind = 'media' GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nm.n_media, 0)::BIGINT AS n_media,
+                   coalesce(mx.max_media_run, 0)::BIGINT AS max_media_run,
+                   coalesce(mx.max_media_run, 0) <= 2 AS keep
+            FROM d LEFT JOIN mx USING (doc_id) LEFT JOIN nm USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "pack_interleaved": f"""
             WITH {_INTERLEAVED_BASE_SQL},

@@ -470,6 +470,101 @@ def strip_boilerplate(
     return documents.select(*others, kept.alias(spans_col))
 
 
+#: Placeholder token a media span contributes to the rendered training
+#: string — the single-sentinel convention interleaved pretraining sets use
+#: (the tokenizer maps it to the vision-encoder slot downstream).
+MEDIA_SENTINEL = "<|image|>"
+
+
+def render_interleaved(
+    documents: DataFrame,
+    sentinel: str = MEDIA_SENTINEL,
+    sep: str = " ",
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Render an interleaved document to ONE training string — the last
+    pipeline stage before tokenization, as in interleaved image-text
+    pretraining corpora (OBELICS, Laurençon et al. 2023, public): text
+    spans contribute their trimmed text, media spans the ``sentinel``
+    placeholder, link spans and blank text spans drop; pieces join with
+    ``sep`` in span order.
+
+    Returns (id_col, rendered, n_text_tokens, n_media) — the token count
+    covers text only (the sentinel's cost is model-dependent; see
+    pack_interleaved's media_cost for budgeting).
+
+    Scale shape: ZERO shuffle — one filter/transform/array_join chain plus
+    a token-cost fold, all higher-order array algebra in a single codegen
+    projection."""
+    spans = F.col(spans_col)
+    txt = lambda s: F.trim(F.coalesce(s["text"], F.lit("")))  # noqa: E731
+    kept = F.filter(
+        spans,
+        lambda s: (s["kind"] == F.lit("media"))
+        | ((s["kind"] == F.lit("text")) & (F.length(txt(s)) > 0)),
+    )
+    pieces = F.transform(
+        kept,
+        lambda s: F.when(s["kind"] == F.lit("media"), F.lit(sentinel)).otherwise(
+            txt(s)
+        ),
+    )
+    n_tokens = F.aggregate(
+        F.filter(kept, lambda s: s["kind"] == F.lit("text")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + _span_token_cost(s["text"]),
+    )
+    n_media = F.size(
+        F.filter(kept, lambda s: s["kind"] == F.lit("media"))
+    ).cast("long")
+    return documents.select(
+        F.col(id_col).alias(id_col),
+        F.array_join(pieces, sep).alias("rendered"),
+        n_tokens.alias("n_text_tokens"),
+        n_media.alias("n_media"),
+    )
+
+
+def media_run_stats(
+    documents: DataFrame,
+    max_run: int = 3,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Consecutive-media (gallery) filter for interleaved documents — the
+    OBELICS-style rule that drops image-gallery pages: long runs of media
+    spans with no prose between them carry no alignment signal. Any
+    non-media span (text, link) breaks a run.
+
+    Returns (id_col, n_media, max_media_run, keep) with
+    keep = max_media_run <= ``max_run``.
+
+    Scale shape: ZERO shuffle — the run length is one left fold
+    (F.aggregate with a (current, best) struct accumulator) over the spans
+    array inside a single codegen projection."""
+    if max_run < 0:
+        raise ValueError(f"need max_run >= 0, got {max_run}")
+    spans = F.col(spans_col)
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(zero.alias("cur"), zero.alias("best"))
+
+    def step(acc, s):
+        cur = F.when(s["kind"] == F.lit("media"), acc["cur"] + 1).otherwise(zero)
+        return F.struct(cur.alias("cur"), F.greatest(acc["best"], cur).alias("best"))
+
+    run = F.aggregate(spans, acc0, step, lambda a: a["best"])
+    n_media = F.size(
+        F.filter(spans, lambda s: s["kind"] == F.lit("media"))
+    ).cast("long")
+    return documents.select(
+        F.col(id_col).alias(id_col),
+        n_media.alias("n_media"),
+        run.alias("max_media_run"),
+        (run <= F.lit(max_run)).alias("keep"),
+    )
+
+
 def audio_segment_plan(
     media: DataFrame,
     window_ms: int = 30_000,

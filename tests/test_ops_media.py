@@ -337,3 +337,59 @@ def test_strip_boilerplate_partition_invariance(navful):
     b = sorted((r["doc_id"], tuple(map(tuple, r["spans"])))
                for r in strip_boilerplate(navful.repartition(7)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# interleaved rendering / gallery-run filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def gallery(spark):
+    rows = [
+        ("g1", "u1", "text/html", 200,
+         [("text", " intro prose ", None, 0),
+          ("media", None, "/a.png", 1),
+          ("link", "next", "/n", 2),
+          ("media", None, "/b.png", 3),
+          ("media", None, "/c.png", 4),
+          ("text", "", None, 5),           # blank text: dropped in render
+          ("text", "tail", None, 6)]),
+        ("g2", "u2", "text/html", 200,
+         [("media", None, "/d.png", 0),
+          ("media", None, "/e.png", 1),
+          ("media", None, "/f.png", 2),
+          ("media", None, "/g.png", 3)]),
+        ("g3", "u3", "text/html", 200, [("text", "only words here", None, 0)]),
+    ]
+    return spark.createDataFrame(rows, SPANS_DDL)
+
+
+def test_render_interleaved(gallery):
+    from kermit_spark.ops.media import render_interleaved
+
+    out = {r["doc_id"]: r for r in render_interleaved(gallery).collect()}
+    g1 = out["g1"]
+    # link and blank text dropped; text trimmed; media -> sentinel
+    assert g1["rendered"] == "intro prose <|image|> <|image|> <|image|> tail"
+    assert (g1["n_text_tokens"], g1["n_media"]) == (3, 3)
+    assert out["g2"]["rendered"] == "<|image|> <|image|> <|image|> <|image|>"
+    assert (out["g2"]["n_text_tokens"], out["g2"]["n_media"]) == (0, 4)
+    assert out["g3"]["rendered"] == "only words here"
+    plan = render_interleaved(gallery)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_media_run_stats(gallery):
+    from kermit_spark.ops.media import media_run_stats
+
+    out = {r["doc_id"]: r for r in media_run_stats(gallery, max_run=2).collect()}
+    # g1: link breaks the first run; best run is the b/c pair
+    assert (out["g1"]["max_media_run"], out["g1"]["n_media"]) == (2, 3)
+    assert out["g1"]["keep"]
+    assert (out["g2"]["max_media_run"], out["g2"]["keep"]) == (4, False)
+    assert (out["g3"]["max_media_run"], out["g3"]["keep"]) == (0, True)
+    with pytest.raises(ValueError):
+        media_run_stats(gallery, max_run=-1)
+    plan = media_run_stats(gallery)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
