@@ -521,10 +521,18 @@ def substring_dup_spans(
         (transform/sequence/substring/md5 inside whole-stage codegen) —
         window TEXT never leaves the scan stage; only (md5, id, offset)
         rows shuffle, constant-size per window regardless of k;
-      * duplicated-hash detection is a hash agg on the digest with
-        map-side partial count-distinct; the join back is 1:1 per window
-        occurrence (each occurrence reported at most once — linear in
-        corpus size, never pairwise like candidate-pair generation);
+      * duplicated-window detection is a SINGLE shuffle on the key:
+        dense_rank-by-document + max-over-group computes the distinct-doc
+        count on the same exchange that carries the occurrences, so
+        windows are generated and shuffled ONCE — the groupBy +
+        join-back alternative regenerates and reshuffles every window
+        (measured ~3× slower). Group sort cost is bounded by a window's
+        occurrence count, the same bound the join-back shape has on its
+        shuffle skew;
+      * the shuffle key is the window text itself when k <= 32 (a
+        20-char window is SHORTER than its 32-hex md5 — hashing would
+        grow the shuffle AND burn CPU) and md5(window) above that, so
+        key size is bounded by 32 bytes either way;
       * the island merge windows per DOCUMENT, so its sort partition is
         bounded by document length, not corpus size.
     """
@@ -533,34 +541,32 @@ def substring_dup_spans(
     if k < 1 or stride < 1:
         raise ValueError(f"need k >= 1 and stride >= 1, got k={k} stride={stride}")
     text = F.col(text_col)
-    wins = (
-        df.filter(F.length(text) >= k)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.length(text) - k, F.lit(1)),
-                    lambda i: F.struct(
-                        i.cast("long").alias("off"),
-                        F.md5(text.substr(i + 1, F.lit(k))).alias("h"),
-                    ),
-                )
-            ).alias("_w"),
-        )
-        .select("_id", F.col("_w.off").alias("_off"), F.col("_w.h").alias("_h"))
-    )
+    if k <= 32:
+        key_of = lambda i: text.substr(i + 1, F.lit(k))  # noqa: E731
+    else:
+        key_of = lambda i: F.md5(text.substr(i + 1, F.lit(k)))  # noqa: E731
+    wins = df.filter(F.length(text) >= k).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.length(text) - k, F.lit(1)), key_of)
+        ).alias("_off", "_h"),
+    ).withColumn("_off", F.col("_off").cast("long"))
     if stride > 1:
         # winnowing-style MODP selection on the same 48-bit portable prefix
-        # the sampling ops use (digit-sum-reproducible in the oracle)
-        hv = F.conv(F.substring(F.col("_h"), 1, 12), 16, 10).cast("long")
+        # the sampling ops use (digit-sum-reproducible in the oracle). The
+        # selector always works on md5(window), so it matches the
+        # historical rule for both key choices.
+        digest = F.md5(F.col("_h")) if k <= 32 else F.col("_h")
+        hv = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
         wins = wins.filter(F.pmod(hv, F.lit(stride)) == 0)
-    dup_h = (
-        wins.groupBy("_h")
-        .agg(F.countDistinct("_id").alias("_nd"))
+    wh = Window.partitionBy("_h")
+    who = Window.partitionBy("_h").orderBy("_id")
+    hits = (
+        wins.withColumn("_dr", F.dense_rank().over(who))
+        .withColumn("_nd", F.max("_dr").over(wh))
         .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+        .select("_id", "_off")
     )
-    hits = wins.join(dup_h, "_h").select("_id", "_off")
     w = Window.partitionBy("_id").orderBy("_off")
     gap_break = (
         F.when(F.col("_off") - F.lag("_off").over(w) > k, F.lit(1))
