@@ -1162,6 +1162,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection through the REAL library op
+    (ops.similarity.random_projection, out_dim=8): md5-derived plane
+    dots scaled by 1/sqrt(8), rounded to 6 digits. Exploded to
+    (vec_id, j, comp) rows so the value compare covers every component;
+    the oracle reuses the shared planes/dots CTEs with the identical
+    float fold."""
+    from kermit_spark.ops.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_projection(emb, out_dim=8, id_col="vec_id")
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("j", "comp")
+    ).orderBy("vec_id", "j")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed multi-probe ANN through the REAL library op
     (ops.similarity.lsh_topk). The hyperplanes are md5-derived (engine-
@@ -1849,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
         "semdedup": q_semdedup,
+        "embedding_project": q_embedding_project,
         # text analysis
         "text_langid": q_text_langid,
         "text_normalize": q_text_normalize,
@@ -3360,6 +3377,14 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: md5-sample centroids + argmax cells + within-cell
         # keep-lowest-id at cosine >= 0.95 (Spark float fold throughout).
         "semdedup": _semdedup_oracle(n_centroids=16, threshold=0.95, max_cluster=200),
+        # JL projection: shared planes/dots CTEs, component = d/sqrt(8)
+        "embedding_project": f"""
+            WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {_lsh_bucket_ctes(8)}
+            SELECT vec_id, p::INTEGER AS j,
+                   round(d / sqrt(8.0), 6) AS comp
+            FROM dots ORDER BY vec_id, j
+        """,
         # Within-doc line dedup: same lined synthesis, 1-based index lambda
         # mirrors Spark's array_position == i + 1 first-occurrence rule.
         "text_line_dedup": r"""

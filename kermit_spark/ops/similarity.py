@@ -338,6 +338,49 @@ def ivf_index_topk(
     return _topk_per_query(scored, k)
 
 
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map each embedding to
+    ``out_dim`` components, component p = dot(vec, plane_p)/sqrt(out_dim),
+    using the SAME md5-derived deterministic hyperplanes the LSH ops use
+    (ops.dedup._deterministic_planes) — engine-portable, so the projected
+    vectors are bit-reproducible on any run/cluster and DuckDB-oracle
+    checkable. JL preserves pairwise distances within (1±eps) w.h.p., so
+    downstream ANN / clustering / near-dup passes can run on the small
+    vectors — at 100 TB the projection pays for itself the first time a
+    shuffle carries vectors (64→16 dims = 4× less vector traffic).
+
+    Returns (id_col, projected array<double>) with components rounded to
+    ``round_digits``.
+
+    Scale shape: map-only — planes ride the plan as literal arrays, the
+    whole projection is one codegen projection; no Python, no shuffle, no
+    data-dependent state."""
+    if out_dim < 1:
+        raise ValueError(f"need out_dim >= 1, got {out_dim}")
+    import math
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _deterministic_planes(out_dim, dim)
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.lit(math.sqrt(float(out_dim)))
+    comps = []
+    for p in range(out_dim):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = F.aggregate(
+            F.zip_with(v, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(d / scale, round_digits))
+    return emb.select(F.col(id_col).alias(id_col), F.array(*comps).alias("projected"))
+
+
 def semdedup(
     corpus: DataFrame,
     n_clusters: int = 16,

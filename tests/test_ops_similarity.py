@@ -219,3 +219,43 @@ def test_semdedup_plan_broadcasts_pool(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_numpy_and_preserves_geometry(spark, emb, vectors):
+    from kermit_spark.ops.dedup import _deterministic_planes
+    from kermit_spark.ops.similarity import random_projection
+
+    out_dim = 16
+    out = {r["id"]: np.array(r["projected"])
+           for r in random_projection(emb, out_dim=out_dim).collect()}
+    planes = _deterministic_planes(out_dim, DIM)
+    ref = vectors @ planes.T / np.sqrt(out_dim)
+    for i in range(N):
+        assert np.allclose(out[i], np.round(ref[i], 6), atol=1e-6)
+    # JL: pairwise cosine roughly preserved on the clustered data
+    rng = np.random.default_rng(3)
+    errs = []
+    for _ in range(40):
+        a, b = rng.integers(0, N, 2)
+        if a == b:
+            continue
+        cos = lambda x, y: x @ y / (np.linalg.norm(x) * np.linalg.norm(y))  # noqa: E731
+        errs.append(abs(cos(vectors[a], vectors[b]) - cos(out[a], out[b])))
+    assert np.mean(errs) < 0.15, np.mean(errs)
+
+
+def test_random_projection_validates_and_zero_shuffle(spark, emb):
+    from kermit_spark.ops.similarity import random_projection
+
+    with pytest.raises(ValueError):
+        random_projection(emb, out_dim=0)
+    plan = (
+        random_projection(emb, out_dim=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
