@@ -766,6 +766,50 @@ _BOILER_NAV_TEXT = "browse the site navigation bar and the index here"
 _BOILER_FOOTER_TEXT = "Copyright Notice Inc All Rights Reserved"
 
 
+def q_interleaved_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal curation through TWO composed library ops:
+    chrome-wrapped interleaved docs → ops.media.strip_boilerplate (drops
+    the link-sandwiched nav, the stopword-free footer, short/low-density
+    body chunks, every link) → ops.media.render_interleaved (content text
+    + <|image|> sentinels, span order). Single-chunk docs lose their only
+    chunk to the sandwich rule (chrome link left, trailing link right) —
+    the oracle replays that structural case plus the integerized
+    token/stop-density rules."""
+    from kermit_spark.ops.media import render_interleaved, strip_boilerplate
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+
+    def chrome_link(ref: str, off: int):
+        return F.struct(
+            F.lit("link").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(ref).alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def chrome_text(s: str, off: int):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.lit(s).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.array(
+                chrome_link("/home", -3),
+                chrome_text(_BOILER_NAV_TEXT, -2),
+                chrome_link("/about", -1),
+            ),
+            F.col("spans"),
+            F.array(chrome_text(_BOILER_FOOTER_TEXT, 9999)),
+        ).alias("spans"),
+    )
+    return render_interleaved(strip_boilerplate(wrapped)).orderBy("doc_id")
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl prioritization by link importance through the REAL library
     operator (kermit_spark.ops.graph.pagerank — integer fixed-point
@@ -1843,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_boilerplate": q_spans_boilerplate,
         "render_interleaved": q_render_interleaved,
         "media_runs": q_media_runs,
+        "interleaved_curation": q_interleaved_curation,
         "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -2172,6 +2217,66 @@ def _render_interleaved_oracle() -> str:
             tok AS (
                 SELECT doc_id, sum(cost)::BIGINT AS n_text_tokens
                 FROM tcost WHERE cost > 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.rendered, '') AS rendered,
+                   coalesce(tok.n_text_tokens, 0)::BIGINT AS n_text_tokens,
+                   coalesce(a.n_media, 0)::BIGINT AS n_media
+            FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN tok USING (doc_id)
+            ORDER BY d.doc_id
+    """
+
+
+def _interleaved_curation_oracle() -> str:
+    """DuckDB twin of q_interleaved_curation: over the shared interleaved
+    synthesis, body chunks pass iff token floor + stop density hold AND the
+    structural nc==1 sandwich case doesn't apply (chunk 0 of a single-chunk
+    doc sits between the chrome link and the trailing synth link); the nav
+    is sandwiched and the footer stopword-free by construction, so neither
+    renders; all media spans render as the sentinel. Constants
+    (stopwords, chrome texts, sentinel) come from the same sources the
+    library ops and q use."""
+    from kermit_spark.ops.media import BOILERPLATE_STOPWORDS, MEDIA_SENTINEL
+
+    stops = ", ".join(f"'{w}'" for w in BOILERPLATE_STOPWORDS)
+    return rf"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            feat AS (
+                SELECT s.doc_id, s.off, trim(coalesce(s.t, '')) AS piece,
+                       c.cost,
+                       len(list_filter(
+                           list_filter(
+                               regexp_split_to_array(trim(coalesce(s.t, '')), '\s+'),
+                               x -> length(x) > 0),
+                           x -> list_contains([{stops}], lower(x))))::BIGINT AS n_stop,
+                       d.nc
+                FROM tspans s
+                JOIN tcost c USING (doc_id, off)
+                JOIN d USING (doc_id)
+            ),
+            kept_text AS (
+                SELECT doc_id, off, piece, cost
+                FROM feat
+                WHERE cost >= 4
+                  AND (CASE WHEN cost = 0 THEN 0
+                            ELSE (n_stop * 1000000) // cost END) >= 100000
+                  AND NOT (nc = 1 AND off = 0)
+            ),
+            pieces AS (
+                SELECT doc_id, off, piece, 'text' AS kind FROM kept_text
+                UNION ALL
+                SELECT doc_id, off, '{MEDIA_SENTINEL}' AS piece, 'media' AS kind
+                FROM mspans
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(piece, ' ' ORDER BY off) AS rendered,
+                       sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT
+                           AS n_media
+                FROM pieces GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id, sum(cost)::BIGINT AS n_text_tokens
+                FROM kept_text GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(a.rendered, '') AS rendered,
                    coalesce(tok.n_text_tokens, 0)::BIGINT AS n_text_tokens,
@@ -2545,6 +2650,10 @@ def oracle_sql() -> dict[str, str]:
         # constant the op uses, blank text dropped (cost>0 <=> nonblank),
         # links never materialized
         "render_interleaved": _render_interleaved_oracle(),
+        # composed curation: strip_boilerplate rules + rendering in one
+        # derivation (nav/footer/links excluded by construction, body
+        # chunks by the replayed integer rules, nc==1 sandwich structural)
+        "interleaved_curation": _interleaved_curation_oracle(),
         # gallery runs: full span sequence (text+media+link+gallery) by
         # offset, gaps-and-islands over the media rows, max island size
         "media_runs": f"""
