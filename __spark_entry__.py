@@ -1722,6 +1722,59 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (streaming.stream_exact_dedup:
+    dropDuplicatesWithinWatermark on the content digest) over the
+    documents table as an availableNow file stream, with odd doc_ids
+    collapsed onto per-10-block shared texts so real duplicates exist.
+    Which duplicate row survives a micro-batch is engine-scheduling
+    dependent, so the certified contract is the KEPT DIGEST SET — one row
+    per distinct content, which the oracle derives independently."""
+    import uuid
+
+    from kermit_spark.streaming import stream_exact_dedup
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    ckpt = tempfile.mkdtemp(prefix="kermit_sdedup_ck_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    qname = f"kermit_sdedup_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(ckpt, "src")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .parquet(src_dir)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 2 == 1,
+                    F.concat(F.lit("shared-"), F.floor(F.col("doc_id") / 10).cast("string")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+            )
+        )
+        q = (
+            stream_exact_dedup(stream, watermark="24 hours")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(600)
+        pdf = spark.sql(f"select digest from {qname}").toPandas()
+        out = spark.createDataFrame(pdf, "digest string")
+        return out.orderBy("digest")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WATERMARKED streaming windowed aggregation
     (streaming.stream_windowed_event_counts) over the events table as an
@@ -1936,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
+        "dedup_exact_stream": q_dedup_exact_stream,
         "events_windowed_stream": q_events_windowed_stream,
         "events_windowed": q_events_windowed,
         # monitoring
@@ -3653,6 +3707,16 @@ def oracle_sql() -> dict[str, str]:
         # the streaming op's latest-row-per-session output equals the batch
         # op (see q_events_sessionize_stream), so both share one oracle
         "events_sessionize_stream": _SESSIONIZE_ORACLE,
+        # streaming exact dedup: the kept-digest-set contract — one row per
+        # distinct (dup-injected) content, derivation independent of which
+        # duplicate row the state store happened to keep
+        "dedup_exact_stream": """
+            SELECT DISTINCT md5(coalesce(
+                       CASE WHEN doc_id % 2 = 1
+                            THEN 'shared-' || (doc_id // 10)
+                            ELSE text END, '')) AS digest
+            FROM documents ORDER BY digest
+        """,
         "events_windowed": """
             SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_v

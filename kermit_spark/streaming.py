@@ -270,6 +270,34 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact document dedup — the continuous form of
+    ops.dedup.exact_dedup: md5 the content, keep the FIRST arrival of
+    each digest via ``dropDuplicatesWithinWatermark``, so the dedup state
+    store stays bounded by the watermark horizon instead of growing with
+    the corpus (plain dropDuplicates state grows forever — a
+    non-starter for a long-running ingest).
+
+    The documented trade: a duplicate arriving AFTER its digest's state
+    expired re-emits. Global exactness comes from layering — route the
+    stream's output into the batch ``exact_dedup`` / frontier anti-join,
+    exactly how the frontier composes its Bloom prefilter (fast,
+    approximate, bounded) with the exact snapshot anti-join.
+
+    The digest, not the text, is the dedup key: state entries and any
+    shuffle carry 32 hex chars per doc regardless of document size."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("digest", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 def fetch_metrics_stream(
     events: DataFrame,
     window: str = "1 minute",

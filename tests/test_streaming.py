@@ -219,3 +219,49 @@ def test_stream_windowed_counts_match_batch_op(spark, tmp_path):
     # the late event updated the 10:00 fetch window to n=3, sum 11.0
     ten = a[(a.event_type == "fetch") & (a.window_start == a.window_start.min())]
     assert int(ten["n"].iloc[0]) == 3 and float(ten["sum_v"].iloc[0]) == 11.0
+
+
+def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per content digest
+    across micro-batches (within the watermark horizon) — the streaming
+    twin of ops.dedup.exact_dedup."""
+    from kermit_spark.streaming import stream_exact_dedup
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", "alpha body"),
+        (2, "2024-01-01 10:00:10", "beta body"),
+        (3, "2024-01-01 10:00:20", "alpha body"),     # in-batch dup
+    ]
+    rows2 = [
+        (4, "2024-01-01 10:01:00", "beta body"),      # cross-batch dup
+        (5, "2024-01-01 10:01:10", "gamma body"),
+        (6, "2024-01-01 10:01:20", None),             # null-safe digest
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate([rows1, rows2], 1):
+        p = src / f"b{i}.csv"
+        p.write_text("\n".join(f"{d},{ts},{t if t is not None else ''}" for d, ts, t in rows))
+        os.utime(p, (2_000_000 + i, 2_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select doc_id, text from dedup_stream").collect()
+    kept = sorted(r["doc_id"] for r in got)
+    # first arrival of each distinct content survives; csv reads the empty
+    # field back as null, whose digest is the empty-string digest
+    assert kept == [1, 2, 5, 6]
