@@ -766,6 +766,49 @@ _BOILER_NAV_TEXT = "browse the site navigation bar and the index here"
 _BOILER_FOOTER_TEXT = "Copyright Notice Inc All Rights Reserved"
 
 
+def q_sitemap_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <url> hint parsing through the REAL library op
+    (kermit_spark.robots.sitemap_url_hints). Each doc synthesizes a
+    sitemap with doc_id%3+1 url blocks covering every branch: lastmod
+    present/absent (j parity), changefreq cycling daily/weekly/monthly/
+    bogus (unknown → null interval), priority present/absent with e2
+    integerization. The oracle derives the encoded rows directly —
+    certifying the parser extracts exactly what was encoded."""
+    from kermit_spark.robots import sitemap_url_hints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    nb = F.pmod(F.col("doc_id"), F.lit(3)) + 1
+    freqs = F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"), F.lit("bogus"))
+
+    def block(j):
+        freq = F.get(freqs, F.pmod(F.col("doc_id") + j, F.lit(4)).cast("int"))
+        lastmod = F.when(
+            j % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-01-0"), (j + 1).cast("string"), F.lit("</lastmod>")),
+        ).otherwise(F.lit(""))
+        prio = F.when(
+            j % 3 != 2,
+            F.concat(F.lit("<priority>0."), ((j + 1) * 25).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url><loc>http://s"), F.col("doc_id").cast("string"),
+            F.lit(".com/p"), j.cast("string"), F.lit("</loc>"),
+            lastmod,
+            F.lit("<changefreq>"), freq, F.lit("</changefreq>"),
+            prio,
+            F.lit("</url>"),
+        )
+
+    body = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(F.transform(F.sequence(F.lit(0).cast("long"), nb - 1), block), ""),
+        F.lit("</urlset>"),
+    )
+    return sitemap_url_hints(docs.select("doc_id", body.alias("body"))).orderBy(
+        "doc_id", "url_rank"
+    )
+
+
 def q_interleaved_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END multimodal curation through TWO composed library ops:
     chrome-wrapped interleaved docs → ops.media.strip_boilerplate (drops
@@ -1941,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_interleaved": q_render_interleaved,
         "media_runs": q_media_runs,
         "interleaved_curation": q_interleaved_curation,
+        "sitemap_hints": q_sitemap_hints,
         "anchor_texts": q_anchor_texts,
         "crawl_wave": q_crawl_wave,
         # dedup family
@@ -2243,6 +2287,35 @@ def _semdedup_oracle(
         SELECT cc.vec_id, cc.cell, d.vec_id IS NULL AS keep
         FROM corpus_cell cc LEFT JOIN dropped d ON d.vec_id = cc.vec_id
         ORDER BY cc.vec_id
+    """
+
+
+def _sitemap_hints_oracle() -> str:
+    """DuckDB twin of q_sitemap_hints: derives the ENCODED hint rows
+    directly (no XML parsing — that's the independence), with the
+    changefreq→interval map generated from the one CHANGEFREQ_INTERVAL_S
+    constant the library op uses."""
+    from kermit_spark.robots import CHANGEFREQ_INTERVAL_S
+
+    whens = " ".join(
+        f"WHEN '{name}' THEN {secs}" for name, secs in CHANGEFREQ_INTERVAL_S.items()
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nb FROM documents),
+        jj AS (SELECT doc_id, unnest(generate_series(0, nb - 1)) AS j FROM d),
+        x AS (
+            SELECT doc_id, j,
+                   (['daily', 'weekly', 'monthly', 'bogus'])
+                       [((doc_id + j) % 4 + 1)::INT] AS changefreq
+            FROM jj
+        )
+        SELECT doc_id, j::INT AS url_rank,
+               'http://s' || doc_id || '.com/p' || j AS loc,
+               CASE WHEN j % 2 = 0 THEN '2024-01-0' || (j + 1) END AS lastmod,
+               changefreq,
+               (CASE WHEN j % 3 != 2 THEN (j + 1) * 25 END)::BIGINT AS priority_e2,
+               (CASE changefreq {whens} END)::BIGINT AS interval_s
+        FROM x ORDER BY doc_id, url_rank
     """
 
 
@@ -2708,6 +2781,9 @@ def oracle_sql() -> dict[str, str]:
         # derivation (nav/footer/links excluded by construction, body
         # chunks by the replayed integer rules, nc==1 sandwich structural)
         "interleaved_curation": _interleaved_curation_oracle(),
+        # sitemap hints: oracle re-derives the encoded rows, interval map
+        # generated from CHANGEFREQ_INTERVAL_S ('bogus' → null)
+        "sitemap_hints": _sitemap_hints_oracle(),
         # gallery runs: full span sequence (text+media+link+gallery) by
         # offset, gaps-and-islands over the media rows, max island size
         "media_runs": f"""

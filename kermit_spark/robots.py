@@ -308,3 +308,64 @@ def robots_gate(eligible: DataFrame, robots: DataFrame) -> DataFrame:
     # no robots row / no matching rule → first is NULL → coalesce to allowed
     blocked = F.coalesce(~F.get(matched, F.lit(0))["allow"], F.lit(False))
     return joined.filter(~blocked).drop("_r_host", "rules")
+
+
+#: sitemaps.org <changefreq> → revisit interval seconds ('never' → 0 means
+#: "do not schedule on this hint"; 'always' floors at 5 min like the
+#: politeness minimum). Public protocol values only.
+CHANGEFREQ_INTERVAL_S = {
+    "always": 300,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+    "never": 0,
+}
+
+
+def sitemap_url_hints(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Per-``<url>`` sitemap hints beyond the bare ``<loc>`` extraction of
+    :func:`parse_sitemap_locs`: lastmod, changefreq and priority — the
+    freshness signals a recrawl scheduler consumes (sitemaps.org protocol;
+    the reference never parses sitemaps, `src/kermit` has no handler — this
+    extends the engine the way Crawler.adaptive_recrawl extends revisit
+    logic).
+
+    Emits one row per ``<url>`` block: all non-body input columns,
+    ``url_rank`` (file order), ``loc``, ``lastmod`` (string, ISO-8601 sorts
+    lexicographically), ``changefreq`` (lowercased), ``priority_e2``
+    (floor(priority·100 + 0.5), null when absent/unparseable) and
+    ``interval_s`` from CHANGEFREQ_INTERVAL_S (null for unknown values —
+    the caller's recrawl policy supplies its default).
+
+    Scale shape: pure JVM — regexp_extract_all for the blocks, per-field
+    regexp_extract in one codegen projection, narrow posexplode; no
+    Python, no shuffle."""
+    blocks = F.regexp_extract_all(
+        F.coalesce(F.col(body_col), F.lit("")),
+        F.lit(r"(?s)<url>(.*?)</url>"),
+        1,
+    )
+    others = [c for c in df.columns if c != body_col]
+    rows = df.select(*others, F.posexplode(blocks).alias("url_rank", "_b"))
+    b = F.col("_b")
+
+    def field(tag: str):
+        return F.regexp_extract(b, rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1)
+
+    changefreq = F.lower(F.nullif(field("changefreq"), F.lit("")))
+    pr = F.nullif(field("priority"), F.lit("")).try_cast("double")
+    interval = None
+    for name, secs in CHANGEFREQ_INTERVAL_S.items():
+        cond = (changefreq == name, F.lit(secs).cast("long"))
+        interval = F.when(*cond) if interval is None else interval.when(*cond)
+    return rows.select(
+        *others,
+        "url_rank",
+        field("loc").alias("loc"),
+        F.nullif(field("lastmod"), F.lit("")).alias("lastmod"),
+        changefreq.alias("changefreq"),
+        F.floor(pr * 100 + F.lit(0.5)).cast("long").alias("priority_e2"),
+        interval.alias("interval_s"),
+    )

@@ -403,3 +403,37 @@ def test_request_rate_folds_into_delay_channel():
         "User-agent: otherbot\nRequest-rate: 1/30\n\nUser-agent: *\nDisallow: /x\n"
     )
     assert d is None
+
+
+# ---------------------------------------------------------------------------
+# sitemap <url> hints
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_url_hints_parses_all_fields(spark):
+    from kermit_spark.robots import sitemap_url_hints
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/1</loc><lastmod>2024-03-01</lastmod>"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a.com/2</loc><changefreq>never</changefreq></url>"
+        "<url><loc>http://a.com/3</loc><priority>bogus</priority></url>"
+        "<url><loc>http://a.com/4</loc><changefreq>fortnightly</changefreq></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h1", xml), ("h2", None)], "host string, body string")
+    out = {(r["host"], r["url_rank"]): r for r in sitemap_url_hints(df).collect()}
+    assert len(out) == 4                               # null body -> no rows
+    r0 = out[("h1", 0)]
+    assert (r0["loc"], r0["lastmod"], r0["changefreq"]) == (
+        "http://a.com/1", "2024-03-01", "daily")
+    assert (r0["priority_e2"], r0["interval_s"]) == (80, 86_400)
+    r1 = out[("h1", 1)]
+    assert r1["lastmod"] is None and r1["priority_e2"] is None
+    assert (r1["changefreq"], r1["interval_s"]) == ("never", 0)
+    assert out[("h1", 2)]["priority_e2"] is None       # unparseable priority
+    r3 = out[("h1", 3)]
+    assert r3["changefreq"] == "fortnightly" and r3["interval_s"] is None
+    plan = sitemap_url_hints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
