@@ -1694,6 +1694,32 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ("table", "scan", "query"), k=25).orderBy("rnk")
 
 
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling through the REAL library op
+    (ops.text.dsir_select): rank every document by its average per-token
+    log-likelihood ratio between a target unigram LM and the raw-corpus
+    LM, keep the top 200. The target seed set is content-derived — docs
+    whose token stream contains 'the' at least twice (an English-prose
+    proxy both engines compute from the same tokenization) — so the
+    selection genuinely shifts the distribution toward target-like text.
+    Float discipline as in text_unigram_lm: integer counts, one double
+    division per ln, term-ordered folds, half-up rounding — bit-identical
+    scores."""
+    from kermit_spark.ops.text import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tgt = (
+        F.size(
+            F.expr(
+                "filter(transform(filter(split(coalesce(text,''), '\\\\s+'),"
+                " w -> length(w) > 0), w -> lower(w)), w -> w = 'the')"
+            )
+        )
+        >= 2
+    )
+    return dsir_select(docs, tgt, k=200).orderBy("rnk")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint through the REAL library op (4 smallest
     md5(8-gram) digests)."""
@@ -2030,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
         "text_bm25": q_text_bm25,
+        "text_dsir": q_text_dsir,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -3606,6 +3633,69 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk,
                    score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # DSIR importance resampling: same tokenization, add-one smoothed
+        # target/raw unigram LMs over the union vocab, term-ordered fold,
+        # half-up rounding — the ln() arithmetic mirrors ops.text.dsir_logratio
+        # operation-for-operation.
+        "text_dsir": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0),
+                           w -> lower(w)) AS ws
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, ws, len(ws) AS dl,
+                       len(list_filter(ws, w -> w = 'the')) >= 2 AS tgt
+                FROM toks
+            ),
+            totals AS (
+                SELECT SUM(dl)::BIGINT AS tr,
+                       SUM(CASE WHEN tgt THEN dl ELSE 0 END)::BIGINT AS tt
+                FROM base
+            ),
+            ex AS (SELECT doc_id, tgt, w AS term FROM base, UNNEST(ws) AS u(w)),
+            freq AS (
+                SELECT term, COUNT(*)::BIGINT AS cr,
+                       SUM(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+                FROM ex GROUP BY term
+            ),
+            vocab AS (SELECT COUNT(*)::BIGINT AS v FROM freq),
+            doc_terms AS (
+                SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                FROM ex GROUP BY doc_id, term
+            ),
+            contrib AS (
+                SELECT d.doc_id, d.term,
+                       d.tf * (ln((f.ct + 1)::DOUBLE
+                                  / ((SELECT tt FROM totals) + (SELECT v FROM vocab))::DOUBLE)
+                               - ln((f.cr + 1)::DOUBLE
+                                    / ((SELECT tr FROM totals) + (SELECT v FROM vocab))::DOUBLE)) AS c
+                FROM doc_terms d JOIN freq f USING (term)
+            ),
+            folded AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                                   (acc, x) -> acc + x) AS s
+                FROM contrib GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT b.doc_id, b.dl AS n_tokens, b.tgt AS is_target,
+                       CASE WHEN b.dl > 0
+                            THEN floor((f.s / b.dl) * 10000.0 + 0.5) / 10000.0
+                       END AS logratio
+                FROM base b LEFT JOIN folded f USING (doc_id)
+            ),
+            topk AS (
+                SELECT * FROM scored
+                ORDER BY logratio DESC NULLS LAST, doc_id LIMIT 200
+            )
+            SELECT row_number() OVER (ORDER BY logratio DESC NULLS LAST, doc_id) AS rnk,
+                   doc_id, n_tokens, is_target, logratio
+            FROM topk ORDER BY rnk
         """,
         # PII redaction: generated from the SAME PII_PATTERNS constant the
         # library op applies, in the same order, with the same injection.

@@ -609,6 +609,106 @@ def unigram_logprob(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the average
+    per-token log-likelihood RATIO between a target unigram LM (built from
+    the rows where ``target_pred`` holds — the stand-in for the paper's
+    trusted/high-quality seed corpus) and the raw LM (the whole input).
+    Documents that look more like the target than like the bulk crawl get
+    positive scores; selection = rank by score, keep the budget.
+
+      p_t(w) = (target_count(w) + 1) / (target_tokens + V)   (add-one,
+      p_r(w) = (raw_count(w)    + 1) / (raw_tokens    + V)    union vocab)
+      score(d) = (Σ_w tf_d(w) · (ln p_t(w) − ln p_r(w))) / dl(d)
+
+    Determinism discipline as in unigram_logprob: integer counts feed ONE
+    double division per ln, contributions fold IN TERM ORDER, half-up
+    rounding — bit-identical to the DuckDB oracle. Scale shape: two
+    hash-aggs over the exploded tokens (term frequencies carry a
+    target-partial via sum-of-flag, so ONE pass), a broadcast one-row
+    totals aggregate, one broadcast-joinable vocab→doc-terms join —
+    nothing all-pairs, no Python. Empty documents score null.
+
+    Output: (id_col, n_tokens, is_target, logratio)."""
+    words = F.expr(
+        f"transform(filter(split(coalesce({text_col}, '')," + r" '\\s+'),"
+        " w -> length(w) > 0), w -> lower(w))"
+    )
+    base = df.select(
+        F.col(id_col), words.alias("_ws"), target_pred.alias("_tgt")
+    ).select(F.col(id_col), "_ws", "_tgt", F.size("_ws").alias("dl"))
+    totals = base.agg(
+        F.sum("dl").alias("_tr"),
+        F.sum(F.when(F.col("_tgt"), F.col("dl")).otherwise(F.lit(0))).alias("_tt"),
+    )
+    exploded = base.select(F.col(id_col), "_tgt", F.explode("_ws").alias("term"))
+    freq = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_tgt"), F.lit(1)).otherwise(F.lit(0))).alias("ct"),
+    )
+    vocab = freq.agg(F.count(F.lit(1)).alias("_v"))
+    doc_terms = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = (
+        doc_terms.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("_tt") + F.col("_v")).cast("double"))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("_tr") + F.col("_v")).cast("double"))
+                )
+            ).alias("_c"),
+        )
+    )
+    folded = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("_c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("_s")
+    )
+    return base.join(folded, id_col, "left").select(
+        F.col(id_col),
+        F.col("dl").alias("n_tokens"),
+        F.col("_tgt").alias("is_target"),
+        F.when(
+            F.col("dl") > 0, round_half_up(F.col("_s") / F.col("dl"), round_digits)
+        ).alias("logratio"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection: keep the ``k`` documents with the highest importance
+    ratio under dsir_logratio (ties → smallest id — deterministic). The
+    global top-k is a TakeOrdered (partial per partition, no full sort).
+    Output: (rnk, id_col, n_tokens, is_target, logratio)."""
+    scored = dsir_logratio(df, target_pred, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.col("logratio").desc_nulls_last(), F.col(id_col))
+    topk = scored.orderBy(
+        F.col("logratio").desc_nulls_last(), F.col(id_col)
+    ).limit(k)
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", id_col, "n_tokens", "is_target", "logratio"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 256,

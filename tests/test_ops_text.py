@@ -673,3 +673,71 @@ def test_dedupe_lines_validates_and_zero_shuffle(spark):
         dedupe_lines(df, min_chars=-1)
     plan = dedupe_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dsir_logratio_matches_python_mirror(spark):
+    import math
+
+    from kermit_spark.ops.text import dsir_logratio, dsir_select
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the cat sat on the mat"),   # target (2x 'the')
+        (2, "the dog and the bone the"), # target (3x 'the')
+        (3, "zq zq wt"),                 # raw-only gibberish
+        (4, "the cat"),                  # only 1x 'the' -> raw
+        (5, ""),                         # empty -> null score
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = (
+        F.size(
+            F.expr(
+                "filter(transform(filter(split(coalesce(text,''), '\\\\s+'),"
+                " w -> length(w) > 0), w -> lower(w)), w -> w = 'the')"
+            )
+        )
+        >= 2
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["is_target"], r["logratio"])
+        for r in dsir_logratio(df, tgt).collect()
+    }
+
+    # independent mirror: add-one smoothed target/raw LMs, term-sorted fold
+    docs = {i: (t or "").lower().split() for i, t in rows}
+    is_tgt = {i: ws.count("the") >= 2 for i, ws in docs.items()}
+    cr: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for i, ws in docs.items():
+        for w in ws:
+            cr[w] = cr.get(w, 0) + 1
+            if is_tgt[i]:
+                ct[w] = ct.get(w, 0) + 1
+    v = len(cr)
+    tr = sum(len(ws) for ws in docs.values())
+    tt = sum(len(ws) for i, ws in docs.items() if is_tgt[i])
+    for i, ws in docs.items():
+        assert got[i][0] == len(ws)
+        assert got[i][1] == is_tgt[i]
+        if not ws:
+            assert got[i][2] is None
+            continue
+        per: dict[str, int] = {}
+        for w in ws:
+            per[w] = per.get(w, 0) + 1
+        s = 0.0
+        for w in sorted(per):
+            s += per[w] * (
+                math.log((ct.get(w, 0) + 1) / (tt + v))
+                - math.log((cr[w] + 1) / (tr + v))
+            )
+        assert got[i][2] == math.floor((s / len(ws)) * 10000.0 + 0.5) / 10000.0
+
+    # semantics: target-like docs outrank the gibberish doc
+    assert got[1][2] > got[3][2]
+    assert got[2][2] > got[3][2]
+
+    sel = dsir_select(df, tgt, k=2).collect()
+    assert [r["rnk"] for r in sel] == [1, 2]
+    assert {r["doc_id"] for r in sel} <= {1, 2, 4}
