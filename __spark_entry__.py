@@ -483,6 +483,62 @@ def q_media_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_caption_context(docs).orderBy("doc_id", "offset")
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical URL consolidation (RFC 6596) through the REAL engine
+    surface twice over: HTML bodies synthesized from the documents table
+    declare <link rel=canonical> to their residue-group leader
+    (doc_id - doc_id%3) in TWO forms — rel-first double-quoted
+    (residue 1) and href-first single-quoted+unquoted-rel (residue 2,
+    exercising the attribute-order fallback); leaders declare none — then
+    parse_documents(html_meta=True) extracts canonical_href and
+    ops.dedup.canonical_dedup keeps one representative per canonical
+    group (the canonical page itself when crawled, else smallest URL —
+    groups whose leader fell below the n_chars gate exercise that
+    branch). The oracle constructs the expected group table from the same
+    residue rule without parsing, so any extraction or representative
+    -choice drift mismatches."""
+    from kermit_spark.ops.dedup import canonical_dedup
+    from kermit_spark.parse import parse_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") >= 140)
+        .select("doc_id", F.regexp_replace("text", "[<>\"']", " ").alias("t"))
+    )
+    res = F.pmod(F.col("doc_id"), F.lit(3))
+    canon = F.concat(
+        F.lit("http://h0.test/d/"), (F.col("doc_id") - res).cast("string")
+    )
+    link = (
+        F.when(res == 1, F.concat(F.lit('<link rel="canonical" href="'), canon, F.lit('">')))
+        .when(res == 2, F.concat(F.lit("<link href='"), canon, F.lit("' rel=canonical>")))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<html><body><p>"), F.substring("t", 1, 60), F.lit("</p>"),
+        link,
+        F.lit("<p>"), F.substring("t", 61, 40), F.lit("</p></body></html>"),
+    )
+    fetched = docs.select(
+        F.lit(0).alias("p"),
+        F.xxhash64(F.col("doc_id")).alias("url_hash"),
+        F.concat(F.lit("http://h0.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("h0.test").alias("host"),
+        F.lit(0).alias("wave"),
+        F.lit(0).alias("rank"),
+        F.lit(0).alias("depth"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        body.alias("body"),
+    )
+    parsed = parse_documents(fetched, html_meta=True).select(
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "canonical_href",
+    )
+    return canonical_dedup(parsed).orderBy("canonical_url")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text aggregation through the REAL library op
     (ops.graph.anchor_text_stats): per link target, inlink count, distinct
@@ -2012,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_curation": q_interleaved_curation,
         "sitemap_hints": q_sitemap_hints,
         "anchor_texts": q_anchor_texts,
+        "canonical_dedup": q_canonical_dedup,
         "crawl_wave": q_crawl_wave,
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3908,6 +3965,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT header, value, count(*) AS n
             FROM h GROUP BY header, value ORDER BY header, value
+        """,
+        # rel=canonical consolidation: expected groups constructed from the
+        # same residue rule the Spark side renders into HTML and re-extracts.
+        "canonical_dedup": """
+            WITH d AS (SELECT doc_id FROM documents WHERE n_chars >= 140),
+            m AS (
+                SELECT doc_id,
+                       'http://h0.test/d/' || doc_id::VARCHAR AS url,
+                       'http://h0.test/d/' || (doc_id - (doc_id % 3))::VARCHAR
+                           AS canonical_url
+                FROM d
+            ),
+            sel AS (
+                SELECT doc_id, url, canonical_url,
+                       (url = canonical_url) AS is_self,
+                       row_number() OVER (
+                           PARTITION BY canonical_url
+                           ORDER BY (url = canonical_url) DESC, url) AS rn,
+                       count(*) OVER (PARTITION BY canonical_url) AS nv
+                FROM m
+            )
+            SELECT doc_id, url, canonical_url, nv::BIGINT AS n_variants,
+                   is_self AS is_canonical_self
+            FROM sel WHERE rn = 1 ORDER BY canonical_url
         """,
         "anchor_texts": """
             WITH links AS (

@@ -582,3 +582,49 @@ def substring_dup_spans(
         (F.max("_off") + k).alias("span_end"),
         F.count("*").alias("n_windows"),
     ).select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")
+
+
+def canonical_dedup(
+    documents: DataFrame,
+    url_col: str = "url",
+    canon_col: str = "canonical_href",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-URL consolidation via <link rel=canonical> (RFC 6596) —
+    the crawl-native dedup layer that collapses print/mobile/tracking-URL
+    variants BEFORE any content hashing: every document resolves to its
+    declared canonical target (the ``canon_col`` produced by
+    parse.parse_documents(html_meta=True), already cleaned against the
+    page URL by the caller, null → the page is its own canonical), and
+    each canonical group keeps ONE representative — the page whose URL IS
+    the target if the group contains it (the canonical page itself), else
+    the smallest URL (deterministic).
+
+    Scale shape: one hash-shuffle on the canonical-target string (the
+    dedup key — never the body), one window pass per group; group sizes
+    are site-bounded (variants of one page), so no cap is needed the way
+    LSH buckets need one.
+
+    Output: one row per kept document —
+    (id_col, url, canonical_url, n_variants, is_canonical_self)."""
+    from pyspark.sql.window import Window
+
+    target = F.coalesce(F.col(canon_col), F.col(url_col))
+    base = documents.select(
+        F.col(id_col), F.col(url_col).alias("url"), target.alias("canonical_url")
+    ).withColumn("_self", F.col("url") == F.col("canonical_url"))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("_self").desc(), F.col("url")
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(Window.partitionBy("canonical_url")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "url",
+            "canonical_url",
+            "n_variants",
+            F.col("_self").alias("is_canonical_self"),
+        )
+    )

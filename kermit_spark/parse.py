@@ -181,7 +181,24 @@ def _html_meta_cols(body):
         F.regexp_extract(refresh_content, r"(?i)url\s*=\s*['\"]?([^'\"\s;>]+)", 1),
         F.lit(""),
     )
-    return base, flag("nofollow"), flag("noindex"), refresh_url
+    # <link rel=canonical href=...> — the duplicate-URL consolidation hint
+    # real sites publish (RFC 6596); either attribute order, all three
+    # quoting forms. Same first-matching-tag limitation as the robots meta:
+    # the href-first fallback reads the first <link> that declares
+    # rel=canonical anywhere in the tag.
+    canonical = F.coalesce(
+        _attr_value(
+            body, r"<link\s[^>]*?rel\s*=\s*[\"']?canonical[\"']?[^>]*?(?<![-\w])", "href"
+        ),
+        F.when(
+            F.regexp_like(
+                body,
+                F.lit(r"(?i)<link\s[^>]*?href\s*=[^>]*?rel\s*=\s*[\"']?canonical"),
+            ),
+            _attr_value(body, r"<link\s[^>]*?(?<![-\w])", "href"),
+        ),
+    )
+    return base, flag("nofollow"), flag("noindex"), refresh_url, canonical
 
 
 def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
@@ -193,8 +210,10 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
 
     ``html_meta=True`` additionally extracts real-web compliance columns —
     ``base_href`` (the <base href> a compliant client resolves links
-    against) and ``robots_nofollow`` / ``robots_noindex`` (<meta
-    name=robots>) — consumed by discover_links(honor_base/honor_nofollow)
+    against), ``robots_nofollow`` / ``robots_noindex`` (<meta
+    name=robots>), ``refresh_url`` and ``canonical_href`` (<link
+    rel=canonical>, RFC 6596) — consumed by
+    discover_links(honor_base/honor_nofollow), ops.dedup.canonical_dedup
     and downstream export filters. Default off: reference parity (the
     reference honors neither), and the documents schema stays unchanged.
     """
@@ -232,7 +251,7 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
     if "headers" in fetched.columns:
         cols.append(F.col("headers"))
     if html_meta:
-        base, nofollow, noindex, refresh = _html_meta_cols(
+        base, nofollow, noindex, refresh, canonical = _html_meta_cols(
             F.when(is_html, F.col("body"))
         )
         cols.extend(
@@ -241,6 +260,7 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
                 nofollow.alias("robots_nofollow"),
                 noindex.alias("robots_noindex"),
                 refresh.alias("refresh_url"),
+                canonical.alias("canonical_href"),
             ]
         )
     cols.append(spans.alias("spans"))

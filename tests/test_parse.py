@@ -240,3 +240,50 @@ def test_meta_refresh_extraction_and_discovery(spark):
     body3 = '<meta http-equiv="refresh" content="30">'
     row = parse_documents(_fetched_df(spark, body3), html_meta=True).collect()[0]
     assert row["refresh_url"] is None
+
+
+def test_canonical_href_extraction_forms(spark):
+    """<link rel=canonical> extraction: rel-first / href-first attribute
+    orders, all three quoting forms; a stylesheet link alone yields null."""
+    from kermit_spark.parse import parse_documents
+
+    cases = {
+        '<link rel="canonical" href="http://a.test/c">x': "http://a.test/c",
+        "<link rel='canonical' href='/c.html'>x": "/c.html",
+        "<link rel=canonical href=/c>x": "/c",
+        "<link href='http://a.test/c' rel=canonical>x": "http://a.test/c",
+        '<link href="/css/m.css" rel="stylesheet">x': None,
+        "plain": None,
+    }
+    for body, want in cases.items():
+        row = parse_documents(_fetched_df(spark, body), html_meta=True).collect()[0]
+        assert row["canonical_href"] == want, (body, row["canonical_href"])
+
+
+def test_canonical_dedup_representative_choice(spark):
+    """One representative per canonical group: the canonical page itself
+    when crawled, else the smallest URL; self-canonical singletons pass
+    through."""
+    from kermit_spark.ops.dedup import canonical_dedup
+
+    rows = [
+        # group A: canonical page crawled -> it wins over the variants
+        (1, "http://s.test/a?utm=x", "http://s.test/a"),
+        (2, "http://s.test/a", None),
+        (3, "http://s.test/a/print", "http://s.test/a"),
+        # group B: canonical target never crawled -> smallest URL wins
+        (4, "http://s.test/b?m=1", "http://s.test/b"),
+        (5, "http://s.test/b?m=2", "http://s.test/b"),
+        # singleton, no declaration
+        (6, "http://s.test/solo", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, canonical_href string")
+    got = {r["canonical_url"]: r for r in canonical_dedup(df).collect()}
+    assert len(got) == 3
+    a = got["http://s.test/a"]
+    assert (a["doc_id"], a["n_variants"], a["is_canonical_self"]) == (2, 3, True)
+    b = got["http://s.test/b"]
+    assert (b["doc_id"], b["url"], b["n_variants"], b["is_canonical_self"]) == (
+        4, "http://s.test/b?m=1", 2, False,
+    )
+    assert got["http://s.test/solo"]["is_canonical_self"] is True
