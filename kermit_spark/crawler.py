@@ -55,6 +55,7 @@ from .frontier import (
     ERROR,
     ROBOTS_BLOCKED,
     SCHEDULED,
+    THROTTLED_RETRY,
     VISITED,
     Frontier,
     Politeness,
@@ -122,6 +123,37 @@ class ErrorBackoff:
 
 
 @dataclass(frozen=True)
+class ServerBackoff:
+    """Explicit server throttling (RFC 9110 §10.2.3 / RFC 6585): a host
+    answering 429 Too Many Requests or 503 Service Unavailable is asking us
+    to stop — not failing. With this policy on:
+
+      * the throttled URLs go back to 'scheduled' (via the frontier's
+        THROTTLED_RETRY marker; tries bump each time, terminal 'error'
+        after ``max_tries`` throttles) instead of dying as errors;
+      * the HOST is excluded from dequeue (budget_cap 0 on the shared
+        host_budgets join — no plan change) for a number of waves derived
+        from the response's Retry-After header: delta-seconds values map
+        to ceil(seconds / seconds_per_wave) waves, clamped to
+        [1, max_backoff_waves]; missing/HTTP-date values use
+        ``default_waves`` (date parsing needs the crawl's wall clock —
+        wave arithmetic keeps resume/replay deterministic).
+
+    Distinct from ErrorBackoff (rate-based budget *division* on generic
+    failures): this is obedience to an explicit server signal, with full
+    stand-down. State is a bounded driver dict (host → resume wave); the
+    per-wave cost is one aggregation over the already-cached,
+    budget-bounded docs batch, only on waves that actually saw a 429/503."""
+
+    statuses: tuple[int, ...] = (429, 503)
+    seconds_per_wave: float = 60.0
+    default_waves: int = 1
+    max_backoff_waves: int = 8
+    max_tries: int = 3
+    max_hosts: int = 100_000
+
+
+@dataclass(frozen=True)
 class CrawlConfig:
     num_partitions: int = 32
     politeness: Politeness = field(default_factory=Politeness)
@@ -181,6 +213,19 @@ class CrawlConfig:
     # adaptive politeness: back off hosts with elevated error rates (one
     # batch-sized aggregation per wave when enabled). None = static budgets.
     error_backoff: ErrorBackoff | None = None
+    # obey 429/503 + Retry-After: reschedule throttled URLs, stand the host
+    # down for the server-requested number of waves. None = off (reference
+    # behavior: any non-2xx is a terminal item error).
+    server_backoff: ServerBackoff | None = None
+    # 3xx handling when the fetcher SURFACES redirects (CorpusFetcher with a
+    # location column; HttpFetcher follows silently like the reference's
+    # request lib, so live crawls never see these rows): the Location target
+    # — resolved against the source URL — is discovered at the SAME depth
+    # (a redirect is the same logical page, not a deeper link) and rides the
+    # normal dedup/admission path; the 3xx row itself counts as VISITED (the
+    # fetch resolved; its outcome is the mapping). False = reference parity:
+    # a surfaced 3xx is a terminal error.
+    follow_redirects: bool = False
     # re-crawl freshness policy: visited rows older than k waves flip back
     # to scheduled (Frontier.recrawl — URL stays seen; wave clock resets on
     # flip so each URL re-fetches every ~k waves). 0 = off. With a policy
@@ -279,6 +324,9 @@ class Crawler:
         # Driver-held and bounded (ErrorBackoff.max_hosts); derived from the
         # budget-bounded fetched batch each wave, never a frontier scan.
         self._backoff: dict[str, tuple[int, int]] = {}
+        # server-throttle stand-down state: host -> resume wave (the first
+        # wave the host may be dequeued again). Bounded like _backoff.
+        self._server_backoff: dict[str, int] = {}
 
     # -- setup -------------------------------------------------------------
 
@@ -556,6 +604,76 @@ class Crawler:
             return None
         return self.spark.createDataFrame(rows, "host string, budget_cap int")
 
+    def _server_backoff_caps(self, wave: int) -> DataFrame | None:
+        """(host, 0) rows for hosts standing down after a 429/503 —
+        Retry-After obedience is a FULL stop, not a budget cut."""
+        if self.config.server_backoff is None or not self._server_backoff:
+            return None
+        rows = [(h, 0) for h, resume in self._server_backoff.items() if resume > wave]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(rows, "host string, budget_cap int")
+
+    def _update_server_backoff(self, wave: int, docs: DataFrame) -> None:
+        """Post-wave Retry-After bookkeeping: one aggregation over the
+        cached, budget-bounded docs batch, host → resume wave. Numeric
+        (delta-seconds) Retry-After values convert to waves; HTTP-date or
+        absent values use the configured default."""
+        sb = self.config.server_backoff
+        throttled = docs.filter(F.col("status").isin(*sb.statuses))
+        ra = (
+            F.max(F.element_at(F.col("headers"), "retry-after").cast("double"))
+            if "headers" in docs.columns
+            else F.lit(None).cast("double")
+        )
+        hit = throttled.groupBy("host").agg(ra.alias("ra")).collect()
+        for r in hit:
+            if r["ra"] is not None and r["ra"] >= 0:
+                import math
+
+                waves = min(
+                    sb.max_backoff_waves,
+                    max(1, math.ceil(r["ra"] / sb.seconds_per_wave)),
+                )
+            else:
+                waves = sb.default_waves
+            resume = wave + 1 + waves
+            if resume > self._server_backoff.get(r["host"], 0):
+                self._server_backoff[r["host"]] = resume
+        if len(self._server_backoff) > sb.max_hosts:
+            self._server_backoff = {
+                h: v for h, v in self._server_backoff.items() if v > wave
+            }
+            if len(self._server_backoff) > sb.max_hosts:
+                keep = sorted(self._server_backoff.items(), key=lambda kv: -kv[1])
+                self._server_backoff = dict(keep[: sb.max_hosts])
+
+    def _tick_server_backoff(self) -> bool:
+        """Advance the stand-down clock by one idle tick (used when an empty
+        wave cannot advance the committed wave number). Returns True when a
+        stand-down was still active — i.e. the empty wave may be explained
+        by throttled hosts and the crawl should wait rather than stop."""
+        if self.config.server_backoff is None or not self._server_backoff:
+            return False
+        wave = self.last_wave + 1
+        active = any(resume > wave for resume in self._server_backoff.values())
+        if not active:
+            return False
+        # waiting is only useful while something is still scheduled — a
+        # drained frontier should terminate immediately, stand-down or not
+        has_work = bool(
+            self.frontier.read()
+            .filter(F.col("status") == SCHEDULED)
+            .limit(1)
+            .count()
+        )
+        if not has_work:
+            return False
+        self._server_backoff = {
+            h: resume - 1 for h, resume in self._server_backoff.items()
+        }
+        return True
+
     def _update_error_backoff(self, wave: int, docs: DataFrame, per_host) -> None:
         """Post-wave backoff bookkeeping: hosts at/above the error-rate
         threshold get (further) budget cuts with a fresh cooldown. One
@@ -614,6 +732,7 @@ class Crawler:
             for c in (
                 self._crawl_delay_caps(),
                 self._error_backoff_caps(wave),
+                self._server_backoff_caps(wave),
                 self._page_cap_budgets(),
             )
             if c is not None
@@ -778,6 +897,23 @@ class Crawler:
             candidates = candidates.unionByName(
                 sitemap_cands.filter(cfg.admit_expr(F.col("url")))
             )
+        redirect_followed = None
+        if cfg.follow_redirects and "headers" in docs.columns:
+            # surfaced 3xx: Location target (resolved against the source,
+            # RFC 9110 §10.2.2) becomes a same-depth discovery
+            loc = F.element_at(F.col("headers"), "location")
+            redirect_followed = F.col("status").between(300, 399) & loc.isNotNull()
+            redirects = (
+                docs.filter(redirect_followed)
+                .select(
+                    clean_urls(F.col("url"), loc).alias("url"),
+                    F.col("url").alias("referer"),
+                    F.col("depth").alias("depth"),
+                    F.lit(0.0).alias("priority"),
+                )
+                .filter(F.col("url").isNotNull() & cfg.admit_expr(F.col("url")))
+            )
+            candidates = candidates.unionByName(redirects)
 
         # COMPLETE/ERROR/ROBOTS_BLOCKED disposition (Q2-Q4, P3/P7) + new URLs
         # (Q1) — ONE frontier snapshot commit
@@ -789,13 +925,22 @@ class Crawler:
         hdr = F.col("headers") if "headers" in docs.columns else F.lit(None).cast(
             "map<string,string>"
         )
+        disposition = F.when(F.col("status").isin(200, 304), F.lit(VISITED))
+        if redirect_followed is not None:
+            # a followed redirect is a resolved fetch, not a failure
+            disposition = disposition.when(redirect_followed, F.lit(VISITED))
+        if cfg.server_backoff is not None:
+            # 429/503 = server throttle, not failure: THROTTLED_RETRY marker
+            # (commit_wave resolves to scheduled-or-error by tries budget)
+            disposition = disposition.when(
+                F.col("status").isin(*cfg.server_backoff.statuses),
+                F.lit(THROTTLED_RETRY),
+            )
         updates = docs.select(
             F.col("p"),
             F.col("url_hash"),
             F.col("url"),
-            F.when(F.col("status").isin(200, 304), F.lit(VISITED))
-            .otherwise(F.lit(ERROR))
-            .alias("new_status"),
+            disposition.otherwise(F.lit(ERROR)).alias("new_status"),
             F.element_at(hdr, "etag").alias("new_etag"),
             F.element_at(hdr, "last-modified").alias("new_last_modified"),
         )
@@ -808,6 +953,9 @@ class Crawler:
         n_new = self.frontier.commit_wave(
             updates, candidates, wave=wave, properties={"wave": wave},
             updates_parts=batch_parts,
+            throttle_max_tries=(
+                cfg.server_backoff.max_tries if cfg.server_backoff else 3
+            ),
         )
         if cfg.max_tries > 1:
             self.frontier.reschedule_errors(cfg.max_tries, wave)
@@ -830,6 +978,8 @@ class Crawler:
         ]
         if cfg.error_backoff is not None:
             self._update_error_backoff(wave, docs, per_host)
+        if cfg.server_backoff is not None:
+            self._update_server_backoff(wave, docs)
         if cfg.lineage_per_partition:
             pp = (
                 docs.groupBy("p")
@@ -936,6 +1086,14 @@ class Crawler:
                 if s.n_selected == 0:
                     if self.config.recrawl_after_waves:
                         idle += 1
+                        continue
+                    if self._tick_server_backoff():
+                        # every scheduled host is standing down (429/503
+                        # Retry-After): an empty wave is a WAIT, not
+                        # termination. The wave number can't advance (nothing
+                        # committed), so advance the backoff clock instead —
+                        # each idle tick consumes cap, keeping the loop
+                        # bounded.
                         continue
                     break
                 stats.append(s)

@@ -66,10 +66,23 @@ class CorpusFetcher:
         # (the OfflineServer analog of If-None-Match / If-Modified-Since)
         self.has_etag = "etag" in corpus.columns
         self.has_last_modified = "last_modified" in corpus.columns
+        # optional throttle column: a corpus carrying retry_after models a
+        # rate-limiting server — the value is emitted as a Retry-After
+        # response header (only on rows that declare it), which
+        # ServerBackoff consumes
+        self.has_retry_after = "retry_after" in corpus.columns
+        # optional redirect column: a corpus carrying location models 3xx
+        # responses — emitted as a Location header, which the crawler's
+        # follow_redirects mode turns into a discovery
+        self.has_location = "location" in corpus.columns
         if self.has_etag:
             cols.append(F.col("etag").alias("_c_etag"))
         if self.has_last_modified:
             cols.append(F.col("last_modified").alias("_c_lm"))
+        if self.has_retry_after:
+            cols.append(F.col("retry_after").cast("string").alias("_c_ra"))
+        if self.has_location:
+            cols.append(F.col("location").alias("_c_loc"))
         self.corpus = corpus.select(*cols)
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self._last_cache: DataFrame | None = None
@@ -111,7 +124,12 @@ class CorpusFetcher:
             (v_etag.isNotNull() & (v_etag == c_etag))
             | (v_etag.isNull() & v_lm.isNotNull() & (v_lm == c_lm))
         )
-        if self.has_etag or self.has_last_modified:
+        if (
+            self.has_etag
+            or self.has_last_modified
+            or self.has_retry_after
+            or self.has_location
+        ):
             header_kvs = [
                 (F.lit("content-type"), F.col("_c_ct")),
                 (
@@ -128,6 +146,10 @@ class CorpusFetcher:
                 header_kvs.append((F.lit("etag"), c_etag))
             if self.has_last_modified:
                 header_kvs.append((F.lit("last-modified"), c_lm))
+            if self.has_retry_after:
+                header_kvs.append((F.lit("retry-after"), F.col("_c_ra")))
+            if self.has_location:
+                header_kvs.append((F.lit("location"), F.col("_c_loc")))
             # null-valued entries (a corpus row without an ETag) are dropped
             # so the map only carries headers the "server" actually sent
             headers_col = F.map_filter(

@@ -85,6 +85,12 @@ ERROR = "error"
 # terminal: disallowed by robots.txt (north_rule Q12; no reference analog).
 # Terminal rather than re-scheduled so a blocked URL never burns budget twice.
 ROBOTS_BLOCKED = "robots_blocked"
+# transient UPDATE MARKER, never a stored status: a 429/503 server-throttle
+# outcome. commit_wave resolves it per row — back to 'scheduled' while the
+# (bumped) tries stay under the throttle retry budget, 'error' once exhausted
+# — so a politely-deferred URL is retried after the host backoff expires but
+# a permanently-throttling host cannot loop forever.
+THROTTLED_RETRY = "throttled_retry"
 
 FRONTIER_COLS = [
     "p", "url_hash", "url", "host", "status",
@@ -543,9 +549,14 @@ class Frontier:
         wave: int,
         properties: dict | None = None,
         updates_parts: Iterable[int] | None = None,
+        throttle_max_tries: int = 3,
     ) -> int:
         """ONE snapshot commit applying the whole wave outcome: status MERGE
         for fetched rows (Q2-Q4) + insert of deduped discovered URLs (Q1).
+
+        An update row may carry ``new_status=THROTTLED_RETRY`` (server
+        answered 429/503): it bumps ``tries`` like an error but resolves to
+        'scheduled' while tries < ``throttle_max_tries``, 'error' after.
 
         Combining both into a single read-merge-write halves the per-wave
         commit cost (each separate mutation is a full read+join+write of the
@@ -594,9 +605,21 @@ class Frontier:
                 current.join(updates, on=["p", "url_hash", "url"], how="left")
                 .withColumn(
                     "tries",
-                    F.when(F.col("new_status") == ERROR, F.col("tries") + 1).otherwise(F.col("tries")),
+                    F.when(
+                        F.col("new_status").isin(ERROR, THROTTLED_RETRY),
+                        F.col("tries") + 1,
+                    ).otherwise(F.col("tries")),
                 )
-                .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
+                .withColumn(
+                    "status",
+                    F.when(
+                        F.col("new_status") == THROTTLED_RETRY,
+                        F.when(
+                            F.col("tries") < F.lit(throttle_max_tries),
+                            F.lit(SCHEDULED),
+                        ).otherwise(F.lit(ERROR)),
+                    ).otherwise(F.coalesce(F.col("new_status"), F.col("status"))),
+                )
                 .drop("new_status")
             )
             if has_validators:
