@@ -134,13 +134,24 @@ _WORDS = [
 
 
 def _text_snippet(spec: CorpusSpec, tag: str) -> F.Column:
-    """A short deterministic text run for (host, page, tag)."""
+    """A short deterministic text run for (host, page, tag). A third of the
+    runs join their words with an HTML character reference (``&amp;`` /
+    ``&lt;`` alternating) instead of a space, so the corpus exercises
+    entity decoding in text and anchor spans — real-web HTML is full of
+    them, and the span tokenizer must agree with the entity-decoding
+    html.parser oracle (and cheerio in the reference) on the decoded text."""
     seed = F.lit(spec.seed)
     idx1 = F.pmod(_mix(seed, F.col("host_id"), F.col("page_id"), F.lit(tag), F.lit(1)), F.lit(len(_WORDS)))
     idx2 = F.pmod(_mix(seed, F.col("host_id"), F.col("page_id"), F.lit(tag), F.lit(2)), F.lit(len(_WORDS)))
+    ent = F.pmod(_mix(seed, F.col("host_id"), F.col("page_id"), F.lit(tag), F.lit("ent")), F.lit(6))
+    joiner = (
+        F.when(ent == 0, F.lit(" &amp; "))
+        .when(ent == 1, F.lit(" &lt;tag&gt; "))
+        .otherwise(F.lit(" "))
+    )
     arr = F.array(*[F.lit(w) for w in _WORDS])
     return F.concat(
-        F.element_at(arr, (idx1 + 1).cast("int")), F.lit(" "),
+        F.element_at(arr, (idx1 + 1).cast("int")), joiner,
         F.element_at(arr, (idx2 + 1).cast("int")), F.lit(" of page "),
         F.col("page_id").cast("string"),
     )

@@ -25,6 +25,7 @@ a superset, flagged for the parity review.
 
 from __future__ import annotations
 
+import html as _html
 import re
 
 import pandas as pd
@@ -93,15 +94,26 @@ def extract_spans_one(body: str | None) -> list[tuple] | None:
     Hrefs here are RAW (as written in the document); canonicalization happens
     in the discovery step against the page's base URL, exactly where the
     reference applies uri.clean (ext.discovery.coffee:34-44).
+
+    HTML character references decode EVERYWHERE a real DOM parser decodes
+    them — text runs, anchor text, and attribute values — matching both the
+    reference's cheerio (.text()/attribs are entity-decoded) and the
+    independent html.parser e2e oracle (convert_charrefs=True). Decode
+    order matters for text: tags are stripped from the RAW markup first,
+    so ``&lt;b&gt;`` decodes to literal ``<b>`` TEXT and is never mistaken
+    for a tag — the same result a real tokenizer produces.
+    (html.unescape short-circuits on '&'-free strings, so entity-free
+    corpora pay nothing.)
     """
     if body is None:
         return None
     spans: list[tuple] = []
     pos = 0
+    unescape = _html.unescape
 
     def text_between(lo: int, hi: int) -> None:
         chunk = _TAG_RE.sub(" ", body[lo:hi])
-        chunk = " ".join(chunk.split())
+        chunk = " ".join(unescape(chunk).split())
         if chunk:
             spans.append(("text", chunk, None, len(spans)))
 
@@ -109,14 +121,16 @@ def extract_spans_one(body: str | None) -> list[tuple] | None:
         text_between(pos, m.start())
         a_href = _first_group(m, 1, 2, 3)
         if a_href is not None:
-            anchor = " ".join(_TAG_RE.sub(" ", m.group(4)).split())
-            spans.append(("link", anchor or None, a_href, len(spans)))
+            anchor = " ".join(unescape(_TAG_RE.sub(" ", m.group(4))).split())
+            spans.append(("link", anchor or None, unescape(a_href), len(spans)))
         else:
             l_href = _first_group(m, 5, 6, 7)
             if l_href is not None:
-                spans.append(("resource", None, l_href, len(spans)))
+                spans.append(("resource", None, unescape(l_href), len(spans)))
             else:
-                spans.append(("media", None, _first_group(m, 8, 9, 10), len(spans)))
+                spans.append(
+                    ("media", None, unescape(_first_group(m, 8, 9, 10)), len(spans))
+                )
         pos = m.end()
     text_between(pos, len(body))
     return spans

@@ -287,3 +287,23 @@ def test_canonical_dedup_representative_choice(spark):
         4, "http://s.test/b?m=1", 2, False,
     )
     assert got["http://s.test/solo"]["is_canonical_self"] is True
+
+
+def test_entity_decoding_matches_html_parser_semantics(spark):
+    """Character references decode in text runs, anchor text, and attribute
+    values — agreeing with html.parser (convert_charrefs) and cheerio.
+    &lt;b&gt; becomes literal '<b>' TEXT, never a parsed tag."""
+    from kermit_spark.parse import extract_spans_one
+
+    body = (
+        "<p>Fish &amp; chips &lt;b&gt; &#65;</p>"
+        '<a href="/s?a=1&amp;b=2">A &amp; B</a>'
+        "<img src=/i&#46;png>"
+        '<link href="/c&quot;.css">'
+    )
+    assert extract_spans_one(body) == [
+        ("text", "Fish & chips <b> A", None, 0),
+        ("link", "A & B", "/s?a=1&b=2", 1),
+        ("media", None, "/i.png", 2),
+        ("resource", None, '/c".css', 3),
+    ]
