@@ -216,3 +216,32 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = _plan(df)
     assert "TakeOrdered" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonical_dedup_single_exchange(spark):
+    """canonical_dedup's only shuffle is the hash exchange on the canonical
+    target string — both window passes and the filter ride the same
+    partitioning (no second Exchange), and nothing sorts on document text."""
+    from kermit_spark.ops.dedup import canonical_dedup
+
+    df = spark.createDataFrame(
+        [(1, "http://a.test/x", "http://a.test/c"), (2, "http://a.test/c", None)],
+        "doc_id long, url string, canonical_href string",
+    )
+    plan = _plan(canonical_dedup(df))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dsir_no_cartesian_and_broadcast_totals(spark):
+    """dsir_logratio: the totals/vocab one-row aggregates ride the plan as
+    broadcast joins (never a shuffled cross), and there is no
+    CartesianProduct over the doc-term matrix."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from kermit_spark.ops.text import dsir_logratio
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "zq wt")], "doc_id long, text string"
+    )
+    plan = _plan(dsir_logratio(df, F.col("text").contains("the")))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
