@@ -186,6 +186,45 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness through the REAL dequeue with
+    politeness_key=registrable_domain: 4 subdomain shards per site share ONE
+    per-wave budget of 3 (Heritrix queue-assignment-policy analog; reference
+    keys per URL-host, core.queues.coffee:70-80). Sites alternate a listed
+    multi-label public suffix (.co.uk → keep 3 labels) and a plain TLD
+    (.com → keep 2), so the oracle checks the eTLD+1 rules, the grouping,
+    and the deterministic order in one query."""
+    from kermit_spark.frontier import Limit, Politeness, dequeue
+    from kermit_spark.functions.urls import registrable_domain
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    site = F.pmod(F.col("o_custkey"), F.lit(10)).cast("long")
+    suffix = F.when(F.pmod(site, F.lit(2)) == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    host = F.concat(
+        F.lit("sh"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string"),
+        F.lit(".site"), site.cast("string"), suffix,
+    )
+    elig = orders.select(
+        host.alias("host"),
+        F.col("o_orderkey").alias("url_hash"),  # deterministic tiebreak key
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("wave"),
+    )
+    selected = dequeue(
+        elig, Politeness((Limit(".*", 3),)),
+        politeness_key=registrable_domain(F.col("host")),
+    )
+    return selected.select(
+        registrable_domain(F.col("host")).alias("dom"),
+        F.col("host"),
+        F.col("rank").alias("rnk"),
+        "okey",
+        "priority",
+    ).orderBy("dom", "rnk")
+
+
 def q_phase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 monitoring counters through kermit_spark.metrics.phase_stats:
     per-phase counts + duration stats."""
@@ -2049,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
+        "domain_politeness": q_domain_politeness,
         "phase_counts": q_phase_counts,
         "robots_gate": q_robots_gate,
         "wave_bfs": q_wave_bfs,
@@ -2773,6 +2813,26 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
                 FROM orders
             ) WHERE rnk <= 3 ORDER BY host_id, rnk
+        """,
+        "domain_politeness": """
+            WITH elig AS (
+                SELECT 'sh' || (o_orderkey % 4) || '.site' || (o_custkey % 10)
+                           || (CASE WHEN (o_custkey % 10) % 2 = 0
+                                    THEN '.co.uk' ELSE '.com' END) AS host,
+                       'site' || (o_custkey % 10)
+                           || (CASE WHEN (o_custkey % 10) % 2 = 0
+                                    THEN '.co.uk' ELSE '.com' END) AS dom,
+                       o_orderkey AS okey, o_totalprice AS priority
+                FROM orders
+            ),
+            ranked AS (
+                SELECT dom, host, okey, priority,
+                       row_number() OVER (PARTITION BY dom
+                                          ORDER BY priority DESC, okey ASC) AS rnk
+                FROM elig
+            )
+            SELECT dom, host, rnk, okey, priority
+            FROM ranked WHERE rnk <= 3 ORDER BY dom, rnk
         """,
         "phase_counts": """
             SELECT event_type AS phase, count(*) AS n,

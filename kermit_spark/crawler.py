@@ -217,6 +217,11 @@ class CrawlConfig:
     # down for the server-requested number of waves. None = off (reference
     # behavior: any non-2xx is a terminal item error).
     server_backoff: ServerBackoff | None = None
+    # politeness by registrable domain (eTLD+1) instead of host: a site
+    # sharded over thousands of subdomains gets ONE site budget (the
+    # production norm; Heritrix's queue-assignment-policy analog). False =
+    # reference parity (core.queues.coffee keys per URL-host).
+    politeness_by_domain: bool = False
     # 3xx handling when the fetcher SURFACES redirects (CorpusFetcher with a
     # location column; HttpFetcher follows silently like the reference's
     # request lib, so live crawls never see these rows): the Location target
@@ -746,12 +751,18 @@ class Crawler:
             )
         else:
             host_budgets = cap_sources[0] if cap_sources else None
+        pkey = None
+        if cfg.politeness_by_domain:
+            from .functions.urls import registrable_domain
+
+            pkey = registrable_domain(F.col("host"))
         selected = dequeue(
             eligible,
             cfg.politeness,
             sub_salts=cfg.sub_salts,
             global_cap=cfg.global_cap,
             host_budgets=host_budgets,
+            politeness_key=pkey,
         ).persist()
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
@@ -768,6 +779,7 @@ class Crawler:
             selected = dequeue(
                 undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
                 global_cap=cfg.global_cap, host_budgets=host_budgets,
+                politeness_key=pkey,
             ).persist()
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)

@@ -219,6 +219,7 @@ def dequeue(
     global_cap: int | None = None,
     enforce_total: bool = True,
     host_budgets: DataFrame | None = None,
+    politeness_key: Column | None = None,
 ) -> DataFrame:
     """Select ≤ budget(host) URLs per host, deterministically ordered.
 
@@ -235,21 +236,41 @@ def dequeue(
     configured budget; the effective budget is min(configured, cap). Joined
     on host — the same key the level-1 window shuffles on, so the join adds
     no second partitioning of the eligible set.
+
+    ``politeness_key``: optional expression replacing the HOST as the unit
+    the budget and rank windows group on — pass
+    ``registrable_domain(F.col("host"))`` for eTLD+1 grouping, so a site
+    sharded over thousands of subdomains still gets ONE site budget. The
+    budget pattern then matches against the key; host_budgets caps stay
+    per-host (robots state is per-host) and bound each host's rows inside
+    its domain group.
     """
-    budget = politeness.budget_expr(F.col("host"))
-    df = eligible.withColumn("_budget", budget)
+    key = politeness_key if politeness_key is not None else F.col("host")
+    df = eligible.withColumn("_pkey", key)
+    budget = politeness.budget_expr(F.col("_pkey"))
+    df = df.withColumn("_budget", budget)
     if host_budgets is not None:
         caps = host_budgets.select(
             F.col("host").alias("_b_host"), F.col("budget_cap").alias("_cap")
         )
-        df = (
-            df.join(caps, df.host == caps._b_host, "left")
-            .withColumn(
+        df = df.join(caps, df.host == caps._b_host, "left").drop("_b_host")
+        if politeness_key is None:
+            # key == host: the cap folds straight into the budget
+            df = df.withColumn(
                 "_budget",
                 F.least(F.col("_budget"), F.coalesce(F.col("_cap"), F.col("_budget"))),
+            ).drop("_cap")
+        else:
+            # key != host (domain grouping): a host cap bounds that HOST's
+            # rows, not the whole group — rank per host first, then let the
+            # group-level windows run on the survivors. One extra window,
+            # paid only when both features are on.
+            wh = Window.partitionBy("host").orderBy(*dequeue_order())
+            df = (
+                df.withColumn("_hr", F.row_number().over(wh))
+                .filter(F.col("_cap").isNull() | (F.col("_hr") <= F.col("_cap")))
+                .drop("_hr", "_cap")
             )
-            .drop("_b_host", "_cap")
-        )
     # reference: isAllowed throws if no limit matches (core.queues.coffee:78).
     # A catch-all pattern makes the probe statically unnecessary — skip the
     # extra job in that (default) case.
@@ -260,22 +281,22 @@ def dequeue(
             sample = df.filter(F.col("_budget").isNull()).select("host").first()
             raise ValueError(f"no politeness limit matches host {sample[0]!r}")
 
-    # level 1: spread each host over sub-salt groups, cap each at budget
+    # level 1: spread each key over sub-salt groups, cap each at budget
     df = df.withColumn(
         "_sub", F.pmod(F.col("url_hash"), F.lit(sub_salts)).cast("int")
     )
-    w1 = Window.partitionBy("host", "_sub").orderBy(*dequeue_order())
+    w1 = Window.partitionBy("_pkey", "_sub").orderBy(*dequeue_order())
     df = (
         df.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("_budget"))
         .drop("_r1", "_sub")
     )
-    # level 2: exact per-host rank on the bounded survivor set
-    w2 = Window.partitionBy("host").orderBy(*dequeue_order())
+    # level 2: exact per-key rank on the bounded survivor set
+    w2 = Window.partitionBy("_pkey").orderBy(*dequeue_order())
     df = (
         df.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("_budget"))
-        .drop("_budget")
+        .drop("_budget", "_pkey")
     )
     if global_cap is not None:
         # deterministic global selection: hosts are interleaved by rank first

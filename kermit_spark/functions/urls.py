@@ -52,6 +52,41 @@ def host_salt(url_or_host: Column, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(url_or_host), F.lit(num_buckets)).cast("int")
 
 
+def registrable_domain(host: Column | str) -> Column:
+    """eTLD+1 (registrable domain) of a host — pure JVM, no UDF.
+
+    Production crawlers budget politeness per registrable DOMAIN as well as
+    per host: a site split over thousands of subdomains (shard hosts, user
+    subdomains) is still one server farm, and per-host budgets alone would
+    multiply its load by the subdomain count. Rules:
+
+      * IPv4 literals and single-label hosts (localhost) are their own
+        domain;
+      * a host whose last two labels form a listed multi-label public
+        suffix (``_SECOND_LEVEL_TLDS`` — shared with toLocalPath's urijs
+        -parity domain split) keeps THREE labels (shop.example.co.uk →
+        example.co.uk);
+      * otherwise two labels (www.example.com → example.com).
+
+    A port suffix (host:8080) is preserved — two services on one host are
+    distinct crawl targets (same rule as host_of)."""
+    c = F.col(host) if isinstance(host, str) else host
+    c = F.lower(c)
+    bare = F.regexp_replace(c, r":\d+$", "")
+    port = F.regexp_extract(c, r"(:\d+)$", 1)
+    parts = F.split(bare, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
+    is_ip = bare.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    dom = (
+        F.when(is_ip | (n <= 2), bare)
+        .when(last2.isin(*sorted(_SECOND_LEVEL_TLDS)), last3)
+        .otherwise(last2)
+    )
+    return F.concat(dom, port)
+
+
 def content_type_fallback(url: Column, content_type: Column) -> Column:
     """Sanitize a missing/generic content-type by URL extension — the
     reference's per-response mime fallback (core.streaming.coffee:59 +
@@ -83,10 +118,57 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 # Second-level public suffixes so domain/tld splitting matches urijs on the
 # golden cases (example.co.uk -> tld 'co.uk').
+# Multi-label public suffixes — a curated high-traffic subset of the public
+# suffix list (the same family urijs' SecondLevelDomains covers; the full
+# PSL adds ~9k rules incl. wildcard/exception entries a production build
+# would vendor). Shared by _split_domain (toLocalPath parity) and
+# registrable_domain (eTLD+1 politeness grouping); hosts whose suffix is
+# not listed fall back to last-two-labels.
 _SECOND_LEVEL_TLDS = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
-    "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "go.jp", "ed.jp", "gr.jp", "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "gob.mx", "net.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.za", "org.za", "net.za", "web.za", "gov.za", "ac.za",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "web.tr",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "gen.nz", "maori.nz",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "gob.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "web.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.gh", "org.gh", "edu.gh", "gov.gh",
+    "co.tz", "or.tz", "ne.tz", "ac.tz", "go.tz", "sc.tz",
+    "com.et", "org.et", "edu.et", "gov.et",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.np", "org.np", "edu.np", "gov.np", "net.np",
+    "com.lk", "org.lk", "edu.lk", "gov.lk", "net.lk",
 }
 
 # Extension -> mime type. Base table: the reference's full 1223-entry public

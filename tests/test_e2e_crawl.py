@@ -806,3 +806,60 @@ def test_adaptive_recrawl_follows_change_rate(spark, tmp_path):
     }
     assert status["http://ha.test/a.html"] == "scheduled"
     assert status["http://hb.test/b.html"] == "visited"
+
+
+def test_politeness_by_domain_one_site_budget(spark, tmp_path_factory):
+    """politeness_by_domain: two subdomains of one registrable domain share
+    ONE per-wave budget (4 total, not 4 each); a distinct domain keeps its
+    own. Per-host mode on the same corpus gives each subdomain the full
+    budget — proving the flag changes the grouping, not the ordering."""
+    rows = [
+        (f"http://sh{s}.example.co.uk/p/{i}", 200, "text/html", "plain page")
+        for s in range(2) for i in range(6)
+    ] + [
+        (f"http://other.test/p/{i}", 200, "text/html", "plain page")
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, status int, content_type string, body string"
+    )
+    seeds = [r[0] for r in rows]
+
+    def run(by_domain):
+        cfg = CrawlConfig(
+            num_partitions=4,
+            politeness=Politeness((Limit(r".*", 4),)),
+            sub_salts=2,
+            obey_robots=False,
+            politeness_by_domain=by_domain,
+            max_waves=10,
+        )
+        root = str(tmp_path_factory.mktemp(f"bydom{by_domain}"))
+        c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+        c.seed(seeds)
+        c.crawl()
+        return c
+
+    c = run(True)
+    per = {
+        (r["p"], r["d"]): r["count"]
+        for r in c.documents()
+        .groupBy("p", F.regexp_replace("host", r"^sh\d\.", "").alias("d"))
+        .count()
+        .collect()
+    }
+    # wave 0: example.co.uk contributes 4 ACROSS both subdomains; other.test 4
+    assert per[(0, "example.co.uk")] == 4 and per[(0, "other.test")] == 4
+    # all 18 pages still fetched eventually (slower, never lost)
+    assert c.documents().count() == 18
+    # domain budget never exceeded in any wave
+    assert max(n for (_, d), n in per.items() if d == "example.co.uk") <= 4
+
+    c_host = run(False)
+    per_host = {
+        (r["p"], r["host"]): r["count"]
+        for r in c_host.documents().groupBy("p", "host").count().collect()
+    }
+    # per-host mode: each subdomain gets its own 4 in wave 0
+    assert per_host[(0, "sh0.example.co.uk")] == 4
+    assert per_host[(0, "sh1.example.co.uk")] == 4

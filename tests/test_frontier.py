@@ -622,3 +622,118 @@ def test_recrawl_schedule_partition_invariant_and_order_free(spark):
     ra = sorted(map(tuple, recrawl_schedule(a, current_wave=10).collect()))
     rb = sorted(map(tuple, recrawl_schedule(b, current_wave=10).collect()))
     assert ra == rb and len(ra) == 37
+
+
+# -- registrable-domain (eTLD+1) politeness grouping --------------------------
+
+
+def test_registrable_domain_goldens(spark):
+    from kermit_spark.functions.urls import registrable_domain
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.c.example.com", "example.com"),
+        ("shop.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("deep.shard.site.go.jp", "site.go.jp"),
+        ("WWW.Example.COM", "example.com"),  # lowercased
+        ("localhost", "localhost"),  # single label = own domain
+        ("192.168.0.1", "192.168.0.1"),  # IPv4 literal = own domain
+        ("h0.test", "h0.test"),  # two labels, unlisted suffix
+        ("a.b.test:8080", "b.test:8080"),  # port preserved
+        ("co.uk", "co.uk"),  # bare suffix: n<=2 short-circuit
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in df.select(registrable_domain("host").alias("d")).collect()]
+    assert got == [d for _, d in cases]
+
+
+def _subdomain_eligible(spark, n_sites=2, n_subs=4, per_host=10):
+    urls = [
+        (f"http://sh{s}.site{d}.co.uk/p/{i}.html",)
+        for d in range(n_sites)
+        for s in range(n_subs)
+        for i in range(per_host)
+    ]
+    return as_frontier_rows(spark.createDataFrame(urls, "url string"), 4, wave=0)
+
+
+def test_dequeue_by_domain_one_budget_per_site(spark):
+    """4 subdomains × 10 URLs per site; per-DOMAIN budget 5 → each site
+    contributes exactly 5 rows total (per-host grouping would give 20)."""
+    from kermit_spark.functions.urls import registrable_domain
+
+    elig = _subdomain_eligible(spark)
+    sel = dequeue(
+        elig, Politeness((Limit(".*", 5),)),
+        politeness_key=registrable_domain(F.col("host")),
+    )
+    per_dom = {
+        r["d"]: r["count"]
+        for r in sel.groupBy(registrable_domain(F.col("host")).alias("d")).count().collect()
+    }
+    assert per_dom == {"site0.co.uk": 5, "site1.co.uk": 5}
+    assert sel.agg(F.max("rank")).first()[0] == 5
+
+
+def test_dequeue_by_domain_equals_host_when_domains_distinct(spark):
+    """When every host is its own registrable domain the two groupings are
+    the same selection — domain mode is a generalization, not a new order."""
+    from kermit_spark.functions.urls import registrable_domain
+
+    elig = _eligible(spark)  # h0.test/h1.test/h2.test — distinct domains
+    pol = Politeness((Limit(".*", 5),))
+    by_host = {(r["host"], r["rank"], r["url"]) for r in dequeue(elig, pol).collect()}
+    by_dom = {
+        (r["host"], r["rank"], r["url"])
+        for r in dequeue(
+            elig, pol, politeness_key=registrable_domain(F.col("host"))
+        ).collect()
+    }
+    assert by_host == by_dom
+
+
+def test_dequeue_by_domain_budget_pattern_matches_domain(spark):
+    """The politeness pattern matches against the KEY (domain), so one rule
+    can target a whole site regardless of subdomain shape."""
+    from kermit_spark.functions.urls import registrable_domain
+
+    elig = _subdomain_eligible(spark)
+    pol = Politeness((Limit(r"site0\.co\.uk", 2), Limit(".*", 7)))
+    sel = dequeue(elig, pol, politeness_key=registrable_domain(F.col("host")))
+    per_dom = {
+        r["d"]: r["count"]
+        for r in sel.groupBy(registrable_domain(F.col("host")).alias("d")).count().collect()
+    }
+    assert per_dom == {"site0.co.uk": 2, "site1.co.uk": 7}
+
+
+def test_dequeue_by_domain_host_caps_apply_per_host(spark):
+    """host_budgets (robots Crawl-delay caps) stay PER HOST under domain
+    grouping: a capped subdomain contributes ≤ cap rows inside its site's
+    budget; the domain total still respects the group budget."""
+    from kermit_spark.functions.urls import registrable_domain
+
+    elig = _subdomain_eligible(spark, n_sites=1, n_subs=2, per_host=10)
+    caps = spark.createDataFrame(
+        [("sh0.site0.co.uk", 1)], "host string, budget_cap int"
+    )
+    sel = dequeue(
+        elig, Politeness((Limit(".*", 6),)), host_budgets=caps,
+        politeness_key=registrable_domain(F.col("host")),
+    ).collect()
+    assert len(sel) == 6  # domain budget still fully used
+    per_host = {}
+    for r in sel:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    assert per_host["sh0.site0.co.uk"] == 1  # capped host bounded
+    assert per_host["sh1.site0.co.uk"] == 5  # remainder from uncapped host
+    # the capped host's surviving row is its best by dequeue order
+    best = min(
+        (r for r in _subdomain_eligible(spark, 1, 2, 10).collect()
+         if r["host"] == "sh0.site0.co.uk"),
+        key=lambda r: (-r["priority"], r["depth"], r["wave"], r["url_hash"]),
+    )
+    kept = [r for r in sel if r["host"] == "sh0.site0.co.uk"][0]
+    assert kept["url"] == best["url"]

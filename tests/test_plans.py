@@ -116,11 +116,14 @@ def test_global_cap_has_no_partitionless_window(spark, frontier):
     )
     plan = _plan(sel)
     assert "TakeOrdered" in plan, plan
-    # the only Window specs allowed are the per-host ones
+    # the only Window specs allowed are the per-key ones (_pkey = host unless
+    # domain grouping is on); an EMPTY partition spec is the one-task funnel
     import re
 
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert "host" in spec, f"partitionless window in dequeue plan:\n{plan}"
+        assert "host" in spec or "_pkey" in spec, (
+            f"partitionless window in dequeue plan:\n{plan}"
+        )
 
 
 def test_corpus_fetch_scans_corpus_once(spark, frontier):
