@@ -245,9 +245,15 @@ def dequeue(
     per-host (robots state is per-host) and bound each host's rows inside
     its domain group.
     """
-    key = politeness_key if politeness_key is not None else F.col("host")
-    df = eligible.withColumn("_pkey", key)
-    budget = politeness.budget_expr(F.col("_pkey"))
+    # default mode groups on the host column ITSELF — materializing a _pkey
+    # copy there would widen every shuffle row by the host string for nothing
+    if politeness_key is not None:
+        df = eligible.withColumn("_pkey", politeness_key)
+        kcol = "_pkey"
+    else:
+        df = eligible
+        kcol = "host"
+    budget = politeness.budget_expr(F.col(kcol))
     df = df.withColumn("_budget", budget)
     if host_budgets is not None:
         caps = host_budgets.select(
@@ -285,14 +291,14 @@ def dequeue(
     df = df.withColumn(
         "_sub", F.pmod(F.col("url_hash"), F.lit(sub_salts)).cast("int")
     )
-    w1 = Window.partitionBy("_pkey", "_sub").orderBy(*dequeue_order())
+    w1 = Window.partitionBy(kcol, "_sub").orderBy(*dequeue_order())
     df = (
         df.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("_budget"))
         .drop("_r1", "_sub")
     )
     # level 2: exact per-key rank on the bounded survivor set
-    w2 = Window.partitionBy("_pkey").orderBy(*dequeue_order())
+    w2 = Window.partitionBy(kcol).orderBy(*dequeue_order())
     df = (
         df.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("_budget"))

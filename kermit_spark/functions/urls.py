@@ -223,10 +223,24 @@ def _replace_entities(url: str) -> str:
     return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0).lower()], url)
 
 
+def _idna_host(host: str) -> str:
+    """Unicode host → ASCII punycode (IDNA), per urijs' punycode.toASCII on
+    normalize (the reference cleans URLs with urijs, tools.coffee:17-27).
+    Already-ASCII hosts pass through untouched; hosts the codec rejects
+    (empty labels, oversize labels) are kept as-is rather than dropped —
+    the fetch layer will surface the real error."""
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
 def _normalize_one(url: str) -> str:
     """RFC 3986-style normalization (urijs URI().normalize() analog):
-    lowercase scheme+host, drop default port, resolve dot-segments,
-    collapse empty path to '/' when authority present."""
+    lowercase scheme+host, IDN host → punycode, drop default port, resolve
+    dot-segments, collapse empty path to '/' when authority present."""
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -234,7 +248,7 @@ def _normalize_one(url: str) -> str:
     scheme = parts.scheme.lower()
     netloc = parts.netloc
     if netloc:
-        host = parts.hostname or ""
+        host = _idna_host(parts.hostname or "")
         port = None
         try:
             port = parts.port

@@ -157,3 +157,45 @@ def test_content_type_fallback_long_tail_ext(spark):
     assert got["http://x.test/b.vrml"] == "application/x-vrml"
     assert got["http://x.test/c.zzzz"] == "application/octet-stream"
     assert got["http://x.test/d.css"] == "text/html"
+
+
+IDN_CASES = [
+    # urijs punycode.toASCII parity: Unicode hosts → IDNA ASCII
+    ("http://münchen.de/straße", "http://xn--mnchen-3ya.de/stra%C3%9Fe"),
+    ("http://例え.jp/", "http://xn--r8jz45g.jp/"),
+    ("https://bücher.example.com:8443/x", "https://xn--bcher-kva.example.com:8443/x"),
+    # ASCII hosts untouched; mixed-case IDN lowercased first
+    ("http://Example.COM/a", "http://example.com/a"),
+]
+
+
+def test_normalize_idn_punycode():
+    from kermit_spark.functions.urls import _normalize_one
+
+    for url, expected in IDN_CASES:
+        assert _normalize_one(url) == expected
+
+
+def test_clean_resolves_idn_relative_links():
+    """Discovered relative links on an IDN page absolutize against the
+    PUNYCODED base — the seen-set and fetch layer only ever see ASCII
+    hosts, so one site never splits into a Unicode and an ASCII identity."""
+    from kermit_spark.functions.urls import _clean_one
+
+    assert (
+        _clean_one("http://münchen.de/a/", "b.html")
+        == "http://xn--mnchen-3ya.de/a/b.html"
+    )
+    # absolute IDN href punycodes too
+    assert (
+        _clean_one("http://kermit.cc/", "http://例え.jp/p")
+        == "http://xn--r8jz45g.jp/p"
+    )
+
+
+def test_idn_invalid_host_kept_verbatim():
+    from kermit_spark.functions.urls import _idna_host
+
+    bad = "ex..ämple.com"  # empty label — idna codec rejects
+    assert _idna_host(bad) == bad
+    assert _idna_host("plain.example.com") == "plain.example.com"
