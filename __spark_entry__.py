@@ -1778,6 +1778,106 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+def q_text_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) through the
+    REAL library op (ops.text.ccnet_buckets): unigram-NLL terciles label
+    every document head / middle / tail — the slice selection CCNet feeds
+    to LM pretraining. The cutpoints ride the plan as one broadcast
+    exact-percentile aggregate (no global sort / partitionless window);
+    the oracle recomputes the LM and takes DuckDB's quantile_cont over the
+    same half-up-rounded inputs (identical p*(n-1) linear interpolation,
+    then both cutpoints rounded half-up before the <= compare)."""
+    from kermit_spark.ops.text import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return ccnet_buckets(docs).orderBy("doc_id")
+
+
+# --- DUST synthetic crawl: shared Spark/DuckDB SQL fragments -----------------
+# 5 URL families over one content function: 'page' and 'sort' change content,
+# 'sid' and 'ref' never do; family 0 provides the parameter-absent variants.
+_DUST_BASE = "('http://h' || (o_custkey % 8) || '.test/a/' || (o_orderkey % 200))"
+_DUST_URL = f"""CASE CAST(o_orderkey % 5 AS INT)
+    WHEN 0 THEN {_DUST_BASE} || '?page=' || (o_orderkey % 3)
+    WHEN 1 THEN {_DUST_BASE} || '?page=' || (o_orderkey % 3)
+             || '&sid=' || (o_orderkey % 7)
+    WHEN 2 THEN {_DUST_BASE} || '?sid=' || (o_orderkey % 7)
+             || '&page=' || (o_orderkey % 3)
+    WHEN 3 THEN {_DUST_BASE} || '?page=' || (o_orderkey % 3)
+             || '&sort=' || (o_orderkey % 2)
+    ELSE {_DUST_BASE} || '?page=' || (o_orderkey % 3)
+             || '&sid=' || (o_orderkey % 7) || '&ref=' || (o_custkey % 4)
+    END"""
+_DUST_HASH = f"""md5({_DUST_BASE} || '|p=' || (o_orderkey % 3)
+    || CASE WHEN CAST(o_orderkey % 5 AS INT) = 3
+            THEN '|s=' || (o_orderkey % 2) ELSE '' END)"""
+
+
+def q_url_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST alias-parameter mining (Bar-Yossef et al., WWW 2007) through the
+    REAL library op (ops.dust.mine_irrelevant_params): from (url,
+    content_hash) evidence alone, find query-parameter keys that never
+    change content — the session-id/tracker families that pollute a
+    10^10-URL frontier. The synthetic crawl has two irrelevant keys (sid,
+    ref), two content-bearing ones (page, sort) and parameter-absent
+    variants; the oracle re-implements the group-by evidence rule in SQL
+    over the same URLs — never the generator labels."""
+    from kermit_spark.ops.dust import mine_irrelevant_params
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    crawled = orders.select(
+        F.expr(_DUST_URL).alias("url"), F.expr(_DUST_HASH).alias("content_hash")
+    )
+    return mine_irrelevant_params(crawled, min_support=2).orderBy("param")
+
+
+def q_politeness_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-fairness audit through the REAL library aggregate
+    (metrics.fairness_stats): Jain's index + hottest-host share over a
+    skewed per-host fetch distribution (one hot host family, a long tail) —
+    the fleet-scale metric that tells whether the dequeue scheduler kept
+    the budget fair under frontier skew."""
+    from kermit_spark.metrics import fairness_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fetched = orders.select(
+        F.expr(
+            "'h' || CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 4 "
+            "ELSE o_custkey % 40 END AS INT)"
+        ).alias("host")
+    )
+    return fairness_stats(fetched)
+
+
+# --- sectional media bytes: 8 fixed 6-char sections; variant v>0 flips
+# section v so same-group assets share 7 of 8 chunks --------------------------
+_MEDIA_CHUNK_DATA = " || ".join(
+    f"(CASE WHEN (p_partkey % 4) > 0 AND (p_partkey % 4) = {i} "
+    f"THEN lpad(CAST(p_partkey % 300 AS STRING), 3, '0') || 'v' || (p_partkey % 4) || 'x' "
+    f"ELSE lpad(CAST(p_partkey % 300 AS STRING), 3, '0') || 's' || {i} || 'x' END)"
+    for i in range(8)
+)
+
+
+def q_media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media near-dup through the REAL library op
+    (ops.media.media_chunk_near_dups): sectional md5 fingerprints over the
+    opaque bytes column, banded exact-key join on (chunk_idx, chunk_md5)
+    with capped buckets, pairs kept at >= 6 of 8 shared sections — the
+    binary-blob analog of simhash_candidates for the interleaved corpus's
+    media assets. Synthetic assets come in 300 groups of 4 variants, each
+    variant differing from its base in exactly one section; the oracle
+    recomputes the same substr/md5/cap/count pipeline in SQL."""
+    from kermit_spark.ops.media import media_chunk_near_dups
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    media = part.select(
+        F.expr("'m' || lpad(CAST(p_partkey AS STRING), 8, '0')").alias("media_id"),
+        F.encode(F.expr(_MEDIA_CHUNK_DATA), "utf-8").alias("data"),
+    )
+    return media_chunk_near_dups(media, n_chunks=8, min_shared=6).orderBy("a", "b")
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking through the REAL library op (ops.text.bm25_rank) for a
     fixed query over the corpus. Every float association is mirrored in the
@@ -2152,8 +2252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
+        "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
+        "url_dust": q_url_dust,
+        "politeness_fairness": q_politeness_fairness,
         # stream analogs
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -2166,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "media_audio_segments": q_media_audio_segments,
         "media_features": q_media_features,
+        "media_chunk_dedup": q_media_chunk_dedup,
     }
 
 
@@ -3713,6 +3817,151 @@ def oracle_sql() -> dict[str, str]:
                    END AS nll
             FROM base b LEFT JOIN folded f USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # CCNet terciles: same LM CTE, cutpoints via quantile_cont (identical
+        # p*(n-1) interpolation to Spark's exact percentile), both cutpoints
+        # and nll half-up rounded BEFORE the <= compares
+        "text_ccnet": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0),
+                           w -> lower(w)) AS ws
+                FROM documents
+            ),
+            base AS (SELECT doc_id, ws, len(ws) AS dl FROM toks),
+            total AS (SELECT SUM(dl)::DOUBLE AS t FROM base),
+            ex AS (SELECT doc_id, w AS term FROM toks, UNNEST(ws) AS u(w)),
+            freq AS (SELECT term, COUNT(*) AS cf FROM ex GROUP BY term),
+            doc_terms AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+            contrib AS (
+                SELECT d.doc_id, d.term,
+                       d.tf * ln(f.cf / (SELECT t FROM total)) AS c
+                FROM doc_terms d JOIN freq f USING (term)
+            ),
+            folded AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                                   (acc, x) -> acc + x) AS s
+                FROM contrib GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT b.doc_id, b.dl AS n_tokens,
+                       CASE WHEN b.dl > 0
+                            THEN floor((-f.s / b.dl) * 10000.0 + 0.5) / 10000.0
+                       END AS nll
+                FROM base b LEFT JOIN folded f USING (doc_id)
+            ),
+            cuts AS (
+                SELECT floor(quantile_cont(nll, 1.0/3.0) * 10000.0 + 0.5) / 10000.0 AS c1,
+                       floor(quantile_cont(nll, 2.0/3.0) * 10000.0 + 0.5) / 10000.0 AS c2
+                FROM scored WHERE nll IS NOT NULL
+            )
+            SELECT doc_id, n_tokens, nll,
+                   CASE WHEN nll IS NULL THEN NULL
+                        WHEN nll <= c1 THEN 'head'
+                        WHEN nll <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored, cuts ORDER BY doc_id
+        """,
+        # DUST mining: group-by evidence over (rest-of-url, param) — every
+        # step (param explode, rest splice, absent-variant join, verdict)
+        # restated in SQL; never the generator's irrelevance labels
+        "url_dust": f"""
+            WITH crawled AS (
+                SELECT DISTINCT {_DUST_URL} AS url, {_DUST_HASH} AS hash
+                FROM orders
+            ),
+            q AS (
+                SELECT url, hash, split_part(url, '?', 1) AS base,
+                       string_split(substr(url, instr(url, '?') + 1), '&') AS params
+                FROM crawled
+                WHERE instr(url, '?') > 0
+                  AND length(substr(url, instr(url, '?') + 1)) > 0
+            ),
+            rested AS (
+                SELECT CASE WHEN len(params) = 1 THEN base
+                            ELSE base || '?' || array_to_string(
+                                list_concat(params[1:pos-1], params[pos+1:]), '&')
+                       END AS rest,
+                       split_part(params[pos], '=', 1) AS param,
+                       params[pos] AS variant, hash
+                FROM q, UNNEST(range(1, len(params) + 1)) AS t(pos)
+            ),
+            absent AS (
+                SELECT DISTINCT r.rest, r.param, '∅' AS variant, c.hash
+                FROM (SELECT DISTINCT rest, param FROM rested) r
+                JOIN crawled c ON c.url = r.rest
+            ),
+            grouped AS (
+                SELECT rest, param,
+                       count(DISTINCT variant) AS nv,
+                       count(DISTINCT hash) AS nh
+                FROM (SELECT * FROM rested UNION ALL SELECT * FROM absent)
+                GROUP BY rest, param
+            )
+            SELECT param,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END)::BIGINT AS n_support,
+                   sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_violation,
+                   (sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 2
+                    AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0) AS irrelevant
+            FROM grouped GROUP BY param ORDER BY param
+        """,
+        # Jain's index: integer count sums cast to double in the same order
+        # as metrics.fairness_stats, half-up rounded at 1e6
+        "politeness_fairness": """
+            WITH fetched AS (
+                SELECT 'h' || CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 4
+                               ELSE o_custkey % 40 END AS INT) AS host
+                FROM orders
+            ),
+            counts AS (SELECT host, count(*) AS c FROM fetched GROUP BY host)
+            SELECT count(*)::BIGINT AS n_hosts,
+                   sum(c)::BIGINT AS n_fetched,
+                   floor(((sum(c)::DOUBLE * sum(c)::DOUBLE)
+                          / (count(*)::DOUBLE * sum(c*c)::DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS jain,
+                   floor((max(c)::DOUBLE / sum(c)::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS top_share
+            FROM counts
+        """,
+        # sectional media near-dup: same substr/md5 chunking, same capped
+        # (chunk_idx, chunk_md5) band join, same >= 6-of-8 threshold
+        "media_chunk_dedup": f"""
+            WITH assets AS (
+                SELECT 'm' || lpad(CAST(p_partkey AS STRING), 8, '0') AS media_id,
+                       {_MEDIA_CHUNK_DATA} AS data
+                FROM part
+            ),
+            widths AS (
+                SELECT media_id, data,
+                       CAST(ceil(length(data) / 8.0) AS INT) AS w
+                FROM assets WHERE length(data) > 0
+            ),
+            sigs AS (
+                SELECT media_id, pos - 1 AS chunk_idx,
+                       md5(substr(data, 1 + (pos - 1) * w, w)) AS chunk_md5
+                FROM widths, UNNEST(range(1, 9)) AS t(pos)
+                WHERE length(substr(data, 1 + (pos - 1) * w, w)) > 0
+            ),
+            capped AS (
+                SELECT media_id, chunk_idx, chunk_md5 FROM (
+                    SELECT *, row_number() OVER (PARTITION BY chunk_idx, chunk_md5
+                                                 ORDER BY media_id) AS rn
+                    FROM sigs
+                ) WHERE rn <= 50
+            ),
+            pairs AS (
+                SELECT l.media_id AS a, r.media_id AS b,
+                       count(DISTINCT l.chunk_idx)::BIGINT AS shared
+                FROM capped l JOIN capped r
+                  ON l.chunk_idx = r.chunk_idx AND l.chunk_md5 = r.chunk_md5
+                 AND l.media_id < r.media_id
+                GROUP BY a, b
+            )
+            SELECT a, b, shared FROM pairs WHERE shared >= 6 ORDER BY a, b
         """,
         "text_bm25": r"""
             WITH b2 AS (

@@ -56,3 +56,35 @@ def headers_histogram(df: DataFrame, headers_col: str = "headers") -> DataFrame:
         .groupBy("header", "value")
         .agg(F.count("*").alias("n"))
     )
+
+
+def fairness_stats(
+    df: DataFrame, host_col: str = "host", round_digits: int = 6
+) -> DataFrame:
+    """Politeness-fairness summary over a wave's fetch distribution: Jain's
+    fairness index J = (Σc)² / (n·Σc²) over per-host fetch counts (J = 1 →
+    every host served equally; J → 1/n → one host hogs the budget), plus the
+    hottest host's share. The politeness scheduler (frontier.py dequeue)
+    exists to keep J high under skewed frontiers — this is the metric that
+    audits it, the aggregate the reference's Monitoring counters
+    (ext.monitoring.coffee:10-74) would need at fleet scale.
+
+    Two hash-aggs (host counts → one global row), map-side partial, no
+    sort. Doubles are half-up rounded so the DuckDB oracle is bit-equal.
+
+    Output: one row (n_hosts, n_fetched, jain, top_share)."""
+    counts = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("_c"))
+    scale = F.lit(float(10 ** round_digits))
+
+    def _round(x):
+        return F.floor(x * scale + F.lit(0.5)) / scale
+
+    tot = F.sum("_c").cast("double")
+    sq = F.sum(F.col("_c") * F.col("_c")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return counts.agg(
+        n.cast("long").alias("n_hosts"),
+        tot.cast("long").alias("n_fetched"),
+        _round((tot * tot) / (n * sq)).alias("jain"),
+        _round(F.max("_c").cast("double") / tot).alias("top_share"),
+    )

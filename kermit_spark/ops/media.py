@@ -630,3 +630,79 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> Da
         F.col("frame_no").cast("int"),
         F.concat(F.col("media_id"), F.lit("#f"), F.col("frame_no").cast("string")).alias("frame_ref"),
     )
+
+
+def chunk_signatures(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Sectional content fingerprints for opaque media bytes: split each
+    asset into ``n_chunks`` fixed-boundary sections and md5 each — the
+    codec-free near-dup signature (a real pipeline would add a perceptual
+    pHash after decode; section hashing is what works on undecoded bytes and
+    is how binary-dedup systems fingerprint blobs). Pure JVM: substring on
+    the binary column + md5, no Python, no decode.
+
+    Output: one row per non-empty chunk (id_col, chunk_idx, chunk_md5).
+    Chunk width = ceil(len/n); a short asset simply yields fewer chunks —
+    trailing empty sections are dropped so universally-empty chunks can't
+    form a junk join bucket."""
+    w = f"CAST(ceil(length({bytes_col}) / {float(n_chunks)}) AS INT)"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" i -> substring({bytes_col}, 1 + i * {w}, {w}))"
+    )
+    return (
+        media.filter(F.length(F.col(bytes_col)) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        # filter AFTER the explode so chunk_idx stays the ORIGINAL section
+        # index (filtering the array first would renumber trailing chunks)
+        .filter(F.length("_c") > 0)
+        .select(id_col, "chunk_idx", F.md5("_c").alias("chunk_md5"))
+    )
+
+
+def media_chunk_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    n_chunks: int = 8,
+    min_shared: int = 6,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate media assets by shared content sections: two assets
+    are near-dups when >= ``min_shared`` of their ``n_chunks`` sections hash
+    identically — catches the dominant crawl cases (same image re-served
+    with appended/patched metadata, byte-identical mirrors, single-section
+    watermark stamps) without any codec.
+
+    Scale shape mirrors the text dedup family (simhash_candidates): an
+    exact-key band join on (chunk_idx, chunk_md5) — never all-pairs — with
+    ``max_bucket`` capping pathological buckets (a blank-thumbnail section
+    shared by millions of assets would otherwise explode quadratically;
+    capped buckets keep the lowest ids as canonical representatives), then
+    one hash-agg counting shared sections per candidate pair.
+
+    Output: (a, b, shared) with a < b, shared >= min_shared."""
+    from pyspark.sql.window import Window
+
+    sigs = chunk_signatures(
+        media, id_col=id_col, bytes_col=bytes_col, n_chunks=n_chunks
+    )
+    wcap = Window.partitionBy("chunk_idx", "chunk_md5").orderBy(id_col)
+    sigs = (
+        sigs.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    left = sigs.select("chunk_idx", "chunk_md5", F.col(id_col).alias("a"))
+    right = sigs.select("chunk_idx", "chunk_md5", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["chunk_idx", "chunk_md5"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("chunk_idx").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -609,6 +609,58 @@ def unigram_logprob(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-unigram NLL (`unigram_logprob` — the sandbox
+    stand-in for CCNet's KenLM wiki-LM perplexity), compute the corpus's
+    exact NLL terciles, and label each document head / middle / tail
+    (head = most fluent third, the slice CCNet keeps for LM pretraining).
+    The reference engine has no quality pipeline — this belongs to the
+    LLM-training-data layer the brief adds on top of it.
+
+    Scale shape: NO global sort and NO partitionless window — the two
+    tercile cutpoints ride the plan as ONE broadcast one-row
+    exact-percentile aggregate (Spark ``percentile``, a sort-based partial
+    agg), and the bucket label is a broadcast-joined CASE over each row. At
+    10^10 docs the cutpoints would come from ``percentile_approx`` on a
+    sample (CCNet itself fixes thresholds from a sampled histogram); the
+    exact percentile keeps the DuckDB oracle bit-comparable at test scale.
+
+    Determinism: nll is half-up-rounded (inside unigram_logprob) BEFORE the
+    percentile, both cutpoints are half-up-rounded too, and buckets compare
+    rounded-to-rounded with <= — ties share a bucket independent of row
+    order, and Spark's percentile interpolation (lower + frac*(higher-lower)
+    at position p*(n-1)) matches DuckDB's quantile_cont bit-for-bit on the
+    same rounded inputs. Output: (id_col, n_tokens, nll, bucket); empty
+    documents get a NULL bucket."""
+    scored = unigram_logprob(
+        df, text_col=text_col, id_col=id_col, round_digits=round_digits
+    )
+    cuts = scored.filter(F.col("nll").isNotNull()).agg(
+        round_half_up(
+            F.expr("percentile(nll, 1.0d / 3.0d)"), round_digits
+        ).alias("_c1"),
+        round_half_up(
+            F.expr("percentile(nll, 2.0d / 3.0d)"), round_digits
+        ).alias("_c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "n_tokens",
+        "nll",
+        F.when(F.col("nll").isNull(), F.lit(None).cast("string"))
+        .when(F.col("nll") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     target_pred: Column,

@@ -57,3 +57,23 @@ def test_headers_flow_through_corpus_fetch_to_documents(spark):
     got = {(r["header"], r["value"]) for r in headers_histogram(
         parse_documents(CorpusFetcher(corpus).fetch(selected))).collect()}
     assert ("content-type", "text/html") in got
+
+
+def test_fairness_stats(spark):
+    from kermit_spark.metrics import fairness_stats
+
+    # perfectly fair: J = 1
+    fair = spark.createDataFrame(
+        [(f"h{i % 4}",) for i in range(8)], ["host"]
+    )
+    row = fairness_stats(fair).collect()[0]
+    assert (row["n_hosts"], row["n_fetched"]) == (4, 8)
+    assert row["jain"] == 1.0 and row["top_share"] == 0.25
+
+    # one hog: counts (6,1,1) -> J = 64/(3*38) = 0.561404
+    skew = spark.createDataFrame(
+        [("hog",)] * 6 + [("h1",), ("h2",)], ["host"]
+    )
+    row = fairness_stats(skew).collect()[0]
+    assert row["jain"] == 0.561404
+    assert row["top_share"] == 0.75

@@ -393,3 +393,53 @@ def test_media_run_stats(gallery):
         media_run_stats(gallery, max_run=-1)
     plan = media_run_stats(gallery)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_signatures_and_near_dups(spark):
+    from kermit_spark.ops.media import chunk_signatures, media_chunk_near_dups
+
+    # 8 sections of 4 bytes each; b differs from a in ONE section, c in all,
+    # d is byte-identical to a, e is empty (dropped)
+    def body(flip: dict[int, str]) -> bytes:
+        return b"".join(
+            (flip.get(i, f"s{i:02d}x")).encode() for i in range(8)
+        )
+
+    rows = [
+        ("a", body({})),
+        ("b", body({3: "ZZZZ"})),
+        ("c", body({i: f"Q{i:02d}q" for i in range(8)})),
+        ("d", body({})),
+        ("e", b""),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, data binary")
+
+    sigs = chunk_signatures(media)
+    per_id = {r[0]: r[1] for r in sigs.groupBy("media_id").count().collect()}
+    assert per_id == {"a": 8, "b": 8, "c": 8, "d": 8}  # e dropped
+
+    pairs = {
+        (r["a"], r["b"]): r["shared"]
+        for r in media_chunk_near_dups(media, min_shared=6).collect()
+    }
+    assert pairs[("a", "d")] == 8      # identical
+    assert pairs[("a", "b")] == 7      # one flipped section
+    assert pairs[("b", "d")] == 7
+    assert ("a", "c") not in pairs     # disjoint content
+    assert len(pairs) == 3
+
+
+def test_chunk_near_dup_bucket_cap(spark):
+    from pyspark.sql import functions as F
+    from kermit_spark.ops.media import media_chunk_near_dups
+
+    # 100 byte-identical assets: uncapped would be 4950 pairs; the cap
+    # bounds the candidate bucket to max_bucket lowest ids
+    media = spark.range(100).select(
+        F.format_string("m%03d", F.col("id")).alias("media_id"),
+        F.encode(F.lit("AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHH"), "utf-8").alias("data"),
+    )
+    out = media_chunk_near_dups(media, min_shared=6, max_bucket=10).collect()
+    assert len(out) == 45  # C(10,2) — only the 10 lowest ids pair up
+    ids = {r["a"] for r in out} | {r["b"] for r in out}
+    assert ids == {f"m{i:03d}" for i in range(10)}

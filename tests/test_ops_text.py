@@ -741,3 +741,28 @@ def test_dsir_logratio_matches_python_mirror(spark):
     sel = dsir_select(df, tgt, k=2).collect()
     assert [r["rnk"] for r in sel] == [1, 2]
     assert {r["doc_id"] for r in sel} <= {1, 2, 4}
+
+
+def test_ccnet_buckets_terciles(spark):
+    from kermit_spark.ops.text import ccnet_buckets
+
+    # 9 scoreable docs -> exact terciles of 3/3/3; fluent repeated prose
+    # scores low NLL (head), singleton-token docs score high (tail)
+    rows = [(i, "the cat sat on the mat") for i in range(1, 4)]
+    rows += [(i, "a dog ran fast today") for i in range(4, 7)]
+    rows += [(6 + i, f"zq{i} xw{i} vk{i}") for i in range(1, 4)]
+    rows += [(10, ""), (11, None)]  # unscored -> null bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+
+    assert [got[i]["bucket"] for i in (10, 11)] == [None, None]
+    buckets = [got[i]["bucket"] for i in range(1, 10)]
+    assert buckets.count("head") == 3
+    assert buckets.count("middle") == 3
+    assert buckets.count("tail") == 3
+    # bucket order follows NLL order: every head nll <= every middle nll <= tail
+    by = {b: [got[i]["nll"] for i in range(1, 10) if got[i]["bucket"] == b]
+          for b in ("head", "middle", "tail")}
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+    # the gibberish singleton docs are the tail
+    assert {i for i in range(1, 10) if got[i]["bucket"] == "tail"} == {7, 8, 9}
