@@ -241,6 +241,16 @@ class CrawlConfig:
     # frontier (discovery) and never burn budget (F5 second check). None =
     # off (reference behavior: no trap handling anywhere).
     trap_rules: TrapRules | None = None
+    # DUST canonicalization (ops/dust.py): query-parameter keys known to be
+    # content-irrelevant — mined from a previous crawl's (url, content_hash)
+    # evidence by ops.dust.mine_irrelevant_params, or configured up front
+    # (utm_*-style trackers) — are stripped from seed AND discovered URLs
+    # before dedup, so alias families collapse to one frontier row instead
+    # of exploding the URL-seen set (each session-id family is an
+    # unbounded-variant trap TrapRules' shape limits cannot see). Empty =
+    # off (reference parity: uri.clean keeps the query string intact,
+    # tools.coffee:29-41).
+    strip_query_params: list[str] = field(default_factory=list)
     # crawl scoping (Heritrix max-pages-per-host analog): cumulative cap on
     # URLs DEQUEUED per host across the whole crawl — a huge site cannot
     # monopolize the frontier however many waves run. Rides the same
@@ -340,6 +350,12 @@ class Crawler:
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
         filtered = urls.filter(self.config.admit_expr(F.col("url")))
+        if self.config.strip_query_params:
+            # same DUST canonicalization as discovery — seeds and discovered
+            # URLs must agree on canonical form or the seen-set splits
+            from .ops.dust import strip_params
+
+            filtered = strip_params(filtered, self.config.strip_query_params)
         self.frontier.init(filtered, wave=0)
 
     @property
@@ -960,6 +976,12 @@ class Crawler:
             updates = updates.unionByName(blocked_updates, allowMissingColumns=True)
         if verify_updates is not None:
             updates = updates.unionByName(verify_updates, allowMissingColumns=True)
+        if cfg.strip_query_params:
+            # DUST canonicalization: collapse alias families BEFORE dedup so
+            # the seen-set (Bloom + anti-join) never learns throwaway variants
+            from .ops.dust import strip_params
+
+            candidates = strip_params(candidates, cfg.strip_query_params)
         # updates cover exactly the dequeued batch -> their partitions are
         # known driver-side already (batch_parts); no distinct+collect job
         n_new = self.frontier.commit_wave(

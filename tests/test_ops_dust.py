@@ -102,3 +102,54 @@ def test_strip_params(spark):
         "http://a.test/bare",
         "http://a.test/p",
     ]
+
+
+def test_crawler_strips_mined_params(spark, tmp_path):
+    """CrawlConfig.strip_query_params end-to-end: seeds and discovered links
+    carrying session-id variants collapse to ONE canonical frontier row each
+    — the seen-set never learns the throwaway aliases."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    rows = [
+        ("http://a.test/home.html", "a.test", 200, "text/html",
+         '<html><body>'
+         '<a href="http://a.test/item.html?page=1&sid=111">one</a>'
+         '<a href="http://a.test/item.html?page=1&sid=222">dup</a>'
+         '<a href="http://a.test/item.html?page=2&sid=333">two</a>'
+         '</body></html>'),
+        ("http://a.test/item.html?page=1", "a.test", 200, "text/html",
+         "<html><body><p>p1</p></body></html>"),
+        ("http://a.test/item.html?page=2", "a.test", 200, "text/html",
+         "<html><body><p>p2</p></body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(".*", 10),)),
+        obey_robots=False,
+        strip_query_params=["sid"],
+    )
+    crawler = Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path / "c")), CorpusFetcher(corpus), cfg
+    )
+    # the seed itself carries a session id too
+    crawler.seed(["http://a.test/home.html?sid=seed0"])
+    crawler.crawl(3)
+
+    frontier = {r["url"]: r["status"] for r in crawler.frontier.read().collect()}
+    assert set(frontier) == {
+        "http://a.test/home.html",
+        "http://a.test/item.html?page=1",
+        "http://a.test/item.html?page=2",
+    }
+    docs = crawler.documents().select("url", "status").collect()
+    assert sorted(r["url"] for r in docs if r["status"] == 200) == [
+        "http://a.test/home.html",
+        "http://a.test/item.html?page=1",
+        "http://a.test/item.html?page=2",
+    ]

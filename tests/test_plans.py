@@ -248,3 +248,48 @@ def test_dsir_no_cartesian_and_broadcast_totals(spark):
     plan = _plan(dsir_logratio(df, F.col("text").contains("the")))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ccnet_buckets_no_global_sort(spark):
+    """ccnet_buckets: the tercile cutpoints are a broadcast one-row
+    aggregate — the labeling never needs a global Sort or a partitionless
+    window over the corpus (the NTILE anti-pattern)."""
+    from kermit_spark.ops.text import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "zq wt"), (3, "the the")], "doc_id long, text string"
+    )
+    plan = _plan(ccnet_buckets(df))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dust_mining_no_cartesian(spark):
+    """mine_irrelevant_params: evidence is hash-agg grouped, the only join
+    keys on full URL equality — no all-pairs shape anywhere."""
+    from kermit_spark.ops.dust import mine_irrelevant_params
+
+    df = spark.createDataFrame(
+        [("http://a/p?x=1", "H1"), ("http://a/p?x=2", "H1"), ("http://a/p", "H1")],
+        ["url", "content_hash"],
+    )
+    plan = _plan(mine_irrelevant_params(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_media_chunk_near_dups_banded_join(spark):
+    """media_chunk_near_dups: candidate pairs come from an equi-join on
+    (chunk_idx, chunk_md5) — a real shuffle/broadcast hash join, never a
+    nested-loop over all asset pairs."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from kermit_spark.ops.media import media_chunk_near_dups
+
+    media = spark.range(20).select(
+        F.format_string("m%02d", F.col("id")).alias("media_id"),
+        F.encode(F.concat(F.lit("AAAABBBBCCCCDDDD"), F.col("id").cast("string")), "utf-8").alias("data"),
+    )
+    plan = _plan(media_chunk_near_dups(media))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
