@@ -1305,6 +1305,42 @@ class Crawler:
             )
         self.frontier.reprioritize(edges, num_iters=num_iters)
 
+    def reprioritize_by_quality(self, min_docs: int = 1) -> None:
+        """Focused crawling: recompute scheduled priorities from the CONTENT
+        quality of what each host has already served — the
+        RefinedWeb/C4-style domain rollup (ops.text.domain_quality_rollup)
+        over the fetched documents' text spans, host-grained. Priority =
+        the host's avg_score_e4 (integer fixed-point); hosts the rollup
+        BLOCKS (mostly-junk) drop to 0 and only dequeue after every scored
+        host. The reference has no content-driven scheduling (priority is
+        user-set, RequestItem.coffee:178-186); at 100 TB this is the
+        feedback loop that spends fetch budget on hosts yielding
+        training-quality text instead of boilerplate farms. No-op before
+        any documents exist."""
+        from .ops.text import domain_quality_rollup
+
+        if not self.catalog.exists(DOCUMENTS_TABLE):
+            return
+        text = F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        )
+        docs_text = self.documents().select(F.col("host"), text.alias("text"))
+        rollup = domain_quality_rollup(
+            docs_text, group_col="host", text_col="text", min_docs=min_docs
+        )
+        scores = rollup.select(
+            "host",
+            F.when(F.col("blocked"), F.lit(0))
+            .otherwise(F.col("avg_score_e4"))
+            .cast("long")
+            .alias("score_fp"),
+        )
+        self.frontier.reprioritize_hosts(scores)
+
     def compact(self) -> None:
         """Maintenance: fold fast-appended frontier file sets back to one
         set per partition (catalog.compact). Run between crawls on

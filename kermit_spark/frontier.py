@@ -838,6 +838,52 @@ class Frontier:
             FRONTIER_TABLE, updated, range(self.num_partitions), properties=carry
         )
 
+    def reprioritize_hosts(
+        self, host_scores: DataFrame, broadcast_scores: bool = True
+    ) -> int:
+        """Focused-crawl maintenance (Chakrabarti et al. 1999's quality
+        feedback, host-grained): set the dequeue priority of every SCHEDULED
+        row from a per-HOST score table ``(host, score_fp long)`` — hosts
+        whose fetched pages proved worth keeping get their queued URLs
+        served first, junk hosts sink (score 0). Scores are integer
+        fixed-point like :meth:`reprioritize` (and cast to double exactly,
+        score_fp < 2^53), so the resulting crawl order stays
+        bit-reproducible across runs, resumes and cluster sizes. Hosts
+        absent from the table keep their current priority; visited/error
+        rows are untouched; membership, n_rows and url_epoch carry forward.
+
+        ``broadcast_scores``: the score table is usually domain-count-sized
+        (≪ frontier) — broadcast by default; pass False at 10^8-host scale
+        to let the planner shuffle-join on the host key instead.
+
+        Same O(frontier) rewrite cost as reprioritize — run it every k
+        waves, not per wave. Returns the new snapshot id."""
+        prev_props = self.catalog.snapshot_property(FRONTIER_TABLE)
+        fr = self.read()
+        scores = host_scores.select(
+            F.col("host"), F.col("score_fp").cast("long").alias("_score_fp")
+        )
+        if broadcast_scores:
+            scores = F.broadcast(scores)
+        updated = (
+            fr.join(scores, "host", "left")
+            .withColumn(
+                "priority",
+                F.when(
+                    (F.col("status") == SCHEDULED)
+                    & F.col("_score_fp").isNotNull(),
+                    F.col("_score_fp").cast("double"),
+                ).otherwise(F.col("priority")),
+            )
+            .select(*FRONTIER_COLS)
+        )
+        carry = {
+            k: prev_props[k] for k in ("n_rows", "url_epoch", "wave") if k in prev_props
+        }
+        return self.catalog.overwrite_partitions(
+            FRONTIER_TABLE, updated, range(self.num_partitions), properties=carry
+        )
+
     def schedule(self, candidates: DataFrame, wave: int, properties: dict | None = None) -> int:
         """Q1: insert candidate URLs not already seen (thin wrapper over
         commit_wave). Returns the number of newly scheduled URLs."""

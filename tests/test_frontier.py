@@ -737,3 +737,89 @@ def test_dequeue_by_domain_host_caps_apply_per_host(spark):
     )
     kept = [r for r in sel if r["host"] == "sh0.site0.co.uk"][0]
     assert kept["url"] == best["url"]
+
+
+def test_reprioritize_hosts_quality_feedback(spark, frontier):
+    """reprioritize_hosts: scheduled rows take their host's score_fp as
+    priority; hosts absent from the score table and non-scheduled rows keep
+    theirs; snapshot props carry forward."""
+    frontier.init(_urls(spark, [
+        "http://good.test/a", "http://good.test/b",
+        "http://junk.test/x", "http://other.test/z",
+    ]))
+    # mark one good-host row visited: it must keep its priority
+    upd = (
+        frontier.read()
+        .filter(F.col("url") == "http://good.test/b")
+        .select("p", "url_hash", "url", F.lit(VISITED).alias("new_status"))
+    )
+    frontier.update_status(upd)
+    props_before = frontier.catalog.snapshot_property("frontier")
+
+    scores = spark.createDataFrame(
+        [("good.test", 9000), ("junk.test", 0)], "host string, score_fp long"
+    )
+    frontier.reprioritize_hosts(scores)
+
+    rows = {r["url"]: r for r in frontier.read().collect()}
+    assert rows["http://good.test/a"]["priority"] == 9000.0
+    assert rows["http://junk.test/x"]["priority"] == 0.0
+    # unscored host and the visited row untouched (init priority default)
+    assert rows["http://other.test/z"]["priority"] == rows["http://good.test/b"]["priority"]
+    props_after = frontier.catalog.snapshot_property("frontier")
+    for k in ("n_rows", "url_epoch"):
+        if k in props_before:
+            assert props_after[k] == props_before[k]
+    # quality-fed dequeue order: priority DESC puts the good host first
+    order = [
+        r["url"]
+        for r in frontier.read()
+        .filter(F.col("status") == SCHEDULED)
+        .orderBy(F.desc("priority"), "url")
+        .collect()
+    ]
+    assert order[0] == "http://good.test/a"
+    assert set(order[1:]) == {"http://junk.test/x", "http://other.test/z"}
+
+
+def test_crawler_reprioritize_by_quality(spark, tmp_path):
+    """Crawler.reprioritize_by_quality end-to-end: after a wave, the host
+    that served clean prose outranks the host that served junk in the
+    scheduled frontier (its avg_score_e4; junk hosts are blocked to 0)."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    prose = "<p>" + "The quick brown fox jumps over the lazy dog. " * 8 + "</p>"
+    junk = "<p>%$#@ ~~ ## !! @@ %% ^^ && ** (( )) __ ++ == [[ ]]</p>"
+    rows = [
+        ("http://good.test/", "good.test", 200, "text/html",
+         f'<html><body>{prose}<a href="http://good.test/next.html">n</a></body></html>'),
+        ("http://junk.test/", "junk.test", 200, "text/html",
+         f'<html><body>{junk}<a href="http://junk.test/next.html">n</a></body></html>'),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(".*", 10),)),
+        obey_robots=False,
+        max_waves=1,
+    )
+    crawler = Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path / "c")), CorpusFetcher(corpus), cfg
+    )
+    crawler.seed(["http://good.test/", "http://junk.test/"])
+    crawler.crawl(1)
+    crawler.reprioritize_by_quality(min_docs=1)
+
+    pri = {
+        r["url"]: r["priority"]
+        for r in crawler.frontier.read()
+        .filter(F.col("status") == SCHEDULED)
+        .collect()
+    }
+    assert pri["http://good.test/next.html"] > pri["http://junk.test/next.html"]
+    assert pri["http://good.test/next.html"] > 0.0
