@@ -295,6 +295,12 @@ class WaveStats:
     # conditional re-fetch: rows revalidated with 304 Not Modified (counted
     # as visits; their stored documents remain authoritative)
     n_not_modified: int = 0
+    # Jain's fairness index over the wave's per-host dequeue counts
+    # (metrics.fairness_stats formula, computed driver-side from the
+    # per-host collect the wave already does — zero extra jobs). 1.0 =
+    # every dequeued host served equally; -> 1/n = one host hogged the
+    # batch. None when nothing was dequeued.
+    jain_fairness: float | None = None
 
 
 class Crawler:
@@ -1036,11 +1042,22 @@ class Crawler:
             verify_cache.unpersist()
         if to_fetch is not selected:
             to_fetch.unpersist()
+        jain = None
+        if per_host:
+            # same half-up-at-1e6 convention as metrics.fairness_stats; a
+            # host maps to exactly one partition, so (p, host) rows ARE the
+            # per-host counts
+            _s = float(sum(r["count"] for r in per_host))
+            _q = float(sum(r["count"] * r["count"] for r in per_host))
+            _n = float(len(per_host))
+            if _q > 0:
+                jain = int((_s * _s) / (_n * _q) * 1e6 + 0.5) / 1e6
         return WaveStats(
             wave, n_selected, n_blocked, n_ok, n_err, n_new, wall,
             n_verify_failed=n_verify_failed,
             stop_requested=n_verify_failed > 0,
             n_not_modified=n_notmod,
+            jain_fairness=jain,
         )
 
     def _append_lineage(

@@ -139,7 +139,10 @@ def test_crawler_strips_mined_params(spark, tmp_path):
     )
     # the seed itself carries a session id too
     crawler.seed(["http://a.test/home.html?sid=seed0"])
-    crawler.crawl(3)
+    stats = crawler.crawl(3)
+    # single-host waves are perfectly fair by definition (WaveStats
+    # jain_fairness rides the per-host collect, no extra jobs)
+    assert stats[0].jain_fairness == 1.0
 
     frontier = {r["url"]: r["status"] for r in crawler.frontier.read().collect()}
     assert set(frontier) == {
