@@ -1778,6 +1778,21 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007) through the
+    REAL library op (ops.text.bigram_backoff_logprob): every document
+    scored against an LM built from the doc_id%5==0 subset — a fifth of
+    the corpus, so unseen bigrams in the other docs genuinely exercise the
+    (alpha*cw)/N backoff branch and OOV words the count-1 floor. The
+    oracle restates counts, both branches, bigram-ordered folds and
+    half-up rounding in SQL."""
+    from kermit_spark.ops.text import bigram_backoff_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    lm = docs.filter(F.col("doc_id") % 5 == 0)
+    return bigram_backoff_logprob(docs, lm=lm).orderBy("doc_id")
+
+
 def q_text_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020) through the
     REAL library op (ops.text.ccnet_buckets): unigram-NLL terciles label
@@ -2252,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
+        "text_bigram_lm": q_text_bigram_lm,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -3815,6 +3831,58 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.dl > 0
                         THEN floor((-f.s / b.dl) * 10000.0 + 0.5) / 10000.0
                    END AS nll
+            FROM base b LEFT JOIN folded f USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
+        # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
+        "text_bigram_lm": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> length(w) > 0),
+                           w -> lower(w)) AS ws
+                FROM documents
+            ),
+            base AS (SELECT doc_id, ws, len(ws) AS dl FROM toks),
+            lmb AS (SELECT ws, dl FROM base WHERE doc_id % 5 = 0),
+            total AS (SELECT SUM(dl)::DOUBLE AS n FROM lmb),
+            uni AS (
+                SELECT w, COUNT(*) AS cw FROM lmb, UNNEST(ws) AS t(w) GROUP BY w
+            ),
+            bi AS (
+                SELECT ws[i-1] || ' ' || ws[i] AS bg, COUNT(*) AS cb
+                FROM lmb, UNNEST(range(2, len(ws) + 1)) AS r(i)
+                GROUP BY bg
+            ),
+            docbg AS (
+                SELECT doc_id, ws[i-1] || ' ' || ws[i] AS bg, COUNT(*) AS tf
+                FROM base, UNNEST(range(2, len(ws) + 1)) AS r(i)
+                GROUP BY doc_id, bg
+            ),
+            contrib AS (
+                SELECT d.doc_id, d.bg,
+                       d.tf * ln(CASE WHEN coalesce(b.cb, 0) > 0
+                                      THEN b.cb / coalesce(u1.cw, 1)
+                                      ELSE (0.4 * coalesce(u2.cw, 1))
+                                           / (SELECT n FROM total) END) AS c
+                FROM docbg d
+                LEFT JOIN bi b USING (bg)
+                LEFT JOIN uni u1 ON u1.w = split_part(d.bg, ' ', 1)
+                LEFT JOIN uni u2 ON u2.w = split_part(d.bg, ' ', 2)
+            ),
+            folded AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(0.0, list(c ORDER BY bg)),
+                                   (acc, x) -> acc + x) AS s
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   greatest(b.dl - 1, 0) AS n_bigrams,
+                   CASE WHEN b.dl >= 2
+                        THEN floor((-f.s / (b.dl - 1)) * 10000.0 + 0.5) / 10000.0
+                   END AS nll2
             FROM base b LEFT JOIN folded f USING (doc_id)
             ORDER BY b.doc_id
         """,

@@ -609,6 +609,123 @@ def unigram_logprob(
     )
 
 
+def bigram_backoff_logprob(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Stupid Backoff bigram LM quality score (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): per document, the average
+    negative log-score of each token given its predecessor under the LM
+    corpus's bigram counts, backing off to the scaled unigram when the
+    bigram is unseen:
+
+      S(w | v) = count(v w) / count(v)          when count(v w) > 0
+               = (alpha * count(w)) / N          otherwise
+      nll2(d)  = -(Σ_{i>=2} ln S(w_i | w_{i-1})) / (dl - 1)
+
+    ``lm`` is the corpus the counts come from (the CCNet pattern: score
+    crawl text against a trusted reference corpus); when None the input
+    scores against itself — then every bigram is self-seen and the measure
+    reduces to in-corpus word-ORDER typicality. The bigram upgrade over
+    :func:`unigram_logprob` is what separates fluent word order from a
+    fluent bag of words — "the cat sat" and "sat the cat" share a unigram
+    score but not this one. Stupid Backoff (vs Kneser-Ney) is the
+    large-corpus choice on purpose: no discount tuning, counts only,
+    embarrassingly aggregatable — the paper's point. Words the LM never
+    saw floor at count 1 (OOV guard: keeps every ln finite, mirrored in
+    the oracle).
+
+    Determinism discipline as in unigram_logprob: integer counts feed ONE
+    explicitly-parenthesized double expression per ln — cb/cv for the seen
+    branch, (alpha * cw) / N for the backoff — per-document contributions
+    fold IN BIGRAM-STRING ORDER over a sorted struct array, and the result
+    is half-up rounded, so a DuckDB oracle is bit-identical. Scale shape:
+    two hash-aggs over the LM corpus (bigram + unigram counts), one
+    hash-agg of per-doc bigram tfs, equi-joins keyed on bigram/word —
+    nothing all-pairs, no windows. Documents with fewer than 2 tokens
+    score null. Output: (id_col, n_bigrams, nll2)."""
+    words = F.expr(
+        f"transform(filter(split(coalesce({text_col}, '')," + r" '\\s+'),"
+        " w -> length(w) > 0), w -> lower(w))"
+    )
+    bigrams = F.expr(
+        "case when size(_ws) >= 2 then transform(sequence(1, size(_ws) - 1),"
+        " i -> concat(_ws[i - 1], ' ', _ws[i])) else array() end"
+    )
+    base = df.select(F.col(id_col), words.alias("_ws")).select(
+        F.col(id_col), "_ws", F.size("_ws").alias("dl")
+    )
+    lm_base = (
+        base
+        if lm is None
+        else lm.select(words.alias("_ws")).select(
+            "_ws", F.size("_ws").alias("dl")
+        )
+    )
+    total = lm_base.agg(F.sum("dl").cast("double").alias("_n"))
+    uni = (
+        lm_base.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        lm_base.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    doc_bi = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    contrib = (
+        doc_bi.withColumn("_v", F.expr("substring_index(bg, ' ', 1)"))
+        .withColumn("_w", F.expr("substring_index(bg, ' ', -1)"))
+        .join(bi, "bg", "left")
+        .join(uni.select(F.col("w").alias("_v"), F.col("cw").alias("cv")), "_v", "left")
+        .join(uni.select(F.col("w").alias("_w"), F.col("cw").alias("cw")), "_w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "bg",
+            (
+                F.col("tf")
+                * F.log(
+                    F.when(
+                        F.coalesce(F.col("cb"), F.lit(0)) > 0,
+                        F.col("cb") / F.coalesce(F.col("cv"), F.lit(1)),
+                    ).otherwise(
+                        (F.lit(alpha) * F.coalesce(F.col("cw"), F.lit(1)))
+                        / F.col("_n")
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    folded = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("bg"), F.col("_c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("_s")
+    )
+    return (
+        base.join(folded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.greatest(F.col("dl") - 1, F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("dl") >= 2,
+                round_half_up(-F.col("_s") / (F.col("dl") - 1), round_digits),
+            ).alias("nll2"),
+        )
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     text_col: str = "text",

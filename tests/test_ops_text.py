@@ -766,3 +766,64 @@ def test_ccnet_buckets_terciles(spark):
     assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
     # the gibberish singleton docs are the tail
     assert {i for i in range(1, 10) if got[i]["bucket"] == "tail"} == {7, 8, 9}
+
+
+def test_bigram_backoff_matches_python_mirror(spark):
+    import math
+
+    from kermit_spark.ops.text import bigram_backoff_logprob
+
+    lm_rows = [(100, "the cat sat on the mat"), (101, "the cat ran")]
+    doc_rows = [
+        (1, "the cat sat"),    # all bigrams seen in the LM
+        (2, "sat the cat"),    # "sat the" unseen -> backoff
+        (3, "zq cat"),         # OOV context -> backoff, cw(cat) known
+        (4, "cat zq"),         # OOV target -> backoff with cw floor 1
+        (5, "one"),            # < 2 tokens -> null
+        (6, None),
+    ]
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    df = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll2"])
+        for r in bigram_backoff_logprob(df, lm=lm).collect()
+    }
+
+    # python mirror
+    lm_tok = [t.lower().split() for _, t in lm_rows]
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    n = 0.0
+    for ws in lm_tok:
+        n += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[f"{a} {b}"] = bi.get(f"{a} {b}", 0) + 1
+
+    def score(text):
+        ws = (text or "").lower().split()
+        if len(ws) < 2:
+            return None
+        per: dict[str, int] = {}
+        for a, b in zip(ws, ws[1:]):
+            per[f"{a} {b}"] = per.get(f"{a} {b}", 0) + 1
+        s = 0.0
+        for bg in sorted(per):
+            v, w = bg.split(" ")
+            cb = bi.get(bg, 0)
+            if cb > 0:
+                val = cb / uni.get(v, 1)
+            else:
+                val = (0.4 * uni.get(w, 1)) / n
+            s += per[bg] * math.log(val)
+        x = -s / (len(ws) - 1)
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    for i, t in doc_rows:
+        ws = (t or "").split()
+        assert got[i][0] == max(len(ws) - 1, 0)
+        assert got[i][1] == score(t), (i, got[i], score(t))
+
+    # word ORDER sensitivity: same bag, seen order scores better
+    assert got[1][1] < got[2][1]
