@@ -1778,6 +1778,90 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+_BPE_MERGES = 12
+
+
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016) through the REAL
+    library op (ops.text.bpe_train): 12 greedy merges over the documents
+    word histogram ('|' and the end-of-word sentinel are stripped from the
+    input on BOTH sides — they serve as the oracle's symbol delimiters).
+    The oracle replays the identical greedy recurrence as 12 unrolled SQL
+    stages (the HITS-oracle technique): delimited-string symbol state,
+    adjacent-pair counts, argmax by (count DESC, pair ASC), left-to-right
+    non-overlapping replace — never the library's own outputs."""
+    from kermit_spark.ops.text import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.regexp_replace(F.col("text"), "[|▁]", "").alias("text")
+    )
+    merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=2)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, lhs string, rhs string, pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_stage_cte(k: int) -> str:
+    """One greedy BPE stage for the DuckDB oracle: adjacent-pair counts
+    over the delimited symbol strings, the (count DESC, pair ASC) argmax,
+    then the merge applied via left-to-right non-overlapping replace —
+    the delimiters make a token-boundary-safe string rewrite equivalent
+    to ops.text.bpe_train's array fold."""
+    prev = f"s{k - 1}"
+    return f"""p{k} AS MATERIALIZED (
+                SELECT t[i-1] AS a, t[i] AS b, SUM(n)::BIGINT AS cnt
+                FROM (SELECT n, list_filter(string_split(s, '|'),
+                                            x -> length(x) > 0) AS t
+                      FROM {prev}),
+                     UNNEST(range(2, len(t) + 1)) AS r(i)
+                GROUP BY a, b
+            ),
+            b{k} AS MATERIALIZED (
+                SELECT a, b, cnt FROM p{k} WHERE cnt >= 2
+                ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+            ),
+            s{k} AS MATERIALIZED (
+                SELECT v.n,
+                       replace(v.s, '|' || b.a || '||' || b.b || '|',
+                               '|' || b.a || b.b || '|') AS s
+                FROM {prev} v, b{k} b
+            )"""
+
+
+def _bpe_oracle_sql() -> str:
+    stages = ",\n            ".join(_bpe_stage_cte(k) for k in range(1, _BPE_MERGES + 1))
+    ranks = "\n                UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return rf"""
+            WITH toks AS (
+                SELECT list_transform(
+                           list_filter(
+                               string_split_regex(
+                                   regexp_replace(coalesce(text, ''), '[|▁]', '', 'g'),
+                                   '\s+'),
+                               x -> length(x) > 0),
+                           x -> lower(x)) AS ws
+                FROM documents
+            ),
+            hist AS (SELECT w, COUNT(*) AS n FROM toks, UNNEST(ws) AS u(w) GROUP BY w),
+            s0 AS MATERIALIZED (
+                -- every symbol carries its OWN |…| wrapper ('|a||b||▁|'):
+                -- adjacent-pattern matches then never share a delimiter
+                -- char, so one left-to-right replace() pass merges every
+                -- occurrence exactly like the engine's array fold
+                SELECT n, regexp_replace(w, '(.)', '|\1|', 'g') || '|▁|' AS s
+                FROM hist
+            ),
+            {stages}
+            SELECT rank, lhs, rhs, pair_count FROM (
+                {ranks}
+            ) ORDER BY rank
+        """
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff bigram LM scoring (Brants et al. 2007) through the
     REAL library op (ops.text.bigram_backoff_logprob): every document
@@ -2268,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
         "text_bigram_lm": q_text_bigram_lm,
+        "text_bpe": q_text_bpe,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -3834,6 +3919,8 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN folded f USING (doc_id)
             ORDER BY b.doc_id
         """,
+        # greedy BPE: 12 unrolled stages replaying the exact recurrence
+        "text_bpe": _bpe_oracle_sql(),
         # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
         # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
         "text_bigram_lm": r"""

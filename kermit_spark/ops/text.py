@@ -1234,3 +1234,165 @@ def hashed_linear_score(
         F.size(tokens).cast("long").alias("n_tokens"),
         score.alias("score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / encoding (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word histogram — the input BPE training actually needs. The
+    classic scaling trick (and how production BPE trainers work): merges
+    operate on (distinct word, count), never the raw corpus, so the
+    100 TB corpus is touched ONCE by this single hash-agg and every merge
+    iteration after it runs over a vocabulary-sized table. Output:
+    (word, n) for lowercased whitespace tokens."""
+    words = F.expr(
+        f"transform(filter(split(coalesce({text_col}, '')," + r" '\\s+'),"
+        " w -> length(w) > 0), w -> lower(w))"
+    )
+    return (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EOW = "▁"  # end-of-word sentinel (visible, never in whitespace tokens)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_count: int = 2,
+    checkpoint_every: int = 6,
+) -> list[tuple[str, str, int]]:
+    """Train a byte-pair-encoding merge list (Sennrich et al. 2016) over
+    the corpus: start from characters (+ an end-of-word sentinel), greedily
+    merge the most frequent adjacent symbol pair, repeat ``num_merges``
+    times or until the best pair drops under ``min_count``.
+
+    Spark-first shape: ONE corpus scan builds the word histogram
+    (:func:`word_histogram`); every iteration then runs over that
+    vocabulary-sized table — an adjacent-pair explode + hash-agg + a
+    TakeOrdered(1) argmax, followed by a pure-JVM left-to-right fold that
+    applies the merge to the symbol arrays (the fold's "did the previous
+    element just merge" semantics reproduces standard non-overlapping BPE
+    merging). ``localCheckpoint`` every ``checkpoint_every`` merges
+    truncates the growing lineage, the same technique wave_bfs uses for
+    iterative plans. num_merges Spark jobs total, none touching the
+    corpus — at a 32k-merge production vocabulary you would sample the
+    histogram's head instead; the per-iteration shape is already the
+    scalable one.
+
+    Determinism: the argmax tie-breaks by (count DESC, left ASC, right
+    ASC) — bit-stable across partitionings. Returns [(left, right,
+    pair_count), ...] in merge order."""
+    hist = word_histogram(df, text_col=text_col)
+    syms = hist.select(
+        F.expr(f"concat(split(word, ''), array('{_EOW}'))").alias("syms"),
+        F.col("n"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " j -> struct(syms[j - 1] AS a, syms[j] AS b))"
+    )
+    for step in range(num_merges):
+        best = (
+            syms.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_expr).alias("p"), F.col("n"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        la, lb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # get() is 0-based and NULL-safe out of bounds (ANSI-proof on the
+        # empty accumulator); the typed empty array pins the fold's type
+        merged = F.expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>)," + f"""
+            (acc, x) -> CASE
+                WHEN get(acc, size(acc) - 1) = '{la}' AND x = '{lb}'
+                THEN concat(slice(acc, 1, size(acc) - 1), array('{la}{lb}'))
+                ELSE concat(acc, array(x)) END)
+            """
+        )
+        syms = syms.select(merged.alias("syms"), "n")
+        if (step + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference BPE encode for one word: repeatedly merge the
+    lowest-rank adjacent pair. O(len^2) worst case — applied per DISTINCT
+    word inside the Arrow batch, with a cache."""
+    parts = list(word) + [_EOW]
+    while len(parts) >= 2:
+        ranked = [
+            (ranks[(parts[i], parts[i + 1])], i)
+            for i in range(len(parts) - 1)
+            if (parts[i], parts[i + 1]) in ranks
+        ]
+        if not ranked:
+            break
+        r, i = min(ranked)
+        # standard left-to-right non-overlap: merge EVERY adjacent
+        # occurrence of this pair in one pass, leftmost first
+        pair = (parts[i], parts[i + 1])
+        out: list[str] = []
+        j = 0
+        while j < len(parts):
+            if (
+                j < len(parts) - 1
+                and (parts[j], parts[j + 1]) == pair
+            ):
+                out.append(parts[j] + parts[j + 1])
+                j += 2
+            else:
+                out.append(parts[j])
+                j += 1
+        parts = out
+    return parts
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list: tokenize whitespace-lowercase like the
+    trainer, BPE-encode each word by rank order. Arrow-batched pandas UDF
+    (string surgery is the sanctioned slow path) with a per-batch distinct-
+    word cache — web text repeats words heavily, so the O(len^2) encoder
+    runs once per distinct word per batch, not per occurrence. Output:
+    (id_col, tokens array<string>, n_bpe_tokens)."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def encode_series(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            out: list[str] = []
+            for w in (t or "").lower().split():
+                if w not in cache:
+                    cache[w] = _bpe_encode_word(w, ranks)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(enc)
+
+    udf = F.pandas_udf(encode_series, ArrayType(StringType()))
+    return df.select(
+        F.col(id_col),
+        udf(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_bpe_tokens", F.size("tokens").cast("long"))

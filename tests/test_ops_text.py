@@ -827,3 +827,63 @@ def test_bigram_backoff_matches_python_mirror(spark):
 
     # word ORDER sensitivity: same bag, seen order scores better
     assert got[1][1] < got[2][1]
+
+
+def test_bpe_train_and_encode_match_python_mirror(spark):
+    from kermit_spark.ops.text import _EOW, bpe_encode, bpe_train
+
+    rows = [
+        (1, "low low low lower lower lowest"),
+        (2, "new new newer newer newest wider"),
+        (3, "low new wider"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=8, min_count=2)
+
+    # python mirror over the same word histogram
+    hist: dict[str, int] = {}
+    for _, t in rows:
+        for w in t.lower().split():
+            hist[w] = hist.get(w, 0) + 1
+    syms = {w: list(w) + [_EOW] for w in hist}
+
+    def apply_merge(parts, a, b):
+        out, j = [], 0
+        while j < len(parts):
+            if j < len(parts) - 1 and parts[j] == a and parts[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(parts[j])
+                j += 1
+        return out
+
+    want = []
+    for _ in range(8):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in hist.items():
+            p = syms[w]
+            for i in range(len(p) - 1):
+                counts[(p[i], p[i + 1])] = counts.get((p[i], p[i + 1]), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), cnt = best
+        want.append((a, b, cnt))
+        for w in syms:
+            syms[w] = apply_merge(syms[w], a, b)
+
+    assert merges == want, (merges, want)
+    assert len(merges) >= 4  # the corpus supports several merges
+
+    # encode invariant: applying the learned ranks reproduces the
+    # trainer's final symbols for every training word
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in rows:
+        expect = [tok for w in t.lower().split() for tok in syms[w]]
+        assert enc[i] == expect, (i, enc[i], expect)
