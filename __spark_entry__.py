@@ -323,6 +323,67 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_link_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC crawl-priority scoring through the REAL library operator
+    (kermit_spark.ops.graph.opic — integer fixed-point On-line Page
+    Importance Computation, Abiteboul et al. WWW 2003, with the virtual-pot
+    redistribution for dangling mass and division remainders): top-100
+    nodes of a skewed synthetic link graph (bijection (13n+7) mod M
+    spreads mass, funnel n mod 97 concentrates it) by accumulated history,
+    3 rounds, scale=10^6. Oracle: the identical integer recurrence
+    unrolled as chained MATERIALIZED CTEs — share/rem split, pot carry,
+    in-edge sums, uniform base add — never the library's own output."""
+    from kermit_spark.ops.graph import opic
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("node") * 13 + 7, F.lit(m)),
+                F.pmod(F.col("node"), F.lit(97)),
+            )
+        ).alias("dst"),
+    ).distinct()
+    scores = opic(edges, num_iters=3, scale=10**6)
+    return scores.orderBy(
+        (F.col("hist_fp") + F.col("cash_fp")).desc(), F.col("node").asc()
+    ).limit(100)
+
+
+def _opic_stage_cte(k: int) -> str:
+    """One OPIC round for the DuckDB oracle: integer share/remainder split
+    against o_deg, pot carry and uniform base, in-edge share sums, then
+    the new (cash, hist) state — the exact recurrence ops.graph.opic
+    documents. MATERIALIZED pins linear evaluation of the chain."""
+    prev, prevpot = f"os{k - 1}", f"ob{k - 1}" if k > 1 else "opot0"
+    return f"""of{k} AS MATERIALIZED (
+                SELECT s.node,
+                       (CASE WHEN d.out > 0 THEN s.cash // d.out ELSE 0 END)::BIGINT AS share,
+                       (CASE WHEN d.out > 0 THEN s.cash % d.out ELSE s.cash END)::BIGINT AS rem
+                FROM {prev} s JOIN o_deg d USING (node)
+            ),
+            ob{k} AS MATERIALIZED (
+                SELECT (carry // (SELECT n FROM o_n))::BIGINT AS base,
+                       (carry % (SELECT n FROM o_n))::BIGINT AS pot
+                FROM (SELECT (SELECT sum(rem) FROM of{k})
+                             + (SELECT pot FROM {prevpot}) AS carry)
+            ),
+            oi{k} AS MATERIALIZED (
+                SELECT e.dst AS node, sum(f.share)::BIGINT AS s
+                FROM of{k} f JOIN o_edges e ON e.src = f.node
+                GROUP BY e.dst
+            ),
+            os{k} AS MATERIALIZED (
+                SELECT p.node,
+                       (coalesce(i.s, 0) + (SELECT base FROM ob{k}))::BIGINT AS cash,
+                       (p.hist + p.cash)::BIGINT AS hist
+                FROM {prev} p LEFT JOIN oi{k} i USING (node)
+            )"""
+
+
 def q_url_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap gate through the REAL library rules
     (kermit_spark.filters.TrapRules.reason_expr — the pure-JVM URL-shape
@@ -2293,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_bfs": q_wave_bfs,
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
+        "link_opic": q_link_opic,
         "url_trap_filter": q_url_trap_filter,
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
@@ -3277,6 +3339,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, a2.auth AS auth_fp, h2.hub AS hub_fp
             FROM h_nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
             ORDER BY auth_fp DESC, n.node ASC LIMIT 100
+        """,
+        # OPIC: 3 unrolled integer rounds of the documented recurrence
+        "link_opic": f"""
+            WITH
+            om AS (SELECT count(*) AS m FROM customer),
+            o_edges AS MATERIALIZED (
+                SELECT c_custkey::BIGINT AS src,
+                       ((c_custkey * 13 + 7) % (SELECT m FROM om))::BIGINT AS dst
+                FROM customer
+                UNION
+                SELECT c_custkey::BIGINT AS src, (c_custkey % 97)::BIGINT AS dst
+                FROM customer
+            ),
+            o_nodes AS MATERIALIZED (
+                SELECT src AS node FROM o_edges UNION SELECT dst FROM o_edges
+            ),
+            o_n AS (SELECT count(*)::BIGINT AS n FROM o_nodes),
+            o_deg AS MATERIALIZED (
+                SELECT n.node, coalesce(d.out, 0)::BIGINT AS out
+                FROM o_nodes n LEFT JOIN (
+                    SELECT src AS node, count(*)::BIGINT AS out
+                    FROM o_edges GROUP BY src
+                ) d USING (node)
+            ),
+            os0 AS MATERIALIZED (
+                SELECT node, (1000000 // (SELECT n FROM o_n))::BIGINT AS cash,
+                       0::BIGINT AS hist
+                FROM o_nodes
+            ),
+            opot0 AS (
+                SELECT (1000000 - (SELECT n FROM o_n)
+                        * (1000000 // (SELECT n FROM o_n)))::BIGINT AS pot
+            ),
+            {_opic_stage_cte(1)},
+            {_opic_stage_cte(2)},
+            {_opic_stage_cte(3)}
+            SELECT node, hist AS hist_fp, cash AS cash_fp
+            FROM os3
+            ORDER BY (hist + cash) DESC, node ASC LIMIT 100
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

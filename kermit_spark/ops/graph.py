@@ -409,3 +409,105 @@ def anchor_text_stats(
         F.col("_top.a").alias("top_anchor"),
         (-F.col("_top.neg")).alias("top_anchor_n"),
     )
+
+
+def opic(
+    edges: DataFrame,
+    num_iters: int = 3,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003) in **integer fixed-point** arithmetic, the third
+    frontier-priority scorer next to ``pagerank`` and ``hits``. OPIC is
+    the one actually designed FOR crawlers: importance accrues while the
+    crawl runs (no converged graph needed), so a frontier can rank
+    never-fetched URLs by the cash their discovered in-links forwarded.
+
+    This batch operator runs the synchronous variant: every node holds
+    ``cash`` (importance currently flowing through it) and ``hist`` (total
+    cash it has ever held). Per round each node banks its cash into
+    history and forwards it in equal integer shares along its out-edges;
+    division remainders and the full cash of dangling nodes go to a
+    virtual pot redistributed uniformly next round (the paper's virtual
+    node, which also guarantees strong connectedness). All arithmetic is
+    BIGINT div/multiply/sum, so results are bit-identical across engines,
+    partition counts and reduction orders — same determinism contract as
+    ``pagerank``/``hits``. Exact recurrence (both oracle sides implement
+    precisely this; total cash + pot == scale is invariant):
+
+      init      = scale div N ;  pot0 = scale - N*init ;  hist0 = 0
+      share[n]  = cash[n] div outdeg[n]            (outdeg > 0)
+      rem[n]    = cash[n] - outdeg[n]*share[n]     (cash[n] if dangling)
+      carry     = pot + sum(rem) ;  base = carry div N ; pot' = carry - N*base
+      cash'[n]  = sum(share[u] over in-edges u->n) + base
+      hist'[n]  = hist[n] + cash[n]
+
+    Scale shape: per round one groupBy(src) for in-sums plus two one-row
+    aggregates that ride the plan as broadcast rows (carry/base — no
+    driver collect); shuffles are edge- and node-sized, never all-pairs.
+    ``localCheckpoint`` truncates the growing plan per round. The pot is a
+    one-row DataFrame carried across rounds, not driver state.
+
+    Returns (node, hist_fp, cash_fp): rank by hist_fp + cash_fp (total
+    importance mass observed), descending.
+    """
+    if num_iters < 1:
+        raise ValueError("opic() needs num_iters >= 1")
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    init = scale // n
+    spark = edges.sparkSession
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out"))
+    deg = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce(F.col("out"), F.lit(0)).cast("long").alias("out"))
+        .localCheckpoint()
+    )
+    state = nodes.select(
+        "node",
+        F.lit(init).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    ).localCheckpoint()
+    pot = spark.range(1).select(F.lit(scale - n * init).cast("long").alias("pot"))
+    for _ in range(num_iters):
+        st = state.join(deg, "node")
+        share = F.when(F.col("out") > 0, F.expr("cash div out")).otherwise(F.lit(0))
+        rem = F.col("cash") - F.col("out") * share
+        flows = st.select("node", share.cast("long").alias("share"), rem.cast("long").alias("rem"))
+        carry = (
+            flows.agg(F.sum("rem").alias("rsum"))
+            .crossJoin(F.broadcast(pot))
+            .select((F.col("rsum") + F.col("pot")).alias("carry"))
+        )
+        base = carry.select(
+            F.expr(f"carry div {n}").cast("long").alias("base"),
+            (F.col("carry") % n).cast("long").alias("pot"),
+        ).localCheckpoint()
+        in_sum = (
+            flows.join(edges, flows.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        state = (
+            state.join(in_sum, "node", "left")
+            .crossJoin(F.broadcast(base.select("base")))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0)) + F.col("base")).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint()
+        )
+        pot = base.select("pot")
+    out = state.select("node", F.col("hist").alias("hist_fp"), F.col("cash").alias("cash_fp"))
+    edges.unpersist()
+    nodes.unpersist()
+    return out

@@ -253,3 +253,59 @@ def test_hits_l1_mass_bounded(spark):
     # L1 scaling floors: totals never exceed scale
     assert 0 < row["a"] <= 10**6
     assert 0 < row["h"] <= 10**6
+
+
+def _opic_python(edges, num_iters, scale=10**6):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for a, _ in edges:
+        out[a] += 1
+    cash = {u: scale // n for u in nodes}
+    hist = {u: 0 for u in nodes}
+    pot = scale - n * (scale // n)
+    for _ in range(num_iters):
+        share = {u: (cash[u] // out[u] if out[u] else 0) for u in nodes}
+        rem = {u: cash[u] - out[u] * share[u] for u in nodes}
+        carry = pot + sum(rem.values())
+        base, pot = carry // n, carry % n
+        new_cash = {u: base for u in nodes}
+        for a, b in edges:
+            new_cash[b] += share[a]
+        for u in nodes:
+            hist[u] += cash[u]
+        cash = new_cash
+    return {u: (hist[u], cash[u]) for u in nodes}
+
+
+def test_opic_matches_python_reference(spark):
+    from kermit_spark.ops.graph import opic
+
+    # hub + cycle + dangling node (6): dangling cash must recirculate via
+    # the pot, not leak
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 5), (5, 1), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hist_fp"], r["cash_fp"]) for r in opic(df, num_iters=4).collect()}
+    assert got == _opic_python(edges, num_iters=4)
+    # the cycle hub accumulates more history than the dangler
+    assert got[1][0] > got[6][0]
+
+
+def test_opic_mass_conserved_and_partition_stable(spark):
+    from kermit_spark.ops.graph import opic
+
+    edges = [(i, (i * 7 + 1) % 53) for i in range(53)] + [
+        (i, (i * 11 + 5) % 53) for i in range(53)
+    ]
+    base = None
+    for parts in (1, 5):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        rows = sorted(opic(df, num_iters=3).collect())
+        if base is None:
+            base = rows
+        else:
+            assert rows == base  # bit-identical across partitionings
+    # invariant: all circulating cash + pot == scale, so sum(cash) <= scale
+    # and the per-round banked history sums to round * scale minus pot drift
+    total_cash = sum(r["cash_fp"] for r in base)
+    assert 10**6 - 53 < total_cash <= 10**6
