@@ -1123,6 +1123,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash LSH index through the
+    REAL library ops (ops.dedup.build_minhash_index +
+    minhash_index_near_dups): the corpus (documents) is indexed ONCE into
+    catalog tables — bucket rows partitioned by band, shingle sets by id
+    hash — then the increment (truncated mutants, id+100000) is deduped by
+    joining its bucket rows against the index plus itself, with exact
+    shingle-Jaccard verification. The corpus text is never rescanned at
+    query time. Oracle: DuckDB recomputes both sides' md5-min signatures,
+    applies the same per-side bucket caps, joins new×index ∪ new×new, and
+    verifies Jaccard — never reading the library's index."""
+    import tempfile
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index, minhash_index_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.select(F.col("doc_id").alias("id"), "text")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.substring(F.col("text"), 1, 160).alias("text"),
+    ).filter(F.length("text") >= 40)
+    params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
+    tmp = tempfile.mkdtemp(prefix="kermit_mhidx_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    try:
+        cat = SnapshotCatalog(spark, tmp)
+        build_minhash_index(cat, old, **params)
+        out = minhash_index_near_dups(cat, new, threshold=0.0, **params).orderBy(
+            "new_id", "match_id", "side"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER canonicalization — the step after pair generation in
     a training-data dedup pipeline: minhash+LSH pairs (identical params to
@@ -2375,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_contamination": q_dedup_contamination,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
@@ -3442,6 +3479,64 @@ def oracle_sql() -> dict[str, str]:
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
             ORDER BY a, b
+        """,
+        # incremental index dedup: per-side capped buckets, new×old ∪ new×new,
+        # exact shingle-Jaccard verify — identical md5-min family as above
+        "dedup_incremental": """
+            WITH olddocs AS (SELECT doc_id AS id, text FROM documents),
+            newdocs AS (
+                SELECT doc_id + 100000 AS id, substring(text, 1, 160) AS text
+                FROM documents WHERE length(substring(text, 1, 160)) >= 40
+            ),
+            allsh AS MATERIALIZED (
+                SELECT id, is_new,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 4, 1), 4),
+                           i2 -> substring(text, i2, 5))) AS sh
+                FROM (SELECT id, text, FALSE AS is_new FROM olddocs
+                      UNION ALL
+                      SELECT id, text, TRUE AS is_new FROM newdocs)
+            ),
+            sig AS MATERIALIZED (
+                SELECT id, is_new,
+                       list_transform(generate_series(0, 7),
+                           i -> list_min(list_transform(sh,
+                                s -> md5(i::VARCHAR || ':' || s)))) AS sig
+                FROM allsh
+            ),
+            bands AS (
+                SELECT id, is_new, b AS band,
+                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
+                FROM sig, unnest(generate_series(0, 1)) AS t(b)
+            ),
+            -- the cap applies per SIDE: at index build over the corpus,
+            -- and over the increment's own bucket rows at query time
+            capped AS MATERIALIZED (
+                SELECT id, is_new, band, band_sig FROM (
+                    SELECT id, is_new, band, band_sig,
+                           row_number() OVER (PARTITION BY band, band_sig, is_new
+                                              ORDER BY id) AS rn
+                    FROM bands
+                ) WHERE rn <= 50
+            ),
+            pairs AS (
+                SELECT DISTINCT n.id AS new_id, o.id AS match_id, 'index' AS side
+                FROM capped n JOIN capped o
+                  ON n.band = o.band AND n.band_sig = o.band_sig
+                WHERE n.is_new AND NOT o.is_new
+                UNION
+                SELECT DISTINCT n.id AS new_id, m.id AS match_id, 'batch' AS side
+                FROM capped n JOIN capped m
+                  ON n.band = m.band AND n.band_sig = m.band_sig
+                WHERE n.is_new AND m.is_new AND n.id < m.id
+            )
+            SELECT p.new_id, p.match_id, p.side,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM pairs p
+            JOIN allsh a ON a.id = p.new_id
+            JOIN allsh b ON b.id = p.match_id
+            ORDER BY new_id, match_id, side
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_MUTANTS_DUCK},

@@ -191,22 +191,7 @@ def lsh_candidates(
     (ordered by id), which preserves dedup transitivity for the kept set.
     ``None`` disables the cap (exact candidate set, small corpora only).
     """
-    bands = with_sig.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {num_bands - 1}), "
-                f"b -> concat_ws('|', slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("band", "band_sig"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "band_sig").orderBy("_id")
-        bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= max_bucket
-        )
+    bands = _cap_buckets(_band_rows(with_sig, id_col, num_bands, rows_per_band), max_bucket)
     left = bands.select("band", "band_sig", F.col("_id").alias("a"))
     right = bands.select("band", "band_sig", F.col("_id").alias("b"))
     pairs = (
@@ -628,3 +613,226 @@ def canonical_dedup(
             F.col("_self").alias("is_canonical_self"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash LSH index — incremental dedup without rescanning the corpus
+# ---------------------------------------------------------------------------
+
+
+def _band_rows(
+    with_sig: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(_id, band, band_sig) rows — the banding step shared by the batch
+    ``lsh_candidates`` and the persisted-index build/probe paths."""
+    return with_sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}), "
+                f"b -> concat_ws('|', slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    if max_bucket is None:
+        return bands
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_sig").orderBy("_id")
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
+_SHINGLE_PARTS = 8
+
+
+def build_minhash_index(
+    catalog,
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    stride: int = 1,
+    max_bucket: int | None = 50,
+    prefix: str = "mh",
+) -> None:
+    """Persist the corpus side of MinHash+LSH dedup into the snapshot
+    catalog — the build-once half of incremental deduplication:
+
+      {prefix}_buckets   (p=band, band, band_sig, id)  — LSH bucket rows,
+                         PARTITIONED BY BAND, capped per (band, band_sig)
+                         at ``max_bucket`` lowest ids (the batch
+                         ``lsh_candidates`` keep-rule, applied at build so
+                         a boilerplate mega-bucket is paid down once).
+      {prefix}_shingles  (p=hash(id)%{_SHINGLE_PARTS}, id, shingles) —
+                         the shingle sets candidate verification needs.
+
+    The at-scale payoff: deduping a daily crawl increment against a 100 TB
+    corpus becomes a join of the increment's bucket rows against this
+    index — the corpus text is never rescanned, signatures are never
+    recomputed, and the bucket join is keyed on (band, band_sig) with both
+    sides capped. Feed survivors back with :func:`extend_minhash_index`.
+    """
+    sigs = add_minhash(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        "text", k, num_hashes, stride,
+    ).persist()
+    bands = _cap_buckets(
+        _band_rows(sigs, "id", num_bands, num_hashes // num_bands), max_bucket
+    )
+    catalog.create(
+        f"{prefix}_buckets",
+        bands.select(F.col("band").alias("p"), "band", "band_sig", F.col("_id").alias("id")),
+        num_bands,
+        properties={"k": k, "num_hashes": num_hashes, "num_bands": num_bands,
+                    "stride": stride, "max_bucket": max_bucket or 0},
+    )
+    catalog.create(
+        f"{prefix}_shingles",
+        sigs.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(_SHINGLE_PARTS))
+            .cast("int").alias("p"),
+            "id", "shingles",
+        ),
+        _SHINGLE_PARTS,
+    )
+    sigs.unpersist()
+
+
+def minhash_index_near_dups(
+    catalog,
+    new_docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    stride: int = 1,
+    max_bucket: int | None = 50,
+    threshold: float = 0.0,
+    prefix: str = "mh",
+) -> DataFrame:
+    """Near-dups of ``new_docs`` against the persisted index AND within the
+    increment itself, with exact-Jaccard verification — the query half of
+    incremental dedup. Shingle/hash parameters must match the build (they
+    are stamped in the buckets table's snapshot properties).
+
+    Semantics: the increment's bucket rows are capped per (band, band_sig)
+    by lowest id (same rule as the build); candidates are
+    (new × indexed) ∪ (new × new, a < b); each candidate pair is verified
+    with exact shingle Jaccard. Id spaces of corpus and increment must be
+    disjoint. When no bucket cap binds, the result equals the batch
+    pipeline over corpus ∪ increment restricted to pairs touching the
+    increment — the equivalence the test suite pins.
+
+    Output: (new_id, match_id, side 'index'|'batch', jaccard) with
+    jaccard >= threshold.
+    """
+    sigs_new = add_minhash(
+        new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        "text", k, num_hashes, stride,
+    ).persist()
+    bands_new = _cap_buckets(
+        _band_rows(sigs_new, "id", num_bands, num_hashes // num_bands), max_bucket
+    )
+    old = catalog.read(f"{prefix}_buckets").select("band", "band_sig", F.col("id").alias("match_id"))
+    pairs_old = (
+        bands_new.join(old, on=["band", "band_sig"])
+        .select(F.col("_id").alias("new_id"), "match_id")
+        .distinct()
+        .withColumn("side", F.lit("index"))
+    )
+    rhs = bands_new.select("band", "band_sig", F.col("_id").alias("match_id"))
+    pairs_new = (
+        bands_new.join(rhs, on=["band", "band_sig"])
+        .filter(F.col("_id") < F.col("match_id"))
+        .select(F.col("_id").alias("new_id"), "match_id")
+        .distinct()
+        .withColumn("side", F.lit("batch"))
+    )
+    pairs = pairs_old.unionByName(pairs_new)
+    sh_new = sigs_new.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    sh_old = (
+        catalog.read(f"{prefix}_shingles")
+        .select(F.col("id").alias("match_id"), F.col("shingles").alias("sh_b"))
+        .unionByName(
+            sigs_new.select(F.col("id").alias("match_id"), F.col("shingles").alias("sh_b"))
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        pairs.join(sh_new, "new_id")
+        .join(sh_old, "match_id")
+        .select(
+            "new_id", "match_id", "side",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def extend_minhash_index(
+    catalog,
+    new_docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    stride: int = 1,
+    max_bucket: int | None = 50,
+    prefix: str = "mh",
+) -> None:
+    """Append the (deduped) increment to the index — a new catalog
+    snapshot, old files untouched. Per-bucket caps respect what is already
+    stored: a new row lands only while existing_count + its rank stays
+    within ``max_bucket`` (so the keep-set stays deterministic under the
+    build's lowest-id-first rule across increments)."""
+    sigs = add_minhash(
+        new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        "text", k, num_hashes, stride,
+    ).persist()
+    bands = _band_rows(sigs, "id", num_bands, num_hashes // num_bands)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        counts = (
+            catalog.read(f"{prefix}_buckets")
+            .groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_have"))
+        )
+        w = Window.partitionBy("band", "band_sig").orderBy("_id")
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .join(counts, ["band", "band_sig"], "left")
+            .filter(F.col("_rn") + F.coalesce(F.col("_have"), F.lit(0)) <= max_bucket)
+            .drop("_rn", "_have")
+        )
+    catalog.merge_write(
+        f"{prefix}_buckets",
+        bands.select(F.col("band").alias("p"), "band", "band_sig", F.col("_id").alias("id")),
+        replace_parts=(),
+    )
+    catalog.merge_write(
+        f"{prefix}_shingles",
+        sigs.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(_SHINGLE_PARTS))
+            .cast("int").alias("p"),
+            "id", "shingles",
+        ),
+        replace_parts=(),
+    )
+    sigs.unpersist()

@@ -276,3 +276,72 @@ def test_substring_dup_spans_partition_invariant(spark):
     a = sorted(map(tuple, substring_dup_spans(df.repartition(1), k=16).collect()))
     b = sorted(map(tuple, substring_dup_spans(df.repartition(8), k=16).collect()))
     assert a == b and len(a) == 60  # every doc shares its residue-group prefix
+
+
+def _mini_corpus(spark, ids, base="the quick brown fox jumps over the lazy dog "):
+    rows = [(i, base * 3 + f"tail variant {i % 4}") for i in ids]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_minhash_index_matches_batch_when_uncapped(spark, tmp_path):
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import (
+        add_minhash,
+        build_minhash_index,
+        lsh_candidates,
+        minhash_index_near_dups,
+        ngram_jaccard,
+    )
+
+    old = _mini_corpus(spark, range(0, 12))
+    new = _mini_corpus(spark, range(100, 108))
+    cat = SnapshotCatalog(spark, str(tmp_path / "idx"))
+    params = dict(k=5, num_hashes=8, num_bands=2, stride=2, max_bucket=None)
+    build_minhash_index(cat, old, **params)
+    got = {
+        (r["new_id"], r["match_id"], round(r["jaccard"], 6))
+        for r in minhash_index_near_dups(cat, new, **params).collect()
+    }
+
+    # batch pipeline over old ∪ new, restricted to pairs touching new
+    both = old.unionByName(new)
+    sigs = add_minhash(both, "text", k=5, num_hashes=8, stride=2)
+    pairs = lsh_candidates(sigs, "id", num_bands=2, rows_per_band=4, max_bucket=None)
+    verified = ngram_jaccard(pairs, sigs, "id")
+    want = set()
+    for r in verified.collect():
+        a, b, j = r["a"], r["b"], round(r["jaccard"], 6)
+        if b >= 100:  # pairs sorted a < b, so 'b' is the new-side id when mixed
+            want.add((b, a, j) if a < 100 else (min(a, b), max(a, b), j))
+    # incremental emits (new_id, match_id); normalize batch pairs the same way
+    want = {
+        ((n, m, j) if m < 100 else (min(n, m), max(n, m), j)) for (n, m, j) in want
+    }
+    got_norm = {
+        ((n, m, j) if m < 100 else (min(n, m), max(n, m), j)) for (n, m, j) in got
+    }
+    assert got_norm == want
+    assert any(m < 100 for _, m, _ in got)   # cross-corpus hits exist
+    assert any(m >= 100 for _, m, _ in got)  # intra-increment hits exist
+
+
+def test_extend_minhash_index_respects_bucket_cap(spark, tmp_path):
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index, extend_minhash_index
+
+    # every doc identical text -> all ids share every bucket
+    old = spark.createDataFrame([(i, "same same same same same") for i in range(3)],
+                                "id long, text string")
+    new = spark.createDataFrame([(i, "same same same same same") for i in range(10, 16)],
+                                "id long, text string")
+    cat = SnapshotCatalog(spark, str(tmp_path / "idx2"))
+    build_minhash_index(cat, old, k=5, num_hashes=8, num_bands=2, max_bucket=5)
+    extend_minhash_index(cat, new, k=5, num_hashes=8, num_bands=2, max_bucket=5)
+    rows = cat.read("mh_buckets").collect()
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault((r["band"], r["band_sig"]), []).append(r["id"])
+    for ids in per_bucket.values():
+        assert len(ids) <= 5
+        # lowest-id-first keep rule across increments: old 0-2 plus new 10,11
+        assert sorted(ids) == [0, 1, 2, 10, 11]
