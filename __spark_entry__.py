@@ -2027,6 +2027,32 @@ def q_url_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_irrelevant_params(crawled, min_support=2).orderBy("param")
 
 
+def q_politeness_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD adaptive politeness through the REAL library operator
+    (kermit_spark.frontier.adaptive_host_delays): fetch history synthesized
+    from the events table (40 hosts by user_id, status 503 on 'error'
+    events, latency event_id%3000 so ~1/3 of fetches breach slow_ms=2000),
+    folded per host in (ts, event_id) order — additive +500 ms on
+    penalties capped at 60 s, ×0.8 integer decay floored at 100 ms
+    otherwise. Oracle: the identical integer fold via DuckDB list_reduce
+    over the same sorted event lists."""
+    from kermit_spark.frontier import adaptive_host_delays
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "ts",
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "error", F.lit(503)).otherwise(F.lit(200)).alias("status"),
+        (F.col("event_id") % 3000).cast("long").alias("latency_ms"),
+    )
+    return adaptive_host_delays(
+        ev, host_col="host", ts_col="ts", id_col="eid",
+        status_col="status", latency_col="latency_ms",
+    ).orderBy("host")
+
+
 def q_politeness_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-fairness audit through the REAL library aggregate
     (metrics.fairness_stats): Jain's index + hottest-host share over a
@@ -2456,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
         "url_dust": q_url_dust,
+        "politeness_adaptive": q_politeness_adaptive,
         "politeness_fairness": q_politeness_fairness,
         # stream analogs
         "events_sessionize": q_events_sessionize,
@@ -4262,6 +4289,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Jain's index: integer count sums cast to double in the same order
         # as metrics.fairness_stats, half-up rounded at 1e6
+        # AIMD delay fold: identical integer recurrence via list_reduce,
+        # init prepended as the accumulator's first element
+        "politeness_adaptive": """
+            WITH f AS (
+                SELECT 'h' || (user_id % 40)::VARCHAR || '.example.com' AS host,
+                       ts, event_id,
+                       ((CASE WHEN event_type = 'error' THEN 503 ELSE 200 END) >= 400
+                        OR (event_id % 3000) >= 2000) AS bad
+                FROM events
+            ),
+            g AS (
+                SELECT host,
+                       count(*)::BIGINT AS n_fetches,
+                       sum(bad::BIGINT)::BIGINT AS n_penalties,
+                       list_transform(
+                           list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                                      bad := bad))),
+                           e -> e.bad::BIGINT) AS evs
+                FROM f GROUP BY host
+            )
+            SELECT host, n_fetches, n_penalties,
+                   list_reduce(
+                       list_prepend(1000::BIGINT, evs),
+                       (acc, x) -> CASE WHEN x = 1
+                                   THEN least(acc + 500, 60000)
+                                   ELSE greatest((acc * 80) // 100, 100) END
+                   )::BIGINT AS delay_ms
+            FROM g ORDER BY host
+        """,
         "politeness_fairness": """
             WITH fetched AS (
                 SELECT 'h' || CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 4

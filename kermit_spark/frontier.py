@@ -1152,3 +1152,68 @@ def recrawl_schedule(
         (last_wave + interval).alias("next_due"),
         (F.lit(current_wave) >= last_wave + interval).alias("overdue"),
     )
+
+
+def adaptive_host_delays(
+    fetches: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    id_col: str = "url",
+    status_col: str = "status",
+    latency_col: str = "latency_ms",
+    slow_ms: int = 2000,
+    init_delay_ms: int = 1000,
+    increase_ms: int = 500,
+    decrease_pct: int = 80,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 60000,
+) -> DataFrame:
+    """AIMD adaptive politeness: derive each host's next-wave crawl delay
+    from its OBSERVED fetch history, the way production crawlers (Heritrix
+    retry/backoff politics, Nutch's adaptive fetch delay) tune politeness
+    instead of fixing it — the reference exposes only static rate limits
+    (core.queues.coffee:28-34); this is the feedback loop above them.
+
+    Congestion-control semantics, integer-only so the result is
+    bit-identical across engines and partitionings: walk the host's
+    fetches in (ts, id) order; a PENALTY fetch (HTTP >= 400 or latency >=
+    ``slow_ms``) bumps the delay additively (+``increase_ms``, capped at
+    ``max_delay_ms``); a healthy fetch decays it multiplicatively
+    (× ``decrease_pct``/100 with integer div, floored at
+    ``min_delay_ms``). Additive-increase/multiplicative-decrease in delay
+    space (the inverse of TCP's rate space) converges onto the fastest
+    sustainable per-host pace and backs off sharply while a host degrades.
+
+    Scale shape: ONE hash-shuffle on host (the same key the frontier
+    partitions by), per-host sorted fold entirely inside JVM codegen
+    (sort_array + aggregate over a BIGINT accumulator — no Python, no
+    window). Per-host event lists are wave-budget-bounded, so collect_list
+    stays politeness-budget-sized, never corpus-sized.
+
+    Feed the result into per-host ``Limit`` budgets as
+    budget = wave_seconds * 1000 div delay_ms.
+
+    Output: (host, n_fetches, n_penalties, delay_ms).
+    """
+    if min_delay_ms < 1:
+        raise ValueError("min_delay_ms must be >= 1")
+    penalty = (F.col(status_col) >= 400) | (F.col(latency_col) >= slow_ms)
+    evs = fetches.select(
+        F.col(host_col).alias("host"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            penalty.alias("bad"),
+        ).alias("e"),
+    )
+    g = evs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col("e.bad").cast("long")).alias("n_penalties"),
+        F.sort_array(F.collect_list("e")).alias("evs"),
+    )
+    fold = F.expr(
+        f"aggregate(evs, CAST({init_delay_ms} AS BIGINT), (acc, e) -> "
+        f"CASE WHEN e.bad THEN least(acc + {increase_ms}, CAST({max_delay_ms} AS BIGINT)) "
+        f"ELSE greatest((acc * {decrease_pct}) div 100, CAST({min_delay_ms} AS BIGINT)) END)"
+    )
+    return g.select("host", "n_fetches", "n_penalties", fold.alias("delay_ms"))

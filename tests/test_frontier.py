@@ -823,3 +823,54 @@ def test_crawler_reprioritize_by_quality(spark, tmp_path):
     }
     assert pri["http://good.test/next.html"] > pri["http://junk.test/next.html"]
     assert pri["http://good.test/next.html"] > 0.0
+
+
+def test_adaptive_host_delays_aimd_fold(spark):
+    from datetime import datetime
+
+    from kermit_spark.frontier import adaptive_host_delays
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # slow host: healthy, then three penalties (error/slow), then healthy
+        ("a.com", t(1), "u1", 200, 100),
+        ("a.com", t(2), "u2", 503, 100),
+        ("a.com", t(3), "u3", 200, 5000),
+        ("a.com", t(4), "u4", 404, 100),
+        ("a.com", t(5), "u5", 200, 100),
+        # healthy host: decays to the floor
+        ("b.com", t(1), "u1", 200, 10),
+        ("b.com", t(2), "u2", 200, 10),
+        ("b.com", t(3), "u3", 200, 10),
+        ("b.com", t(4), "u4", 200, 10),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts timestamp, url string, status int, latency_ms long")
+    got = {
+        r["host"]: (r["n_fetches"], r["n_penalties"], r["delay_ms"])
+        for r in adaptive_host_delays(
+            df, init_delay_ms=1000, increase_ms=500, decrease_pct=50,
+            min_delay_ms=100, max_delay_ms=60000, slow_ms=2000,
+        ).collect()
+    }
+
+    # python mirror, same order, same integer ops
+    def mirror(seq):
+        d = 1000
+        for bad in seq:
+            d = min(d + 500, 60000) if bad else max((d * 50) // 100, 100)
+        return d
+
+    assert got["a.com"] == (5, 3, mirror([False, True, True, True, False]))
+    assert got["b.com"] == (4, 0, mirror([False] * 4))
+    # floors and caps
+    assert got["b.com"][2] == 100
+
+    # out-of-order input must not change the fold (sorted by ts, id)
+    shuffled = spark.createDataFrame(list(reversed(rows)),
+        "host string, ts timestamp, url string, status int, latency_ms long")
+    got2 = {r["host"]: r["delay_ms"] for r in adaptive_host_delays(
+        shuffled, init_delay_ms=1000, increase_ms=500, decrease_pct=50,
+        min_delay_ms=100, max_delay_ms=60000, slow_ms=2000).collect()}
+    assert got2["a.com"] == got["a.com"][2]
