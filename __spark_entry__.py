@@ -353,6 +353,53 @@ def q_link_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-spam demotion through the REAL library operator
+    (kermit_spark.ops.graph.trustrank — integer fixed-point TrustRank,
+    Gyöngyi et al. VLDB 2004: PageRank with teleport restricted to a
+    trusted seed set): top-100 trusted nodes of a skewed synthetic graph
+    (bijection (17n+5) mod M, funnel n mod 83) seeded with nodes < 20,
+    3 rounds, d=0.85, scale=10^12. Oracle: the identical integer
+    recurrence unrolled as chained MATERIALIZED CTEs."""
+    from kermit_spark.ops.graph import trustrank
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("node") * 17 + 5, F.lit(m)),
+                F.pmod(F.col("node"), F.lit(83)),
+            )
+        ).alias("dst"),
+    ).distinct()
+    seeds = nodes.filter(F.col("node") < 20)
+    scores = trustrank(edges, seeds, num_iters=3, damping_pct=85, scale=10**12)
+    return scores.orderBy(F.col("trust_fp").desc(), F.col("node").asc()).limit(100)
+
+
+def _trust_stage_cte(k: int) -> str:
+    """One TrustRank round for the DuckDB oracle: per-edge integer
+    contributions summed over in-edges, damped, plus the seed-only
+    teleport — ops.graph.trustrank's exact recurrence."""
+    prev = f"tr{k - 1}"
+    return f"""tin{k} AS MATERIALIZED (
+                SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS inc
+                FROM {prev} r
+                JOIN t_deg d ON d.src = r.node
+                JOIN t_edges e ON e.src = r.node
+                GROUP BY e.dst
+            ),
+            tr{k} AS MATERIALIZED (
+                SELECT n.node,
+                       (n.is_seed * (SELECT tele FROM t_tele)
+                        + (85 * coalesce(i.inc, 0)) // 100)::BIGINT AS rank
+                FROM t_flag n LEFT JOIN tin{k} i USING (node)
+            )"""
+
+
 def _opic_stage_cte(k: int) -> str:
     """One OPIC round for the DuckDB oracle: integer share/remainder split
     against o_deg, pot carry and uniform base, in-edge share sums, then
@@ -2417,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
         "link_opic": q_link_opic,
+        "link_trustrank": q_link_trustrank,
         "url_trap_filter": q_url_trap_filter,
         "conditional_fetch": q_conditional_fetch,
         "parse_spans": q_parse_spans,
@@ -3403,6 +3451,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, a2.auth AS auth_fp, h2.hub AS hub_fp
             FROM h_nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
             ORDER BY auth_fp DESC, n.node ASC LIMIT 100
+        """,
+        # TrustRank: 3 unrolled integer rounds, seed-only teleport
+        "link_trustrank": f"""
+            WITH
+            tm AS (SELECT count(*) AS m FROM customer),
+            t_edges AS MATERIALIZED (
+                SELECT c_custkey::BIGINT AS src,
+                       ((c_custkey * 17 + 5) % (SELECT m FROM tm))::BIGINT AS dst
+                FROM customer
+                UNION
+                SELECT c_custkey::BIGINT AS src, (c_custkey % 83)::BIGINT AS dst
+                FROM customer
+            ),
+            t_nodes AS MATERIALIZED (
+                SELECT src AS node FROM t_edges UNION SELECT dst FROM t_edges
+            ),
+            t_s AS (SELECT count(*)::BIGINT AS s FROM t_nodes WHERE node < 20),
+            t_tele AS (
+                SELECT (((100 - 85) * 1000000000000::BIGINT) // 100)
+                       // (SELECT s FROM t_s) AS tele
+            ),
+            t_flag AS MATERIALIZED (
+                SELECT node, (CASE WHEN node < 20 THEN 1 ELSE 0 END)::BIGINT AS is_seed
+                FROM t_nodes
+            ),
+            t_deg AS MATERIALIZED (
+                SELECT src, count(*)::BIGINT AS outdeg FROM t_edges GROUP BY src
+            ),
+            tr0 AS MATERIALIZED (
+                SELECT node,
+                       (is_seed * (1000000000000::BIGINT // (SELECT s FROM t_s)))::BIGINT AS rank
+                FROM t_flag
+            ),
+            {_trust_stage_cte(1)},
+            {_trust_stage_cte(2)},
+            {_trust_stage_cte(3)}
+            SELECT node, rank AS trust_fp FROM tr3
+            ORDER BY trust_fp DESC, node ASC LIMIT 100
         """,
         # OPIC: 3 unrolled integer rounds of the documented recurrence
         "link_opic": f"""

@@ -511,3 +511,89 @@ def opic(
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) in integer
+    fixed-point — PageRank with the teleport restricted to a TRUSTED seed
+    set, the standard link-spam demotion signal: trust flows out from
+    human-vetted seeds along links, so spam farms that inflate raw
+    PageRank via link exchanges score near zero (no trusted path reaches
+    them). A frontier ranks by trustrank (or pagerank × trust) to starve
+    spam hosts of fetch budget.
+
+    Same determinism contract as ``pagerank``: BIGINT-only arithmetic,
+    bit-identical across engines/partitionings. Exact recurrence (both
+    oracle sides implement precisely this; S = seed count):
+
+      tele      = ((100 - d) * scale div 100) div S   (trusted nodes only)
+      init[n]   = scale div S  if n in seeds else 0
+      contrib(e)= rank[src] div outdeg[src]
+      rank'[n]  = (d * sum(contrib over in-edges)) div 100
+                  + (tele if n in seeds else 0)
+
+    Scale shape identical to ``pagerank`` (one src-keyed join + one
+    dst-keyed groupBy per round, plan truncated per round); the seed set
+    joins broadcast (it is small by construction — that is the point of
+    TrustRank). Returns (node, trust_fp); nodes with no trusted path
+    score exactly 0.
+    """
+    if num_iters < 1:
+        raise ValueError("trustrank() needs num_iters >= 1")
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_nodes = seeds.select(F.col("node")).distinct().persist()
+    s = seed_nodes.count()
+    if s == 0:
+        raise ValueError("trustrank() needs a non-empty seed set")
+    init = scale // s
+    tele = (((100 - damping_pct) * scale) // 100) // s
+    is_seed = (
+        nodes.join(F.broadcast(seed_nodes.withColumn("_t", F.lit(1))), "node", "left")
+        .select("node", F.coalesce(F.col("_t"), F.lit(0)).alias("_t"))
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    fanout = edges.join(outdeg, "src").persist()
+    ranks = is_seed.select(
+        "node", (F.col("_t") * init).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(num_iters):
+        incoming = (
+            ranks.join(fanout, ranks.node == fanout.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            is_seed.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_t") * tele
+                    + F.expr(f"({damping_pct} * coalesce(incoming, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    fanout.unpersist()
+    return ranks.select("node", F.col("rank").alias("trust_fp"))

@@ -309,3 +309,39 @@ def test_opic_mass_conserved_and_partition_stable(spark):
     # and the per-round banked history sums to round * scale minus pot drift
     total_cash = sum(r["cash_fp"] for r in base)
     assert 10**6 - 53 < total_cash <= 10**6
+
+
+def _trustrank_python(edges, seeds, num_iters, d=85, scale=10**12):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    s = len(seeds)
+    out = {u: 0 for u in nodes}
+    for a, _ in edges:
+        out[a] += 1
+    init = scale // s
+    tele = (((100 - d) * scale) // 100) // s
+    rank = {u: (init if u in seeds else 0) for u in nodes}
+    for _ in range(num_iters):
+        inc = {u: 0 for u in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] // out[a]
+        rank = {
+            u: (tele if u in seeds else 0) + (d * inc[u]) // 100 for u in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_python_and_zeroes_spam(spark):
+    from kermit_spark.ops.graph import trustrank
+
+    # trusted cluster 1-2-3; spam farm 10<->11<->12 linking to itself and
+    # pointing AT the trusted cluster (classic rank-leech) but unreachable
+    # FROM the seeds
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10),
+             (10, 1), (11, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["trust_fp"] for r in trustrank(df, seeds, num_iters=4).collect()}
+    assert got == _trustrank_python(edges, {1}, num_iters=4)
+    # spam farm holds exactly zero trust; the seed cluster holds plenty
+    assert got[10] == got[11] == got[12] == 0
+    assert min(got[1], got[2], got[3]) > 0
