@@ -830,6 +830,33 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleaved_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level dedup through the REAL library op
+    (ops.media.interleaved_span_dedup): over the shared interleaved
+    synthesis, media refs repeat across every doc sharing doc_id%50 (and
+    'next'-link text repeats everywhere with distinct targets), so the
+    globally-first-occurrence keep rule and the dense offset re-index both
+    discriminate. Output is the exploded post-dedup span sequence plus
+    per-doc before/after counts (docs fully deduped away emit one
+    null-span row via outer explode). Oracle: the identical key rules,
+    first-occurrence window, and re-numbering over the shared synthesis
+    CTE — one rule, two engines."""
+    from kermit_spark.ops.media import interleaved_span_dedup
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    out = interleaved_span_dedup(docs)
+    return out.select(
+        "doc_id", "n_spans_before", "n_spans_after",
+        F.posexplode_outer("spans").alias("_p", "s"),
+    ).select(
+        "doc_id", "n_spans_before", "n_spans_after",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("off"),
+    ).orderBy("doc_id", "off")
+
+
 def q_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-asset dedup through the REAL library op
     (ops.media.media_asset_stats): the fetch-once worklist over the
@@ -2471,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_caption": q_media_caption,
         "recrawl_schedule": q_recrawl_schedule,
         "pack_interleaved": q_pack_interleaved,
+        "interleaved_span_dedup": q_interleaved_span_dedup,
         "media_assets": q_media_assets,
         "interleaved_quality": q_interleaved_quality,
         "spans_boilerplate": q_spans_boilerplate,
@@ -3348,6 +3376,44 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(mx.max_media_run, 0) <= 2 AS keep
             FROM d LEFT JOIN mx USING (doc_id) LEFT JOIN nm USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # span-level dedup: kind-specific content keys, globally-first
+        # keeper, dense per-doc re-numbering — over the shared synthesis
+        "interleaved_span_dedup": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            allspans AS MATERIALIZED (
+                SELECT doc_id, off, 'text' AS kind, t AS span_text,
+                       NULL::VARCHAR AS media_ref,
+                       't:' || md5(coalesce(t, '')) AS key
+                FROM tspans
+                UNION ALL
+                SELECT doc_id, off, 'media', NULL, ref, 'm:' || coalesce(ref, '')
+                FROM mspans
+                UNION ALL
+                SELECT doc_id, (nc * 2)::INT, 'link', 'next',
+                       '/n/' || (doc_id + 1),
+                       'link:next|/n/' || (doc_id + 1)
+                FROM d
+            ),
+            ranked AS MATERIALIZED (
+                SELECT *, row_number() OVER (PARTITION BY key
+                                             ORDER BY doc_id, off) AS rn
+                FROM allspans
+            ),
+            scounts AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans_before,
+                       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_spans_after
+                FROM ranked GROUP BY doc_id
+            ),
+            skept AS (
+                SELECT doc_id, kind, span_text, media_ref,
+                       (row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1)::INT AS off
+                FROM ranked WHERE rn = 1
+            )
+            SELECT c.doc_id, c.n_spans_before, c.n_spans_after,
+                   k.kind, k.span_text, k.media_ref, k.off
+            FROM scounts c LEFT JOIN skept k USING (doc_id)
+            ORDER BY doc_id, off
         """,
         "pack_interleaved": f"""
             WITH {_INTERLEAVED_BASE_SQL},

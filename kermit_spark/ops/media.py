@@ -706,3 +706,85 @@ def media_chunk_near_dups(
         .agg(F.countDistinct("chunk_idx").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def interleaved_span_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Corpus-wide SPAN-level dedup over interleaved documents — the
+    multimodal pipelines' (MMC4, OBELICS) step that document-level dedup
+    can't do: the same boilerplate text block or the same image appears
+    inside thousands of otherwise-distinct pages, and only its FIRST
+    occurrence should survive into training data.
+
+    Content identity per span kind: text spans by md5(text) (the hash,
+    never the body, is the shuffle key), media spans by media_ref, link
+    spans by (text, media_ref). The keeper is the globally first
+    occurrence — lowest (doc_id, offset) — so the result is deterministic
+    under any partitioning. Each document's surviving spans keep their
+    relative order and are re-indexed to dense offsets 0..n-1 (the
+    span-sequence contract expects gapless offsets).
+
+    Scale shape: one hash-shuffle on the 16-byte content key for the
+    first-occurrence window, one shuffle on doc_id to rebuild arrays —
+    never the span bodies as join keys, no all-pairs anything. Documents
+    whose spans are all duplicates come back with an empty spans array
+    (drop or route them with a filter on n_spans_after).
+
+    Returns (id_col, n_spans_before, n_spans_after, spans) with spans
+    re-indexed.
+    """
+    ex = documents.select(
+        F.col(id_col).alias("_doc"), F.posexplode(F.col(spans_col)).alias("_pos", "s")
+    ).select(
+        "_doc", "_pos", "s",
+        F.when(F.col("s.kind") == "text",
+               F.concat(F.lit("t:"), F.md5(F.coalesce(F.col("s.text"), F.lit("")))))
+        .when(F.col("s.kind") == "media",
+              F.concat(F.lit("m:"), F.coalesce(F.col("s.media_ref"), F.lit(""))))
+        .otherwise(F.concat(
+            F.col("s.kind"), F.lit(":"),
+            F.coalesce(F.col("s.text"), F.lit("")), F.lit("|"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")),
+        ))
+        .alias("_key"),
+    )
+    w = Window.partitionBy("_key").orderBy("_doc", "_pos")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = (
+        kept.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans_after"),
+            F.sort_array(F.collect_list(F.struct("_pos", "s"))).alias("_ordered"),
+        )
+        .select(
+            "_doc",
+            "n_spans_after",
+            F.expr(
+                "transform(_ordered, (e, i) -> named_struct("
+                "'kind', e.s.kind, 'text', e.s.text, "
+                "'media_ref', e.s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+    base = documents.select(
+        F.col(id_col).alias("_doc"),
+        F.size(F.col(spans_col)).cast("long").alias("n_spans_before"),
+    )
+    return (
+        base.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_spans_before",
+            F.coalesce(F.col("n_spans_after"), F.lit(0)).cast("long").alias("n_spans_after"),
+            F.coalesce(
+                F.col("spans"),
+                F.expr(
+                    "CAST(array() AS array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>)"
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -443,3 +443,40 @@ def test_chunk_near_dup_bucket_cap(spark):
     assert len(out) == 45  # C(10,2) — only the 10 lowest ids pair up
     ids = {r["a"] for r in out} | {r["b"] for r in out}
     assert ids == {f"m{i:03d}" for i in range(10)}
+
+
+def test_interleaved_span_dedup_first_occurrence_and_reindex(spark):
+    from kermit_spark.ops.media import interleaved_span_dedup
+
+    def t(text, off):
+        return ("text", text, None, off)
+
+    def m(ref, off):
+        return ("media", None, ref, off)
+
+    docs = spark.createDataFrame(
+        [
+            (1, [t("hello", 0), m("/img/a.png", 1), t("boiler", 2)]),
+            # doc 2: repeats doc 1's image and boilerplate, adds fresh text
+            (2, [t("boiler", 0), m("/img/a.png", 1), t("fresh", 2)]),
+            # doc 3: everything duplicated -> empty spans
+            (3, [t("boiler", 0), m("/img/a.png", 1)]),
+            # doc 1-internal repeat: 'hello' twice -> second dropped
+            (4, [t("hello", 0), t("hello", 1), m("/img/b.png", 2)]),
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r for r in interleaved_span_dedup(docs).collect()}
+
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out[1]["spans"]] == [
+        ("text", "hello", None, 0), ("media", None, "/img/a.png", 1), ("text", "boiler", None, 2)
+    ]
+    assert [(s["text"], s["offset"]) for s in out[2]["spans"]] == [("fresh", 0)]
+    assert out[3]["spans"] == [] and out[3]["n_spans_after"] == 0
+    assert out[3]["n_spans_before"] == 2
+    # within-doc repeat deduped, offsets re-densified
+    assert [(s["kind"], s["offset"]) for s in out[4]["spans"]] == [("media", 0)] or \
+           [(s["kind"], s["offset"]) for s in out[4]["spans"]] == []
+    # doc 4's 'hello' lost to doc 1 (globally-first keeper), image kept
+    assert out[4]["n_spans_after"] == 1
+    assert out[4]["spans"][0]["media_ref"] == "/img/b.png"
