@@ -2101,6 +2101,27 @@ def q_url_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_irrelevant_params(crawled, min_support=2).orderBy("param")
 
 
+def q_frontier_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defusing partition planning through the REAL library op
+    (kermit_spark.frontier.plan_host_partitions): per-host URL counts
+    synthesized from orders with two deliberate mega-hosts (~10% of rows
+    each) over a 400-host tail, salt_threshold=500 so the mega-hosts split
+    into multiple salted slots, 8 partitions, weight-descending round-robin
+    assignment. Oracle: the identical integer slot split and ordering in
+    SQL."""
+    from kermit_spark.frontier import plan_host_partitions
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(F.lit("big"), (F.col("o_orderkey") % 2).cast("string")),
+    ).otherwise(F.concat(F.lit("h"), (F.col("o_orderkey") % 400).cast("string")))
+    counts = orders.groupBy(host.alias("host")).agg(F.count(F.lit(1)).alias("n_urls"))
+    return plan_host_partitions(counts, num_partitions=8, salt_threshold=500).orderBy(
+        "host", "salt"
+    )
+
+
 def q_politeness_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIMD adaptive politeness through the REAL library operator
     (kermit_spark.frontier.adaptive_host_delays): fetch history synthesized
@@ -2558,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
         "url_dust": q_url_dust,
+        "frontier_partition_plan": q_frontier_partition_plan,
         "politeness_adaptive": q_politeness_adaptive,
         "politeness_fairness": q_politeness_fairness,
         # stream analogs
@@ -4441,6 +4463,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Jain's index: integer count sums cast to double in the same order
         # as metrics.fairness_stats, half-up rounded at 1e6
+        # integer slot split + weight-desc round-robin, replayed in SQL
+        "frontier_partition_plan": """
+            WITH hc AS (
+                SELECT CASE WHEN o_orderkey % 5 = 0
+                            THEN 'big' || (o_orderkey % 2)::VARCHAR
+                            ELSE 'h' || (o_orderkey % 400)::VARCHAR END AS host,
+                       count(*)::BIGINT AS n
+                FROM orders GROUP BY 1
+            ),
+            sl AS (
+                SELECT host, n,
+                       greatest(1, ceil(n / 500.0)::INT) AS n_slots
+                FROM hc
+            ),
+            slots AS (
+                SELECT host, n_slots, s.salt::INT AS salt,
+                       (n // n_slots
+                        + CASE WHEN (n % n_slots) > s.salt THEN 1 ELSE 0 END
+                       )::BIGINT AS slot_weight
+                FROM sl, unnest(generate_series(0, n_slots - 1)) AS s(salt)
+            )
+            SELECT host, salt, n_slots, slot_weight,
+                   ((row_number() OVER (ORDER BY slot_weight DESC, host ASC,
+                                        salt ASC) - 1) % 8)::INT AS partition
+            FROM slots ORDER BY host, salt
+        """,
         # AIMD delay fold: identical integer recurrence via list_reduce,
         # init prepended as the accumulator's first element
         "politeness_adaptive": """

@@ -1217,3 +1217,62 @@ def adaptive_host_delays(
         f"ELSE greatest((acc * {decrease_pct}) div 100, CAST({min_delay_ms} AS BIGINT)) END)"
     )
     return g.select("host", "n_fetches", "n_penalties", fold.alias("delay_ms"))
+
+
+def plan_host_partitions(
+    host_counts: DataFrame,
+    num_partitions: int,
+    salt_threshold: int,
+    host_col: str = "host",
+    count_col: str = "n_urls",
+) -> DataFrame:
+    """Data-driven partition planning for hot-host skew — the explicit
+    complement to the hash-based ``partition_of`` default: given the
+    frontier's per-host URL counts, split every host whose load exceeds
+    ``salt_threshold`` into ceil(n/threshold) SALT SLOTS (so no single
+    task ever owns more than ~threshold of a mega-host's URLs), then
+    assign all slots to partitions round-robin in weight-descending order
+    (the LPT greedy's cheap cousin: heaviest slots spread first, so
+    partition loads stay within one slot-weight of each other).
+
+    At 10^10-frontier scale this is the difference between one straggler
+    task fetching all of wikipedia.org and 32 tasks sharing it under the
+    same per-host politeness budget. Fully deterministic: slot weights are
+    integer splits (n div k, first n mod k slots one heavier), global slot
+    order is (weight DESC, host ASC, salt ASC) — so the plan is
+    bit-identical across engines and partitionings and can be recomputed
+    (not stored) on resume.
+
+    Route rows with: salt = pmod(xxhash64(url), n_slots[host]); partition
+    from this plan broadcast-joined on (host, salt).
+
+    Output: (host, salt, n_slots, slot_weight, partition).
+    """
+    if num_partitions < 1 or salt_threshold < 1:
+        raise ValueError("num_partitions and salt_threshold must be >= 1")
+    base = host_counts.select(
+        F.col(host_col).alias("host"), F.col(count_col).cast("long").alias("n")
+    )
+    slots = base.select(
+        "host",
+        "n",
+        F.expr(
+            f"greatest(1, CAST(ceil(n / CAST({salt_threshold} AS DOUBLE)) AS INT))"
+        ).alias("n_slots"),
+    ).select(
+        "host",
+        "n_slots",
+        F.posexplode(F.expr("sequence(1, n_slots)")).alias("salt", "_one"),
+        F.expr("n div n_slots + CASE WHEN pmod(n, n_slots) > CAST(salt AS BIGINT) "
+               "THEN 1 ELSE 0 END").alias("slot_weight"),
+    ).drop("_one")
+    from pyspark.sql.window import Window
+
+    order = Window.orderBy(F.col("slot_weight").desc(), F.col("host").asc(), F.col("salt").asc())
+    return slots.select(
+        "host",
+        F.col("salt").cast("int").alias("salt"),
+        "n_slots",
+        "slot_weight",
+        ((F.row_number().over(order) - 1) % num_partitions).cast("int").alias("partition"),
+    )

@@ -874,3 +874,38 @@ def test_adaptive_host_delays_aimd_fold(spark):
         shuffled, init_delay_ms=1000, increase_ms=500, decrease_pct=50,
         min_delay_ms=100, max_delay_ms=60000, slow_ms=2000).collect()}
     assert got2["a.com"] == got["a.com"][2]
+
+
+def test_plan_host_partitions_splits_hot_hosts_and_balances(spark):
+    from kermit_spark.frontier import plan_host_partitions
+
+    counts = spark.createDataFrame(
+        [("mega.com", 2500), ("big.com", 1001), ("small1.com", 30),
+         ("small2.com", 20), ("tiny.com", 1), ("empty.com", 0)],
+        "host string, n_urls long",
+    )
+    plan = plan_host_partitions(counts, num_partitions=4, salt_threshold=1000).collect()
+    by_host = {}
+    for r in plan:
+        by_host.setdefault(r["host"], []).append(r)
+
+    # mega 2500 -> 3 slots of 834/833/833; big 1001 -> 2 slots 501/500
+    assert sorted(r["slot_weight"] for r in by_host["mega.com"]) == [833, 833, 834]
+    assert {r["n_slots"] for r in by_host["mega.com"]} == {3}
+    assert sorted(r["slot_weight"] for r in by_host["big.com"]) == [500, 501]
+    assert len(by_host["small1.com"]) == 1 and by_host["small1.com"][0]["slot_weight"] == 30
+    assert by_host["empty.com"][0]["slot_weight"] == 0
+
+    # no single partition owns more than one mega-slot before others get one
+    # (weight-desc round-robin): the 5 heaviest slots land on 5 distinct
+    # assignments across 4 partitions -> first 4 all different
+    ordered = sorted(plan, key=lambda r: (-r["slot_weight"], r["host"], r["salt"]))
+    assert [r["partition"] for r in ordered[:4]] == [0, 1, 2, 3]
+    # partition loads within one max-slot-weight of each other
+    loads = {}
+    for r in plan:
+        loads[r["partition"]] = loads.get(r["partition"], 0) + r["slot_weight"]
+    assert max(loads.values()) - min(loads.values()) <= 834
+
+    # salts are 0-based dense per host
+    assert sorted(r["salt"] for r in by_host["mega.com"]) == [0, 1, 2]
