@@ -1233,6 +1233,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup dedup (streaming.stream_minhash_dedup:
+    per-micro-batch query against the persisted MinHash index + survivor
+    writeback) run as ONE availableNow batch — which makes the survivor
+    set fully deterministic and hard-oracle-able, unlike scheduling-
+    dependent multi-batch runs: survivors = increment docs with no
+    index-match >= threshold and not the higher id of any batch pair >=
+    threshold. Same signature parameters as dedup_incremental; the oracle
+    replays signatures, caps, pairs, Jaccard, and the drop rule in SQL."""
+    import uuid
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index
+    from kermit_spark.streaming import stream_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.select(F.col("doc_id").alias("id"), "text")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 160).alias("text"),
+    ).filter(F.length("text") >= 40)
+    params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
+    tmp = tempfile.mkdtemp(prefix="kermit_smh_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    try:
+        cat = SnapshotCatalog(spark, tmp)
+        build_minhash_index(cat, old, **params)
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed)
+        new.coalesce(1).write.mode("overwrite").json(feed)
+        out = os.path.join(tmp, "out")
+        q = stream_minhash_dedup(
+            spark, cat, feed, os.path.join(tmp, f"ck_{uuid.uuid4().hex[:8]}"),
+            out, threshold=0.5, id_col="doc_id", text_col="text", **params,
+        )
+        q.awaitTermination(240)
+        surv = spark.read.parquet(out).select("doc_id", "text").orderBy("doc_id")
+        rows = surv.collect()
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER canonicalization — the step after pair generation in
     a training-data dedup pipeline: minhash+LSH pairs (identical params to
@@ -2535,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_contamination": q_dedup_contamination,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
@@ -3738,6 +3781,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN allsh a ON a.id = p.new_id
             JOIN allsh b ON b.id = p.match_id
             ORDER BY new_id, match_id, side
+        """,
+        # streaming incremental dedup, single availableNow batch: survivors
+        # after the index-loses/new-batch-higher-id-loses drop rule
+        "dedup_minhash_stream": """
+            WITH olddocs AS (SELECT doc_id AS id, text FROM documents),
+            newdocs AS (
+                SELECT doc_id + 100000 AS id, substring(text, 1, 160) AS text
+                FROM documents WHERE length(substring(text, 1, 160)) >= 40
+            ),
+            allsh AS MATERIALIZED (
+                SELECT id, is_new,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 4, 1), 4),
+                           i2 -> substring(text, i2, 5))) AS sh
+                FROM (SELECT id, text, FALSE AS is_new FROM olddocs
+                      UNION ALL
+                      SELECT id, text, TRUE AS is_new FROM newdocs)
+            ),
+            sig AS MATERIALIZED (
+                SELECT id, is_new,
+                       list_transform(generate_series(0, 7),
+                           i -> list_min(list_transform(sh,
+                                s -> md5(i::VARCHAR || ':' || s)))) AS sig
+                FROM allsh
+            ),
+            bands AS (
+                SELECT id, is_new, b AS band,
+                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') AS band_sig
+                FROM sig, unnest(generate_series(0, 1)) AS t(b)
+            ),
+            capped AS MATERIALIZED (
+                SELECT id, is_new, band, band_sig FROM (
+                    SELECT id, is_new, band, band_sig,
+                           row_number() OVER (PARTITION BY band, band_sig, is_new
+                                              ORDER BY id) AS rn
+                    FROM bands
+                ) WHERE rn <= 50
+            ),
+            pairs AS (
+                SELECT DISTINCT n.id AS new_id, o.id AS match_id, 'index' AS side
+                FROM capped n JOIN capped o
+                  ON n.band = o.band AND n.band_sig = o.band_sig
+                WHERE n.is_new AND NOT o.is_new
+                UNION
+                SELECT DISTINCT n.id AS new_id, m.id AS match_id, 'batch' AS side
+                FROM capped n JOIN capped m
+                  ON n.band = m.band AND n.band_sig = m.band_sig
+                WHERE n.is_new AND m.is_new AND n.id < m.id
+            ),
+            verified AS MATERIALIZED (
+                SELECT p.new_id, p.match_id, p.side,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM pairs p
+                JOIN allsh a ON a.id = p.new_id
+                JOIN allsh b ON b.id = p.match_id
+            ),
+            drops AS (
+                SELECT new_id AS id FROM verified WHERE side = 'index' AND round(j, 6) >= 0.5
+                UNION
+                SELECT match_id FROM verified WHERE side = 'batch' AND round(j, 6) >= 0.5
+            )
+            SELECT n.id AS doc_id, n.text
+            FROM newdocs n
+            WHERE n.id NOT IN (SELECT id FROM drops)
+            ORDER BY doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_MUTANTS_DUCK},

@@ -326,3 +326,76 @@ def fetch_metrics_stream(
             "total_bytes",
         )
     )
+
+
+def stream_minhash_dedup(
+    spark: SparkSession,
+    catalog,
+    feed_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **index_params,
+):
+    """Continuous NEAR-dup dedup of a document feed against the persisted
+    MinHash LSH index (ops.dedup.build_minhash_index) — the streaming form
+    of incremental dedup: each micro-batch (a) queries its docs against
+    the index AND itself (minhash_index_near_dups), (b) writes the
+    SURVIVORS (docs with no match >= threshold) to ``out_dir`` as parquet,
+    and (c) extends the index with exactly those survivors, so later
+    batches dedupe against everything kept so far.
+
+    Semantics trade, documented like stream_exact_dedup's: batch-internal
+    near-dup groups keep their lowest id; cross-batch dups always lose to
+    the already-indexed copy. Replays after failure re-run an idempotent
+    query (the extend re-appends the same survivors under the same caps —
+    bucket rows are deduped by the keep rule, so the index's candidate
+    sets are unchanged).
+
+    Feed files: JSON lines with (doc_id long, text string). The index must
+    exist (build_minhash_index over the historical corpus) before the
+    stream starts.
+    """
+    from .ops.dedup import extend_minhash_index, minhash_index_near_dups
+
+    feed = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 16)
+        .json(feed_dir)
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        matches = minhash_index_near_dups(
+            catalog, batch_df, id_col=id_col, text_col=text_col,
+            threshold=threshold, **index_params,
+        )
+        # index-side pairs: the increment doc loses to the indexed copy.
+        # batch-side pairs come out (new_id < match_id): the HIGHER id is
+        # the duplicate — the lowest id of a batch-internal group survives.
+        dup_ids = (
+            matches.filter(F.col("side") == "index")
+            .select(F.col("new_id").alias(id_col))
+            .unionByName(
+                matches.filter(F.col("side") == "batch")
+                .select(F.col("match_id").alias(id_col))
+            )
+            .distinct()
+        )
+        survivors = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_dir)
+        if not survivors.isEmpty():
+            extend_minhash_index(
+                catalog, survivors, id_col=id_col, text_col=text_col, **index_params
+            )
+
+    return (
+        feed.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -265,3 +265,51 @@ def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
     # first arrival of each distinct content survives; csv reads the empty
     # field back as null, whose digest is the empty-string digest
     assert kept == [1, 2, 5, 6]
+
+
+def test_stream_minhash_dedup_against_persisted_index(spark, tmp_path):
+    """Each micro-batch dedupes against the index AND itself; survivors
+    extend the index so later batches lose to them. Exact near-dup
+    (identical text) makes thresholds unambiguous."""
+    import json as _json
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index
+    from kermit_spark.streaming import stream_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    cat = SnapshotCatalog(spark, str(tmp_path / "idx"))
+    corpus = spark.createDataFrame(
+        [(1, base + "historic one"), (2, base + "historic two")],
+        "doc_id long, text string",
+    )
+    params = dict(k=5, num_hashes=8, num_bands=2, stride=1, max_bucket=None)
+    build_minhash_index(cat, corpus, id_col="doc_id", text_col="text", **params)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1 = [
+        {"doc_id": 10, "text": base + "historic one"},   # dup of indexed 1
+        {"doc_id": 11, "text": base + "fresh one"},      # survivor
+        {"doc_id": 12, "text": base + "fresh one"},      # in-batch dup of 11
+    ]
+    b2 = [
+        {"doc_id": 20, "text": base + "fresh one"},      # dup of survivor 11
+        {"doc_id": 21, "text": base + "entirely different trailing sentence with many words"},  # survivor
+    ]
+    for i, rows in enumerate([b1, b2], 1):
+        p = feed / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (3_000_000 + i, 3_000_000 + i))
+
+    out = str(tmp_path / "out")
+    q = stream_minhash_dedup(
+        spark, cat, str(feed), str(tmp_path / "ck"), out,
+        threshold=0.9, **params,
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [11, 21]
+    # the index grew by exactly the survivors
+    ids = {r["id"] for r in cat.read("mh_shingles").collect()}
+    assert ids == {1, 2, 11, 21}
