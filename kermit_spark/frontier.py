@@ -1276,3 +1276,21 @@ def plan_host_partitions(
         "slot_weight",
         ((F.row_number().over(order) - 1) % num_partitions).cast("int").alias("partition"),
     )
+
+
+def budgets_from_delays(
+    delays: DataFrame,
+    wave_seconds: int,
+    max_budget: int | None = None,
+) -> DataFrame:
+    """Convert :func:`adaptive_host_delays` output into the per-host budget
+    table ``dequeue(host_budgets=...)`` consumes: a host that wants
+    ``delay_ms`` between fetches gets floor(wave_ms / delay_ms) fetches
+    per wave, floored at 1 (a degraded host still makes progress — the
+    same never-starve rule the Crawl-delay cap uses), optionally capped."""
+    if wave_seconds < 1:
+        raise ValueError("wave_seconds must be >= 1")
+    budget = F.greatest(F.lit(1), F.expr(f"CAST({wave_seconds * 1000} AS BIGINT) div delay_ms"))
+    if max_budget is not None:
+        budget = F.least(budget, F.lit(max_budget).cast("long"))
+    return delays.select("host", budget.cast("int").alias("budget"))

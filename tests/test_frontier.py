@@ -909,3 +909,17 @@ def test_plan_host_partitions_splits_hot_hosts_and_balances(spark):
 
     # salts are 0-based dense per host
     assert sorted(r["salt"] for r in by_host["mega.com"]) == [0, 1, 2]
+
+
+def test_budgets_from_delays_floor_and_cap(spark):
+    from kermit_spark.frontier import budgets_from_delays
+
+    delays = spark.createDataFrame(
+        [("fast.com", 3, 0, 100), ("slow.com", 9, 5, 60000), ("mid.com", 4, 1, 2500)],
+        "host string, n_fetches long, n_penalties long, delay_ms long",
+    )
+    got = {r["host"]: r["budget"] for r in budgets_from_delays(delays, wave_seconds=30).collect()}
+    assert got == {"fast.com": 300, "slow.com": 1, "mid.com": 12}
+    capped = {r["host"]: r["budget"]
+              for r in budgets_from_delays(delays, wave_seconds=30, max_budget=50).collect()}
+    assert capped == {"fast.com": 50, "slow.com": 1, "mid.com": 12}
