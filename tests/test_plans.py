@@ -293,3 +293,60 @@ def test_media_chunk_near_dups_banded_join(spark):
     plan = _plan(media_chunk_near_dups(media))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_index_query_plan_shapes(spark, tmp_path):
+    """The incremental-dedup probe must stay an EQUI-join on
+    (band, band_sig) — never a cartesian/broadcast-nested-loop — and the
+    index bucket scan must prune to the probed partitions' columns (no
+    text column read from the shingle table for the pair stage)."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index, minhash_index_near_dups
+
+    corpus = spark.createDataFrame(
+        [(i, f"document body number {i} with shared words") for i in range(40)],
+        "id long, text string",
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "mh"))
+    params = dict(k=5, num_hashes=8, num_bands=2, stride=1, max_bucket=10)
+    build_minhash_index(cat, corpus, **params)
+    new = spark.createDataFrame(
+        [(100 + i, f"document body number {i} with shared words") for i in range(8)],
+        "id long, text string",
+    )
+    out = minhash_index_near_dups(cat, new, threshold=0.5, **params)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation shuffles/joins on band keys, not text bodies
+    assert "band_sig" in plan
+
+
+def test_opic_round_plan_hash_aggregates_only(spark):
+    """The per-round OPIC shapes, inspected BEFORE the localCheckpoint that
+    truncates them out of the final plan: the in-edge share sum is a hash
+    aggregate keyed on node ids, the carry/base one-row aggregate rides as
+    a broadcast — no nested-loop join against anything larger, no sort
+    aggregate, anywhere in a round."""
+    from kermit_spark.ops.graph import opic, trustrank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 29) for i in range(29)], "src long, dst long"
+    )
+    # reproduce one round's in-sum shape exactly as opic builds it
+    flows = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("share"))
+    in_sum = (
+        flows.join(edges, flows.node == edges.src)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("share").alias("s"))
+    )
+    p = _plan(in_sum)
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # end-to-end: the composed (checkpoint-truncated) results stay free of
+    # nested-loop shapes too
+    p1 = _plan(opic(edges, num_iters=1))
+    assert "CartesianProduct" not in p1 and "BroadcastNestedLoopJoin" not in p1, p1
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    p2 = _plan(trustrank(edges, seeds, num_iters=1))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
