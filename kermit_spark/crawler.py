@@ -123,6 +123,37 @@ class ErrorBackoff:
 
 
 @dataclass(frozen=True)
+class AdaptivePoliteness:
+    """AIMD politeness from OBSERVED per-fetch behavior (the feedback layer
+    frontier.adaptive_host_delays provides, wired into the wave loop): after
+    each wave the fetched batch's per-host outcomes — HTTP status plus the
+    fetcher-measured latency (HttpFetcher stamps x-kermit-latency-ms into
+    the response-header map; CorpusFetcher rows have none and count 0 ms) —
+    fold into a per-host crawl delay (additive increase on errors/slow
+    fetches, multiplicative decay otherwise), carried wave-over-wave via
+    the fold's per-host init. Next wave, each DEGRADED host (delay above
+    init — healthy hosts never pay a cap row) is budget-capped to
+    floor(politeness_window_s * 1000 / delay_ms), riding the same
+    host_budgets join as Crawl-delay/ErrorBackoff/Retry-After.
+
+    Complements rather than replaces those: ErrorBackoff divides budgets on
+    error-RATE waves, ServerBackoff obeys explicit 429/503 signals; this
+    reacts to latency degradation too — the host that is slowing down but
+    not yet failing. State: bounded driver dict host -> delay_ms (most-
+    degraded kept on overflow); one small aggregation over the cached,
+    budget-bounded docs batch per wave."""
+
+    slow_ms: int = 2000
+    init_delay_ms: int = 1000
+    increase_ms: int = 500
+    decrease_pct: int = 80
+    min_delay_ms: int = 100
+    max_delay_ms: int = 60000
+    max_budget: int | None = None
+    max_hosts: int = 100_000
+
+
+@dataclass(frozen=True)
 class ServerBackoff:
     """Explicit server throttling (RFC 9110 §10.2.3 / RFC 6585): a host
     answering 429 Too Many Requests or 503 Service Unavailable is asking us
@@ -213,6 +244,9 @@ class CrawlConfig:
     # adaptive politeness: back off hosts with elevated error rates (one
     # batch-sized aggregation per wave when enabled). None = static budgets.
     error_backoff: ErrorBackoff | None = None
+    # AIMD adaptive politeness from observed status+latency (see
+    # AdaptivePoliteness). None = off.
+    adaptive_politeness: AdaptivePoliteness | None = None
     # obey 429/503 + Retry-After: reschedule throttled URLs, stand the host
     # down for the server-requested number of waves. None = off (reference
     # behavior: any non-2xx is a terminal item error).
@@ -348,6 +382,8 @@ class Crawler:
         # server-throttle stand-down state: host -> resume wave (the first
         # wave the host may be dequeued again). Bounded like _backoff.
         self._server_backoff: dict[str, int] = {}
+        # AIMD delay state: host -> delay_ms (AdaptivePoliteness). Bounded.
+        self._adaptive_delay: dict[str, int] = {}
 
     # -- setup -------------------------------------------------------------
 
@@ -735,6 +771,63 @@ class Crawler:
                 keep = sorted(self._backoff.items(), key=lambda kv: -kv[1][1])
                 self._backoff = dict(keep[: eb.max_hosts])
 
+    def _adaptive_politeness_caps(self) -> DataFrame | None:
+        """(host, budget_cap) for hosts the AIMD fold currently marks
+        degraded (delay above init). Healthy hosts carry no row — the cap
+        table stays proportional to the degraded set, not the crawl."""
+        ap = self.config.adaptive_politeness
+        if ap is None or not self._adaptive_delay:
+            return None
+        window_ms = int(self.config.politeness_window_s * 1000)
+        rows = []
+        for h, d in self._adaptive_delay.items():
+            if d <= ap.init_delay_ms:
+                continue
+            b = max(1, window_ms // max(d, 1))
+            if ap.max_budget is not None:
+                b = min(b, ap.max_budget)
+            rows.append((h, int(b)))
+        if not rows:
+            return None
+        return self.spark.createDataFrame(rows, "host string, budget_cap int")
+
+    def _update_adaptive_politeness(self, docs: DataFrame) -> None:
+        """Post-wave AIMD bookkeeping: fold the batch's per-host outcomes
+        into the delay state, each host continuing from its stored delay
+        (frontier.adaptive_host_delays init_delays)."""
+        from .frontier import adaptive_host_delays
+
+        ap = self.config.adaptive_politeness
+        lat = (
+            F.element_at(F.col("headers"), "x-kermit-latency-ms").cast("long")
+            if "headers" in docs.columns
+            else F.lit(None).cast("long")
+        )
+        evs = docs.select(
+            "host",
+            "url",
+            "status",
+            F.coalesce(lat, F.lit(0)).cast("long").alias("latency_ms"),
+        )
+        init_df = None
+        if self._adaptive_delay:
+            init_df = self.spark.createDataFrame(
+                [(h, d) for h, d in self._adaptive_delay.items()],
+                "host string, delay_ms long",
+            )
+        delays = adaptive_host_delays(
+            evs, ts_col="url", id_col="url",
+            slow_ms=ap.slow_ms, init_delay_ms=ap.init_delay_ms,
+            increase_ms=ap.increase_ms, decrease_pct=ap.decrease_pct,
+            min_delay_ms=ap.min_delay_ms, max_delay_ms=ap.max_delay_ms,
+            init_delays=init_df,
+        ).collect()
+        for r in delays:
+            self._adaptive_delay[r["host"]] = int(r["delay_ms"])
+        if len(self._adaptive_delay) > ap.max_hosts:
+            keep = sorted(self._adaptive_delay.items(), key=lambda kv: -kv[1])
+            self._adaptive_delay = dict(keep[: ap.max_hosts])
+
     # -- one wave ----------------------------------------------------------
 
     def run_wave(self) -> WaveStats:
@@ -759,6 +852,7 @@ class Crawler:
             for c in (
                 self._crawl_delay_caps(),
                 self._error_backoff_caps(wave),
+                self._adaptive_politeness_caps(),
                 self._server_backoff_caps(wave),
                 self._page_cap_budgets(),
             )
@@ -1018,6 +1112,8 @@ class Crawler:
         ]
         if cfg.error_backoff is not None:
             self._update_error_backoff(wave, docs, per_host)
+        if cfg.adaptive_politeness is not None:
+            self._update_adaptive_politeness(docs)
         if cfg.server_backoff is not None:
             self._update_server_backoff(wave, docs)
         if cfg.lineage_per_partition:

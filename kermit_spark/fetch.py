@@ -414,8 +414,22 @@ class HttpFetcher:
                 def pace(url: str) -> None:
                     return None
 
+            import time as _lt
+
             def get(url: str, referer, etag=None, last_modified=None):
                 pace(url)
+                # server latency measured AFTER the politeness pacing wait
+                # (our own delay is not the server's slowness) — emitted as
+                # a synthetic response header so the schema stays unchanged;
+                # frontier.adaptive_host_delays consumes it
+                _t0 = _lt.monotonic()
+
+                def _stamp(hdrs: dict) -> dict:
+                    hdrs["x-kermit-latency-ms"] = str(
+                        int((_lt.monotonic() - _t0) * 1000)
+                    )
+                    return hdrs
+
                 req_headers = {
                     "User-Agent": agent_for(url, referer),
                     "Accept-Encoding": "gzip, deflate",
@@ -454,7 +468,7 @@ class HttpFetcher:
                             # on a network-truncated stream decompressobj
                             # still yields the recoverable prefix
                             raw = inflate(raw, enc, hdrs)
-                        return resp.status, ct or None, decode(raw, ct_full), hdrs
+                        return resp.status, ct or None, decode(raw, ct_full), _stamp(hdrs)
                 except urllib.error.HTTPError as e:
                     hdrs = {k.lower(): v for k, v in (e.headers or {}).items()}
                     ct_full = (e.headers.get("Content-Type") if e.headers else None) or ""
@@ -469,10 +483,10 @@ class HttpFetcher:
                     if e.code == 304:
                         body = None  # a 304 carries no representation
                     ct = ((e.headers.get("Content-Type") if e.headers else None) or "").split(";")[0]
-                    return e.code, ct or None, body, hdrs
+                    return e.code, ct or None, body, _stamp(hdrs)
                 except Exception:
                     # transport failure (DNS, refused, timeout): no HTTP status
-                    return 599, None, None, {}
+                    return 599, None, None, _stamp({})
 
             with cf.ThreadPoolExecutor(max_workers=pool_size) as ex:
                 for pdf in batches:

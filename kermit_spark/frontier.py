@@ -1167,6 +1167,7 @@ def adaptive_host_delays(
     decrease_pct: int = 80,
     min_delay_ms: int = 100,
     max_delay_ms: int = 60000,
+    init_delays: DataFrame | None = None,
 ) -> DataFrame:
     """AIMD adaptive politeness: derive each host's next-wave crawl delay
     from its OBSERVED fetch history, the way production crawlers (Heritrix
@@ -1211,8 +1212,23 @@ def adaptive_host_delays(
         F.sum(F.col("e.bad").cast("long")).alias("n_penalties"),
         F.sort_array(F.collect_list("e")).alias("evs"),
     )
+    # per-host continuation: a wave-over-wave caller passes the previous
+    # delays as (host, delay_ms) and each host's fold starts from its own
+    # stored state; hosts without a row start from init_delay_ms
+    zero = f"CAST({init_delay_ms} AS BIGINT)"
+    if init_delays is not None:
+        g = g.join(
+            F.broadcast(
+                init_delays.select(
+                    "host", F.col("delay_ms").cast("long").alias("_init")
+                )
+            ),
+            "host",
+            "left",
+        )
+        zero = f"coalesce(_init, {zero})"
     fold = F.expr(
-        f"aggregate(evs, CAST({init_delay_ms} AS BIGINT), (acc, e) -> "
+        f"aggregate(evs, {zero}, (acc, e) -> "
         f"CASE WHEN e.bad THEN least(acc + {increase_ms}, CAST({max_delay_ms} AS BIGINT)) "
         f"ELSE greatest((acc * {decrease_pct}) div 100, CAST({min_delay_ms} AS BIGINT)) END)"
     )

@@ -863,3 +863,53 @@ def test_politeness_by_domain_one_site_budget(spark, tmp_path_factory):
     # per-host mode: each subdomain gets its own 4 in wave 0
     assert per_host[(0, "sh0.example.co.uk")] == 4
     assert per_host[(0, "sh1.example.co.uk")] == 4
+
+
+def test_adaptive_politeness_caps_degraded_host(spark, tmp_path_factory):
+    """AIMD politeness e2e: a host erroring on every fetch accumulates
+    delay (+1s per error) until its per-wave budget collapses to 1 under a
+    4-second politeness window, while a healthy host decays to the floor
+    and never pays a cap row. URLs are slowed, never lost."""
+    from kermit_spark.crawler import AdaptivePoliteness
+
+    rows = [
+        (f"http://bad.test/p/{i}", 500, "text/html", "server error") for i in range(10)
+    ] + [
+        (f"http://good.test/p/{i}", 200, "text/html", "plain page no links") for i in range(10)
+    ]
+    corpus = spark.createDataFrame(rows, "url string, status int, content_type string, body string")
+    cfg = CrawlConfig(
+        num_partitions=4,
+        politeness=Politeness((Limit(r".*", 4),)),
+        sub_salts=2,
+        obey_robots=False,
+        politeness_window_s=4.0,
+        adaptive_politeness=AdaptivePoliteness(
+            init_delay_ms=1000, increase_ms=1000, decrease_pct=50,
+            min_delay_ms=100, max_delay_ms=60000,
+        ),
+        max_waves=10,
+    )
+    root = str(tmp_path_factory.mktemp("aimd"))
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed([r[0] for r in rows])
+    c.crawl()
+
+    per = {
+        (r["p"], r["host"]): r["count"]
+        for r in c.documents().groupBy("p", "host").count().collect()
+    }
+    bad = [per.get((w, "bad.test"), 0) for w in range(10)]
+    good = [per.get((w, "good.test"), 0) for w in range(10)]
+    # healthy host: full budget until exhausted, no cap ever
+    assert good[:3] == [4, 4, 2]
+    # failing host: full first wave, then delay 5000ms -> floor budget 1
+    assert bad[0] == 4
+    assert all(n == 1 for n in bad[1:7])
+    assert sum(bad) == 10  # slowed, never lost
+    # state: bad degraded way past init, good decayed to the floor
+    assert c._adaptive_delay["bad.test"] > 5000
+    assert c._adaptive_delay["good.test"] == 100
+    # caps table carries ONLY the degraded host
+    caps = {r["host"]: r["budget_cap"] for r in c._adaptive_politeness_caps().collect()}
+    assert "good.test" not in caps and caps["bad.test"] == 1

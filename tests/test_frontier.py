@@ -923,3 +923,34 @@ def test_budgets_from_delays_floor_and_cap(spark):
     capped = {r["host"]: r["budget"]
               for r in budgets_from_delays(delays, wave_seconds=30, max_budget=50).collect()}
     assert capped == {"fast.com": 50, "slow.com": 1, "mid.com": 12}
+
+
+def test_adaptive_host_delays_continuation_matches_one_shot(spark):
+    """fold(a ++ b, init) == fold(b, fold(a, init)) — the per-host
+    init_delays continuation the crawler uses wave-over-wave is exactly
+    the one-shot fold over the concatenated history."""
+    from datetime import datetime
+
+    from kermit_spark.frontier import adaptive_host_delays
+
+    def rows(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            bad = (i % 3 == 0)
+            out.append(("h.com", datetime(2024, 1, 1, 0, 0, i), f"u{i:03d}",
+                        503 if bad else 200, 100))
+        return out
+
+    schema = "host string, ts timestamp, url string, status int, latency_ms long"
+    kw = dict(init_delay_ms=1000, increase_ms=400, decrease_pct=70,
+              min_delay_ms=100, max_delay_ms=60000, slow_ms=2000)
+    one_shot = adaptive_host_delays(
+        spark.createDataFrame(rows(0, 20), schema), **kw
+    ).collect()[0]["delay_ms"]
+    first = adaptive_host_delays(
+        spark.createDataFrame(rows(0, 11), schema), **kw
+    ).select("host", "delay_ms")
+    cont = adaptive_host_delays(
+        spark.createDataFrame(rows(11, 20), schema), init_delays=first, **kw
+    ).collect()[0]["delay_ms"]
+    assert cont == one_shot
