@@ -1991,6 +1991,87 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+#: injected per-residue multilingual/mojibake texts — ONE constant feeds the
+#: Spark synthesis AND the generated DuckDB oracle (LANG_MARKERS discipline)
+_SCRIPT_SAMPLES = {
+    1: "Привет мир это тест кириллицы сегодня вечером",
+    2: "مرحبا بالعالم هذا اختبار عربي قصير",
+    3: "日本語のテキストと漢字が混ざっている試験",
+}
+_MOJI_TAIL = " Ã© Ã¨ Â\u00a0 broken \ufffd\ufffd"
+
+
+def q_text_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling + mojibake gating through the REAL library
+    op (ops.text.script_profile): documents with per-residue injected
+    cyrillic/arabic/CJK texts and UTF-8-as-Latin-1 mojibake tails, so every
+    script family and the mojibake gate discriminate. The oracle is
+    GENERATED from the same SCRIPT_RANGES/_MOJIBAKE_RE constants (Java
+    \\uXXXX classes translated to RE2 \\x{...} for DuckDB) — one rule, two
+    engines."""
+    from kermit_spark.ops.text import script_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.pmod(F.col("doc_id"), F.lit(7))
+    t = (
+        F.when(r == 1, F.lit(_SCRIPT_SAMPLES[1]))
+        .when(r == 2, F.lit(_SCRIPT_SAMPLES[2]))
+        .when(r == 3, F.lit(_SCRIPT_SAMPLES[3]))
+        .when(r == 4, F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_MOJI_TAIL)))
+        .otherwise(F.col("text"))
+    )
+    return script_profile(docs.select("doc_id", t.alias("text"))).orderBy("doc_id")
+
+
+def _re2(pat: str) -> str:
+    """Java \\uXXXX escapes → RE2 \\x{XXXX} (DuckDB), single quotes doubled."""
+    import re as _re
+
+    return _re.sub(r"\\u([0-9A-Fa-f]{4})", r"\\x{\1}", pat).replace("'", "''")
+
+
+def _script_oracle_sql() -> str:
+    from kermit_spark.ops.text import _MOJIBAKE_RE, SCRIPT_RANGES
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '[{_re2(r)}]'))::BIGINT AS {n}_n"
+        for n, r in SCRIPT_RANGES
+    )
+    gm = "greatest(" + ", ".join(f"{n}_n" for n, _ in SCRIPT_RANGES) + ")"
+    # first-match CASE in SCRIPT_RANGES order == the library's
+    # forward-iteration strict-'>' argmax (earliest family keeps ties)
+    script_case = " ".join(
+        f"WHEN {n}_n = {gm} THEN '{n}'" for n, _ in SCRIPT_RANGES
+    )
+    s1, s2, s3 = (_SCRIPT_SAMPLES[i].replace("'", "''") for i in (1, 2, 3))
+    tail = _MOJI_TAIL.replace("'", "''")
+    return f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE doc_id % 7
+                            WHEN 1 THEN '{s1}'
+                            WHEN 2 THEN '{s2}'
+                            WHEN 3 THEN '{s3}'
+                            WHEN 4 THEN coalesce(text, '') || '{tail}'
+                            ELSE coalesce(text, '') END AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, length(t)::BIGINT AS n_chars,
+                   {counts},
+                   len(regexp_extract_all(t, '{_re2(_MOJIBAKE_RE)}'))::BIGINT AS moji
+                FROM inj
+            )
+            SELECT doc_id, n_chars, {", ".join(f"{n}_n" for n, _ in SCRIPT_RANGES)},
+                   CASE WHEN {gm} = 0 THEN 'und' {script_case} ELSE 'und' END AS script,
+                   (CASE WHEN n_chars > 0 THEN moji * 1000 // n_chars ELSE 0 END)::BIGINT
+                       AS mojibake_per_kchar,
+                   (CASE WHEN n_chars > 0 THEN moji * 1000 // n_chars ELSE 0 END) > 5
+                       AS is_mojibake
+            FROM c ORDER BY doc_id
+        """
+
+
 _BPE_MERGES = 12
 
 
@@ -2618,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": q_text_unigram_lm,
         "text_bigram_lm": q_text_bigram_lm,
         "text_bpe": q_text_bpe,
+        "text_script": q_text_script,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -4427,6 +4509,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # greedy BPE: 12 unrolled stages replaying the exact recurrence
         "text_bpe": _bpe_oracle_sql(),
+        # script profile: generated from SCRIPT_RANGES/_MOJIBAKE_RE
+        "text_script": _script_oracle_sql(),
         # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
         # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
         "text_bigram_lm": r"""

@@ -1396,3 +1396,89 @@ def bpe_encode(
         F.col(id_col),
         udf(F.col(text_col)).alias("tokens"),
     ).withColumn("n_bpe_tokens", F.size("tokens").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling + mojibake detection
+# ---------------------------------------------------------------------------
+
+#: (script, inclusive codepoint ranges) — the coarse Unicode blocks a crawl
+#: cares about. One constant feeds the query AND the SQL oracle (the
+#: LANG_MARKERS discipline), and the ranges are plain BMP literals so the
+#: same character-class regex parses identically under Java regex and
+#: DuckDB's RE2.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z\\u00C0-\\u024F"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("greek", "\\u0370-\\u03FF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("hebrew", "\\u0590-\\u05FF"),
+    ("devanagari", "\\u0900-\\u097F"),
+    ("cjk", "\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF"),
+]
+
+#: mojibake evidence: U+FFFD replacement chars (decode failures) plus the
+#: UTF-8-read-as-Latin-1 tell-tales (Â/Ã followed by a continuation-range
+#: char) — the classic double-encoding smell on real web text.
+_MOJIBAKE_RE = "[\\uFFFD]|[\\u00C2\\u00C3][\\u0080-\\u00BF]"
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mojibake_max_per_kchar: int = 5,
+) -> DataFrame:
+    """Per-document Unicode script profile + mojibake gate — the
+    multilingual triage ahead of language-ID: which SCRIPT a page is in
+    decides which langid model/marker set even applies, and a page whose
+    bytes were decoded with the wrong charset should be dropped (or
+    re-decoded), not language-scored.
+
+    Pure regexp_count codegen per script family (one JVM pass per range
+    set — no tokenization, no UDF), counts in characters. ``script`` =
+    argmax of the per-family counts, 'und' when no script chars at all
+    (ties break in SCRIPT_RANGES order — the langid forward-iteration
+    rule). ``mojibake_per_kchar`` counts replacement chars and
+    UTF-8-as-Latin-1 tell-tales per 1000 chars (integer: count*1000 div
+    length); ``is_mojibake`` flags docs over ``mojibake_max_per_kchar``.
+
+    Output: (id_col, n_chars, <family>_n per family, script,
+    mojibake_per_kchar, is_mojibake).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    t = F.col("_t")
+    counts = [
+        F.regexp_count(t, F.lit(f"[{ranges}]")).alias(f"{name}_n")
+        for name, ranges in SCRIPT_RANGES
+    ]
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for name, ranges in SCRIPT_RANGES:
+        c = F.regexp_count(t, F.lit(f"[{ranges}]"))
+        cond = c > best_n
+        best = F.when(cond, F.lit(name)).otherwise(best)
+        best_n = F.when(cond, c).otherwise(best_n)
+    staged = base.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *counts,
+        best.alias("script"),
+        F.regexp_count(t, F.lit(_MOJIBAKE_RE)).cast("long").alias("_moji"),
+    )
+    rate = (
+        F.when(F.col("n_chars") > 0, F.expr("_moji * 1000 div n_chars"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return staged.select(
+        id_col,
+        "n_chars",
+        *[f"{name}_n" for name, _ in SCRIPT_RANGES],
+        "script",
+        rate.alias("mojibake_per_kchar"),
+        (rate > mojibake_max_per_kchar).alias("is_mojibake"),
+    )

@@ -887,3 +887,33 @@ def test_bpe_train_and_encode_match_python_mirror(spark):
     for i, t in rows:
         expect = [tok for w in t.lower().split() for tok in syms[w]]
         assert enc[i] == expect, (i, enc[i], expect)
+
+
+def test_script_profile_scripts_and_mojibake(spark):
+    from kermit_spark.ops.text import script_profile
+
+    rows = [
+        (1, "The quick brown fox jumps over the dog"),
+        (2, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442 \u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u044b \u0441\u0435\u0433\u043e\u0434\u043d\u044f"),
+        (3, "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0647\u0630\u0627 \u0627\u062e\u062a\u0628\u0627\u0631 \u0639\u0631\u0628\u064a"),
+        (4, "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3068\u6f22\u5b57\u304c\u6df7\u3056\u3063\u3066\u3044\u308b"),
+        (5, "ascii with mojibake \u00c3\u00a9 \u00c3\u00a8 \u00c2\u00a0 broken " + "\ufffd" * 3),
+        (6, ""),
+        (7, "12345 !!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+
+    assert got[1]["script"] == "latin" and not got[1]["is_mojibake"]
+    assert got[2]["script"] == "cyrillic" and got[2]["cyrillic_n"] > 20
+    assert got[3]["script"] == "arabic"
+    assert got[4]["script"] == "cjk" and got[4]["latin_n"] == 0
+    assert got[5]["is_mojibake"] and got[5]["mojibake_per_kchar"] > 5
+    assert got[6]["script"] == "und" and got[6]["n_chars"] == 0
+    assert got[7]["script"] == "und" and not got[7]["is_mojibake"]
+    # python mirror of the rate for the mojibake doc
+    import re
+
+    t5 = rows[4][1]
+    n = len(re.findall("[\ufffd]|[\u00c2\u00c3][\u0080-\u00bf]", t5))
+    assert got[5]["mojibake_per_kchar"] == (n * 1000) // len(t5)
