@@ -1991,6 +1991,65 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch through the REAL library ops
+    (ops.sketch.cms_build + cms_estimate, portable md5 cell family): a
+    skewed host stream from lineitem (one mega-host at ~1/3 of rows over a
+    200-host tail) is sketched into a 4×4096 grid, then probed for a hot
+    host, two tail hosts, and an absent host. Oracle: the identical grid
+    sums and min-over-rows probe in SQL ('0x'-cast hex cells)."""
+    from kermit_spark.ops.sketch import cms_build, cms_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot.test")).otherwise(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 200).cast("string"), F.lit(".test"))
+    )
+    cms = cms_build(li.select(key.alias("key")), "key", depth=4, width_digits=3)
+    probe = spark.createDataFrame(
+        [("hot.test",), ("h7.test",), ("h13.test",), ("absent.test",)], "key string"
+    )
+    return cms_estimate(cms, probe, "key", depth=4, width_digits=3).orderBy("key")
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table through the REAL library op
+    (ops.sketch.hll_registers, m=256, 12 rho digits): distinct synthetic
+    URLs from orders (with deliberate duplicates via pmod so cardinality <
+    row count). The REGISTERS are the oracled artifact — bit-identical
+    integer maxima; the float estimate is covered by pytest accuracy
+    bounds. Oracle: same bucket parse and 49-minus-bit-length rho in SQL."""
+    from kermit_spark.ops.sketch import hll_registers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = F.concat(
+        F.lit("http://h"), (F.col("o_orderkey") % 97).cast("string"),
+        F.lit(".test/o/"), (F.col("o_orderkey") % 4000).cast("string"),
+    )
+    return hll_registers(orders.select(key.alias("key")), "key").orderBy("bucket")
+
+
+def _hll_oracle_sql() -> str:
+    # 49 - bit_length(v) via a generated comparison cascade (exact integers)
+    bitlen = "CASE " + " ".join(
+        f"WHEN v >= {1 << (47 - i)} THEN {48 - i}" for i in range(48)
+    ) + " ELSE 0 END"
+    return f"""
+            WITH k AS (
+                SELECT md5('http://h' || (o_orderkey % 97)::VARCHAR
+                           || '.test/o/' || (o_orderkey % 4000)::VARCHAR) AS h
+                FROM orders
+            ),
+            r AS (
+                SELECT ('0x' || substring(h, 1, 2))::BIGINT::INT AS bucket,
+                       ('0x' || substring(h, 3, 12))::BIGINT AS v
+                FROM k
+            )
+            SELECT bucket,
+                   max(CASE WHEN v = 0 THEN 49 ELSE 49 - ({bitlen}) END)::INT AS max_rho
+            FROM r GROUP BY bucket ORDER BY bucket
+        """
+
+
 #: injected per-residue multilingual/mojibake texts — ONE constant feeds the
 #: Spark synthesis AND the generated DuckDB oracle (LANG_MARKERS discipline)
 _SCRIPT_SAMPLES = {
@@ -2700,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "text_bpe": q_text_bpe,
         "text_script": q_text_script,
+        "sketch_cms": q_sketch_cms,
+        "sketch_hll": q_sketch_hll,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -4511,6 +4572,36 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _bpe_oracle_sql(),
         # script profile: generated from SCRIPT_RANGES/_MOJIBAKE_RE
         "text_script": _script_oracle_sql(),
+        # Count-Min: identical md5 cell family, grid sums, min-over-rows
+        "sketch_cms": """
+            WITH keys AS (
+                SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot.test'
+                            ELSE 'h' || (l_orderkey % 200)::VARCHAR || '.test'
+                       END AS key
+                FROM lineitem
+            ),
+            grid AS MATERIALIZED (
+                SELECT r.r AS row,
+                       ('0x' || substring(md5(r.r::VARCHAR || ':' || key), 1, 3)
+                       )::BIGINT::INT AS col,
+                       count(*)::BIGINT AS n
+                FROM keys, unnest(generate_series(0, 3)) AS r(r)
+                GROUP BY 1, 2
+            ),
+            probe AS (
+                SELECT key, r.r AS row,
+                       ('0x' || substring(md5(r.r::VARCHAR || ':' || key), 1, 3)
+                       )::BIGINT::INT AS col
+                FROM (VALUES ('hot.test'), ('h7.test'), ('h13.test'),
+                             ('absent.test')) AS p(key),
+                     unnest(generate_series(0, 3)) AS r(r)
+            )
+            SELECT p.key, min(coalesce(g.n, 0))::BIGINT AS est
+            FROM probe p LEFT JOIN grid g USING (row, col)
+            GROUP BY p.key ORDER BY p.key
+        """,
+        # HLL registers: bucket prefix + 49-minus-bit-length rho
+        "sketch_hll": _hll_oracle_sql(),
         # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
         # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
         "text_bigram_lm": r"""
