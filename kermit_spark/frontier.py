@@ -1262,6 +1262,12 @@ def plan_host_partitions(
     Route rows with: salt = pmod(xxhash64(url), n_slots[host]); partition
     from this plan broadcast-joined on (host, salt).
 
+    Scale note: the final round-robin rank is a GLOBAL row_number — a
+    single-task sort, deliberately: its input is the slot table
+    (hosts + hot-host splits, ~10^7-10^8 rows at 10^10-URL frontier
+    scale — single-digit GBs), not the frontier, and the plan runs once
+    per crawl (or per reorganization), not per wave.
+
     Output: (host, salt, n_slots, slot_weight, partition).
     """
     if num_partitions < 1 or salt_threshold < 1:

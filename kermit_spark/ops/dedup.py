@@ -763,12 +763,17 @@ def minhash_index_near_dups(
     )
     pairs = pairs_old.unionByName(pairs_new)
     sh_new = sigs_new.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    # dropDuplicates on the verification side makes the OUTPUT invariant
+    # under duplicated index rows — a replayed streaming extend appends the
+    # same (id, shingles) rows again; pairs are already distinct, and this
+    # keeps the verify join from fanning out on them
     sh_old = (
         catalog.read(f"{prefix}_shingles")
         .select(F.col("id").alias("match_id"), F.col("shingles").alias("sh_b"))
         .unionByName(
             sigs_new.select(F.col("id").alias("match_id"), F.col("shingles").alias("sh_b"))
         )
+        .dropDuplicates(["match_id"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
