@@ -2050,6 +2050,66 @@ def _hll_oracle_sql() -> str:
         """
 
 
+#: q_sketch_hdr's synthetic long-tail latency (ms) — ONE SQL string, valid
+#: in BOTH engines, so the workload definition can't drift between them:
+#: most rows land in [0, 2e6) spanning ~15 octaves; every 997th order is a
+#: pathological 16384× straggler (the p99.9 tail the sketch exists for).
+_HDR_VALUE_SQL = (
+    "CASE WHEN l_orderkey % 997 = 0 "
+    "THEN ((l_orderkey * l_linenumber) % 2000000) * 16384 "
+    "ELSE (l_orderkey * l_linenumber) % 2000000 END"
+)
+_HDR_QS = (10_000, 250_000, 500_000, 750_000, 900_000, 990_000, 999_000, 1_000_000)
+
+
+def q_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch through the REAL library ops
+    (ops.sketch.hdr_build + hdr_quantiles): synthetic long-tail fetch
+    latencies derived from lineitem are folded into the bounded
+    octave×sub-bucket cell table, then p1..p100 nearest-rank quantiles are
+    read back from the cumulative cell walk. Everything is exact integer
+    bit algebra (comparison-cascade octave shift — no log()), so the
+    oracle replays the identical cells, ranks and lower-bound reps in SQL,
+    generated from the same HDR_THRESHOLDS constant."""
+    from kermit_spark.ops.sketch import hdr_build, hdr_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = hdr_build(li.select(F.expr(_HDR_VALUE_SQL).alias("value")))
+    return hdr_quantiles(sk, _HDR_QS).orderBy("q_ppm")
+
+
+def _hdr_oracle_sql() -> str:
+    from kermit_spark.ops.sketch import _hdr_shift
+
+    shift = _hdr_shift("v")
+    values = ", ".join(f"({q})" for q in _HDR_QS)
+    return f"""
+            WITH vals AS (
+                SELECT ({_HDR_VALUE_SQL})::BIGINT AS v FROM lineitem
+            ),
+            cells AS (
+                SELECT {shift} AS shift, v >> {shift} AS sub,
+                       count(*)::BIGINT AS n
+                FROM vals WHERE v IS NOT NULL AND v >= 0
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT (sub << shift) AS rep,
+                       sum(n) OVER (ORDER BY (sub << shift)) AS cum
+                FROM cells
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS n_total FROM cells),
+            ranks AS (
+                SELECT q.q_ppm,
+                       1 + (q.q_ppm * (t.n_total - 1)) // 1000000 AS rank
+                FROM (VALUES {values}) AS q(q_ppm), tot t
+            )
+            SELECT r.q_ppm::BIGINT AS q_ppm, min(c.rep)::BIGINT AS est
+            FROM ranks r JOIN cum c ON c.cum >= r.rank
+            GROUP BY r.q_ppm ORDER BY r.q_ppm
+        """
+
+
 #: injected per-residue multilingual/mojibake texts — ONE constant feeds the
 #: Spark synthesis AND the generated DuckDB oracle (LANG_MARKERS discipline)
 _SCRIPT_SAMPLES = {
@@ -2761,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script": q_text_script,
         "sketch_cms": q_sketch_cms,
         "sketch_hll": q_sketch_hll,
+        "sketch_hdr": q_sketch_hdr,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -4602,6 +4663,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL registers: bucket prefix + 49-minus-bit-length rho
         "sketch_hll": _hll_oracle_sql(),
+        # HDR quantiles: comparison-cascade octave shift, cell cumsum,
+        # nearest-rank lower-bound reps — generated from HDR_THRESHOLDS
+        "sketch_hdr": _hdr_oracle_sql(),
         # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
         # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
         "text_bigram_lm": r"""

@@ -9,11 +9,19 @@
   HyperLogLog   (Flajolet et al. 2007) — distinct-count estimates (unique
                 URLs per host/day without an exact distinct) from m
                 max-leading-zero registers.
+  HDR histogram (Gil Tene's HdrHistogram bucketing; the integer-exact
+                cousin of DDSketch, Masson et al. VLDB 2019) — quantile
+                estimates over non-negative integers (p50/p99 fetch
+                latency per fleet/host) from log2-octave × linear
+                sub-bucket cells with bounded RELATIVE error 2^-sub_bits.
+                Merge = union + sum; cell count is bounded by
+                octaves·2^(sub_bits+1) regardless of input size.
 
-Both are built as plain aggregations over an md5-derived hash family — the
-engine's portable-hash discipline — so sketch CONTENTS are bit-identical
-across engines, partition counts, and merge orders (a sketch built on the
-daily increment unions with the historical sketch by simple max/sum).
+All are built as plain aggregations — CMS/HLL over an md5-derived hash
+family (the engine's portable-hash discipline), HDR over pure integer bit
+algebra — so sketch CONTENTS are bit-identical across engines, partition
+counts, and merge orders (a sketch built on the daily increment unions
+with the historical sketch by simple max/sum).
 Everything is JVM codegen: no UDF, no driver state.
 """
 
@@ -133,3 +141,118 @@ def hll_estimate(registers: DataFrame, bucket_digits: int = 2) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+#: HDR cell geometry shared by the Spark ops and the generated DuckDB
+#: oracle: values below 2^(sub_bits+1) are stored exactly (shift 0); each
+#: further octave halves into 2^sub_bits linear sub-buckets, so the cell a
+#: value lands in is at most a factor (1 + 2^-sub_bits) wide.
+HDR_SUB_BITS = 5
+#: Octave thresholds: shift(v) = |{t in HDR_THRESHOLDS : v >= t}|. The top
+#: threshold is 2^62 so shifted values stay in signed-64 range; values at
+#: or above it share the coarsest octave (still counted, just wider cells).
+HDR_THRESHOLDS = tuple(
+    1 << k for k in range(HDR_SUB_BITS + 1, 63)
+)
+
+
+def _hdr_shift(value_expr: str) -> str:
+    """SQL (valid in BOTH Spark and DuckDB) for the octave shift of one
+    non-negative integer expression: the count of thresholds <= value,
+    generated as an exact integer comparison cascade (no log/ln — the
+    transcendental would differ in the last ulp between engines)."""
+    return (
+        "(CASE "
+        + " ".join(
+            f"WHEN {value_expr} >= {t} THEN {len(HDR_THRESHOLDS) - i}"
+            for i, t in enumerate(reversed(HDR_THRESHOLDS))
+        )
+        + " ELSE 0 END)"
+    )
+
+
+def hdr_build(
+    df: DataFrame,
+    value_col: str = "value",
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Build the HDR cell table (shift, sub, n) over a non-negative
+    integer column — NULLs and negatives are excluded (HdrHistogram
+    semantics: the sketch covers [0, 2^63); callers wanting to track
+    rejects count them separately, one cheap aggregate).
+
+    A value lands in cell (shift, sub = value >> shift) whose lower bound
+    ``sub << shift`` underestimates it by < 2^shift <= value·2^-sub_bits —
+    the bounded-relative-error contract. Merge two sketches with
+    union + groupBy(shift, sub) sum(n).
+
+    Scale shape: one hash-agg over at most
+    (len(HDR_THRESHOLDS)+1)·2^(sub_bits+1) ≈ 3.7k cells (sub_bits=5) no
+    matter how many trillion rows went in; map-side partial aggregation
+    does almost all the work, the shuffle moves only cells. Pure integer
+    JVM codegen — no log(), no UDF."""
+    if sub_bits != HDR_SUB_BITS:
+        raise ValueError(
+            f"sub_bits is pinned to {HDR_SUB_BITS} so the generated oracle "
+            f"and the threshold table stay in lockstep; got {sub_bits}"
+        )
+    v = f"cast({value_col} as bigint)"
+    return (
+        df.where(F.expr(f"{v} is not null and {v} >= 0"))
+        .select(
+            F.expr(_hdr_shift(v)).alias("shift"),
+            F.expr(f"shiftright({v}, {_hdr_shift(v)})").alias("sub"),
+        )
+        .groupBy("shift", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two HDR sketches: cells add. Associative and commutative, so
+    per-day / per-partition sketches fold in any order."""
+    return (
+        a.unionByName(b)
+        .groupBy("shift", "sub")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def hdr_quantiles(sketch: DataFrame, qs_ppm: tuple[int, ...]) -> DataFrame:
+    """Nearest-rank quantile estimates from an HDR cell table: for each
+    q (parts-per-million), rank = 1 + (q·(N-1)) div 10^6 over the N
+    sketched values, and the estimate is the LOWER BOUND ``sub << shift``
+    of the first cell whose cumulative count reaches the rank — an
+    underestimate by < est·2^-sub_bits (exact when shift = 0, i.e. any
+    value < 2^(sub_bits+1)). Returns (q_ppm, est) rows; empty sketch →
+    empty result. All integer arithmetic, bit-identical across engines.
+
+    Plan note: the running-count window is partitionless BY DESIGN — it
+    orders the SKETCH (≤ ~3.7k bounded cells, see hdr_build), never the
+    data, so the single-partition sort is O(1) in input size; the
+    rank-probe is a broadcast theta-join against the same bounded cells."""
+    from pyspark.sql import Window
+
+    if not qs_ppm:
+        raise ValueError("qs_ppm must be non-empty")
+    bad = [q for q in qs_ppm if not (0 <= int(q) <= 1_000_000)]
+    if bad:
+        raise ValueError(f"q_ppm values must be in [0, 1000000]; got {bad}")
+    w = Window.orderBy("rep").rowsBetween(Window.unboundedPreceding, 0)
+    cells = sketch.select(
+        F.expr("shiftleft(sub, shift)").alias("rep"), F.col("n")
+    ).select("rep", F.sum("n").over(w).alias("cum"))
+    total = sketch.agg(F.sum("n").alias("n_total"))
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in qs_ppm], "q_ppm bigint"
+    )
+    ranks = qdf.crossJoin(F.broadcast(total)).select(
+        "q_ppm",
+        (F.lit(1) + F.expr("div(q_ppm * (n_total - 1), 1000000)")).alias("rank"),
+    )
+    return (
+        ranks.join(F.broadcast(cells), F.col("cum") >= F.col("rank"))
+        .groupBy("q_ppm")
+        .agg(F.min("rep").alias("est"))
+    )

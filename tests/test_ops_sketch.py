@@ -81,3 +81,76 @@ def test_hll_registers_mirror_and_estimate(spark):
 
     est = hll_estimate(regs)
     assert abs(est - n) / n < 0.15  # m=256 -> ~6.5% standard error
+
+
+def _hdr_shift_py(v: int) -> int:
+    from kermit_spark.ops.sketch import HDR_THRESHOLDS
+
+    return sum(1 for t in HDR_THRESHOLDS if v >= t)
+
+
+def test_hdr_build_matches_python_mirror(spark):
+    from kermit_spark.ops.sketch import hdr_build
+
+    vals = [0, 1, 2, 63, 64, 65, 100, 1000, 12345, 999_999,
+            (1 << 40) + 7, 1 << 62, (1 << 62) + 12345, -5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "value bigint")
+    got = sorted((r["shift"], r["sub"], r["n"]) for r in hdr_build(df).collect())
+
+    mirror: dict[tuple[int, int], int] = {}
+    for v in vals:
+        if v is None or v < 0:  # excluded by contract
+            continue
+        s = _hdr_shift_py(v)
+        mirror[(s, v >> s)] = mirror.get((s, v >> s), 0) + 1
+    assert got == sorted((k[0], k[1], n) for k, n in mirror.items())
+    # shift-0 cells are EXACT; every value < 2^(sub_bits+1) round-trips
+    assert (0, 63, 1) in got and (0, 0, 1) in got
+
+
+def test_hdr_merge_law_and_quantile_error_bound(spark):
+    import random
+
+    from kermit_spark.ops.sketch import (
+        HDR_SUB_BITS, hdr_build, hdr_merge, hdr_quantiles,
+    )
+
+    random.seed(7)
+    data = [random.randrange(0, 10**7) for _ in range(5000)] + [0] * 10
+    whole = spark.createDataFrame([(v,) for v in data], "value bigint")
+    half = len(data) // 2
+    a = hdr_build(spark.createDataFrame([(v,) for v in data[:half]], "value bigint"))
+    b = hdr_build(spark.createDataFrame([(v,) for v in data[half:]], "value bigint"))
+    merged = sorted(map(tuple, hdr_merge(a, b).collect()))
+    direct = sorted(map(tuple, hdr_build(whole).collect()))
+    assert merged == direct
+
+    qs = (0, 250_000, 500_000, 900_000, 990_000, 1_000_000)
+    got = {r["q_ppm"]: r["est"] for r in hdr_quantiles(hdr_build(whole), qs).collect()}
+    data_sorted = sorted(data)
+    for q in qs:
+        rank = 1 + (q * (len(data) - 1)) // 1_000_000
+        true_v = data_sorted[rank - 1]
+        est = got[q]
+        # lower-bound estimate with bounded relative error (exact at shift 0)
+        assert est <= true_v
+        assert true_v - est <= max(0, est >> HDR_SUB_BITS) or true_v < (
+            1 << (HDR_SUB_BITS + 1)
+        )
+
+
+def test_hdr_quantiles_validation_and_empty(spark):
+    import pytest
+
+    from kermit_spark.ops.sketch import hdr_build, hdr_quantiles
+
+    empty = hdr_build(
+        spark.createDataFrame([(-1,), (None,)], "value bigint")
+    )
+    assert hdr_quantiles(empty, (500_000,)).count() == 0
+    with pytest.raises(ValueError):
+        hdr_quantiles(empty, ())
+    with pytest.raises(ValueError):
+        hdr_quantiles(empty, (1_000_001,))
+    with pytest.raises(ValueError):
+        hdr_build(empty, sub_bits=3)
