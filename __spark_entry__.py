@@ -2110,6 +2110,57 @@ def _hdr_oracle_sql() -> str:
         """
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch through the REAL library ops
+    (ops.sketch.kmv_build + kmv_distinct_estimate, portable 48-bit md5
+    family): synthetic URL keys from orders fold into 8 per-group bottom-64
+    hash sets plus one deliberately tiny group (o_orderkey%1000==0) that
+    never fills its sketch, so BOTH estimator branches run — exact count
+    below k, integer (k-1)·2^48/h_k at k. The estimate is integer-division
+    arithmetic end-to-end (no doubles), so the oracle replays it exactly:
+    same hashes, same row_number bottom-k, same `//`."""
+    from kermit_spark.ops.sketch import kmv_build, kmv_distinct_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = orders.select(
+        F.when(F.col("o_orderkey") % 1000 == 0, F.lit("tiny"))
+        .otherwise(F.concat(F.lit("g"), (F.col("o_orderkey") % 8).cast("string")))
+        .alias("group"),
+        F.concat(
+            F.lit("http://h"), (F.col("o_orderkey") % 97).cast("string"),
+            F.lit(".test/o/"), (F.col("o_orderkey") % 1500).cast("string"),
+        ).alias("key"),
+    )
+    sk = kmv_build(rows, k=64)
+    return kmv_distinct_estimate(sk, k=64).orderBy("group")
+
+
+def q_host_mirror_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection through the REAL library ops
+    (ops.sketch.kmv_build + kmv_pair_jaccard — Bharat & Broder mirror
+    candidates over coordinated bottom-k samples): synthetic per-host
+    content keys from documents give hosts h and h+10 identical (or
+    near-identical, at doc_id range edges) page sets while all other host
+    pairs stay disjoint, so exactly the ten mirror pairs surface. The
+    oracle replays the whole pipeline relationally: same 48-bit hashes,
+    bottom-64 per host, bucket cap at 50, ≥2-shared-hash candidates, and
+    the bottom-k-of-union Jaccard estimator via rank/join set algebra."""
+    from kermit_spark.ops.sketch import kmv_build, kmv_pair_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("group"),
+        F.concat(
+            F.lit("p"), (F.col("doc_id") % 10).cast("string"),
+            F.lit("_"), F.expr("div(doc_id, 20)").cast("string"),
+        ).alias("key"),
+    )
+    sk = kmv_build(rows, k=64)
+    return kmv_pair_jaccard(sk, k=64, min_shared=2, max_bucket=50).orderBy(
+        "group_a", "group_b"
+    )
+
+
 #: injected per-residue multilingual/mojibake texts — ONE constant feeds the
 #: Spark synthesis AND the generated DuckDB oracle (LANG_MARKERS discipline)
 _SCRIPT_SAMPLES = {
@@ -2822,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "sketch_hll": q_sketch_hll,
         "sketch_hdr": q_sketch_hdr,
+        "sketch_kmv": q_sketch_kmv,
+        "host_mirror_kmv": q_host_mirror_kmv,
         "text_ccnet": q_text_ccnet,
         "text_bm25": q_text_bm25,
         "text_dsir": q_text_dsir,
@@ -4666,6 +4719,94 @@ def oracle_sql() -> dict[str, str]:
         # HDR quantiles: comparison-cascade octave shift, cell cumsum,
         # nearest-rank lower-bound reps — generated from HDR_THRESHOLDS
         "sketch_hdr": _hdr_oracle_sql(),
+        # KMV distinct estimate: bottom-64 of the 48-bit md5 hashes per
+        # group; exact below k, integer (k-1)*2^48 // h_k at k
+        "sketch_kmv": """
+            WITH rows_ AS (
+                SELECT CASE WHEN o_orderkey % 1000 = 0 THEN 'tiny'
+                            ELSE 'g' || (o_orderkey % 8)::VARCHAR END AS grp,
+                       'http://h' || (o_orderkey % 97)::VARCHAR ||
+                       '.test/o/' || (o_orderkey % 1500)::VARCHAR AS key
+                FROM orders
+            ),
+            hashed AS (
+                SELECT DISTINCT grp,
+                       ('0x' || substring(md5(key), 1, 12))::BIGINT AS h
+                FROM rows_
+            ),
+            rk AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM hashed
+            ),
+            bk AS (SELECT * FROM rk WHERE rn <= 64),
+            agg AS (
+                SELECT grp, count(*)::BIGINT AS n_hashes,
+                       max(CASE WHEN rn = 64 THEN h END) AS hk
+                FROM bk GROUP BY grp
+            )
+            SELECT grp AS "group", n_hashes,
+                   (CASE WHEN n_hashes < 64 THEN n_hashes
+                         ELSE (63 * 281474976710656) // greatest(hk, 1)
+                    END)::BIGINT AS est_distinct
+            FROM agg ORDER BY "group"
+        """,
+        # KMV mirror pairs: capped shared-hash candidates, then the
+        # bottom-k-of-union Jaccard estimator as rank/join set algebra
+        "host_mirror_kmv": """
+            WITH rows_ AS (
+                SELECT 'h' || (doc_id % 20)::VARCHAR AS grp,
+                       'p' || (doc_id % 10)::VARCHAR || '_' ||
+                       (doc_id // 20)::VARCHAR AS key
+                FROM documents
+            ),
+            hashed AS (
+                SELECT DISTINCT grp,
+                       ('0x' || substring(md5(key), 1, 12))::BIGINT AS h
+                FROM rows_
+            ),
+            rk AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM hashed
+            ),
+            bk AS (SELECT grp, h FROM rk WHERE rn <= 64),
+            capped AS (
+                SELECT grp, h FROM (
+                    SELECT grp, h,
+                           row_number() OVER (PARTITION BY h ORDER BY grp) AS bn
+                    FROM bk
+                ) WHERE bn <= 50
+            ),
+            pairs AS (
+                SELECT a.grp AS ga, b.grp AS gb
+                FROM capped a JOIN capped b ON a.h = b.h AND a.grp < b.grp
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            uni AS (
+                SELECT p.ga, p.gb, s.h FROM pairs p JOIN bk s ON s.grp = p.ga
+                UNION
+                SELECT p.ga, p.gb, s.h FROM pairs p JOIN bk s ON s.grp = p.gb
+            ),
+            ranked AS (
+                SELECT ga, gb, h,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                FROM uni
+            ),
+            s AS (SELECT ga, gb, h FROM ranked WHERE rn <= 64),
+            stats AS (
+                SELECT s.ga, s.gb, count(*)::BIGINT AS union_k,
+                       count(CASE WHEN x.h IS NOT NULL AND y.h IS NOT NULL
+                                  THEN 1 END)::BIGINT AS shared_k
+                FROM s
+                LEFT JOIN bk x ON x.grp = s.ga AND x.h = s.h
+                LEFT JOIN bk y ON y.grp = s.gb AND y.h = s.h
+                GROUP BY 1, 2
+            )
+            SELECT ga AS group_a, gb AS group_b, shared_k, union_k,
+                   (shared_k * 1000000) // union_k AS jaccard_ppm
+            FROM stats ORDER BY group_a, group_b
+        """,
         # Stupid Backoff bigram LM: LM-subset counts, seen branch cb/cv,
         # backoff (0.4*cw)/N with OOV floor 1, bigram-ordered folds
         "text_bigram_lm": r"""

@@ -256,3 +256,165 @@ def hdr_quantiles(sketch: DataFrame, qs_ppm: tuple[int, ...]) -> DataFrame:
         .groupBy("q_ppm")
         .agg(F.min("rep").alias("est"))
     )
+
+
+#: Size of the portable 48-bit hash space the KMV sketch draws from (the
+#: engine's md5-prefix family — the same 12-hex-digit convention as
+#: ops.text.hashed_linear_score). 48 bits keep (k-1)·P exact in signed-64
+#: integer arithmetic for any practical k.
+KMV_P48 = 1 << 48
+
+
+def _h48(key_col: str) -> "F.Column":
+    """Portable 48-bit hash of a string column: the first 12 hex digits of
+    md5, parsed to BIGINT — bit-identical in Spark (`conv`) and DuckDB
+    (`('0x'||…)::BIGINT`)."""
+    return F.expr(
+        f"cast(conv(substring(md5({key_col}), 1, 12), 16, 10) as bigint)"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    group_col: str = "group",
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV (bottom-k / k-minimum-values) sketch (Bar-Yossef et
+    al. RANDOM 2002; Beyer et al. SIGMOD 2007): the k smallest portable
+    48-bit hashes of the group's distinct keys, as a sorted
+    ``array<bigint>``. One sketch summarizes a host's content set in
+    ≤ k·8 bytes and supports distinct-count estimates AND — unlike
+    HyperLogLog — set-overlap estimates between groups (mirror-host
+    detection, crawl-overlap audits), because the hashes themselves are a
+    uniform coordinated sample of the key space.
+
+    Merge law: the sketch of A ∪ B is the bottom-k of the union of the two
+    sketches' hash sets (see :func:`kmv_union`) — build on the daily
+    increment, merge with the historical sketch.
+
+    Scale shape: one hash-shuffle on (group, 16-byte hash) for the
+    distinct, then a per-group bottom-k window on the SAME partitioning
+    (Catalyst reuses the exchange); state per group after the window is
+    ≤ k hashes. At 10^10 keys pre-filter ``h < threshold`` ahead of the
+    distinct when group sizes are known (keeps shuffle rows ∝ k, the
+    standard KMV trick) — the threshold is a correctness no-op whenever
+    every group's kth hash stays below it.
+
+    Returns (group, hashes) with hashes ascending, length ≤ k."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2; got {k}")
+    hashed = df.select(
+        F.col(group_col).alias("group"), _h48(key_col).alias("h")
+    ).distinct()
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("group")
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two KMV sketch tables (same ``k``): per group, bottom-k of the
+    union of hash sets — exactly the sketch :func:`kmv_build` would produce
+    on the concatenated inputs. Groups present in only one side pass
+    through. Pure array algebra after an outer join on group: no explode,
+    no window."""
+    merged = a.selectExpr("group", "hashes as _ha").join(
+        b.selectExpr("group", "hashes as _hb"), "group", "full_outer"
+    )
+    u = F.array_sort(
+        F.array_union(
+            F.coalesce(F.col("_ha"), F.array().cast("array<bigint>")),
+            F.coalesce(F.col("_hb"), F.array().cast("array<bigint>")),
+        )
+    )
+    return merged.select(
+        "group",
+        F.slice(u, 1, F.least(F.size(u), F.lit(k))).alias("hashes"),
+    )
+
+
+def kmv_distinct_estimate(sk: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from the KMV sketch: exact
+    ``n_hashes`` when the group never filled the sketch, else the
+    unbiased KMV estimator (k-1)·P/h_k over the 48-bit hash space —
+    INTEGER division only (no doubles: (k-1)·2^48 ≤ 2^58 would round in a
+    53-bit mantissa), so the estimate is bit-identical across engines.
+    Relative error ~ 1/sqrt(k-2)."""
+    n = F.size("hashes").cast("long")
+    est = F.when(n < k, n).otherwise(
+        F.expr(f"div({(k - 1)} * cast({KMV_P48} as bigint), "
+               f"greatest(element_at(hashes, {k}), cast(1 as bigint)))")
+    )
+    return sk.select("group", n.alias("n_hashes"), est.cast("long").alias("est_distinct"))
+
+
+def kmv_pair_jaccard(
+    sk: DataFrame,
+    k: int = 64,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Mirror detection (Bharat & Broder WWW 1999) over KMV sketches:
+    candidate group pairs that share hash samples, with the coordinated-
+    sample Jaccard estimate J ≈ |S ∩ A ∩ B| / |S| where S is the bottom-k
+    of A ∪ B (Beyer et al. 2007 — the hashes are the SAME uniform sample
+    on both sides, so membership overlap in S estimates the true Jaccard).
+
+    Candidate generation is the LSH shape, never all-pairs: explode each
+    group's ≤ k hashes, cap each hash's bucket at ``max_bucket`` lowest
+    groups (a hash shared by B groups — boilerplate content — would yield
+    B² pairs; the cap bounds it, same discipline as minhash/simhash/
+    embedding buckets), equi-join on the hash, keep pairs sharing ≥
+    ``min_shared`` sampled hashes. The estimator then joins the two ≤ k
+    sketch arrays back and runs pure array algebra.
+
+    Returns (group_a, group_b, shared_k, union_k, jaccard_ppm) with
+    group_a < group_b; jaccard_ppm = floor(shared·10⁶/union_k)."""
+    from pyspark.sql import Window
+
+    if min_shared < 1 or max_bucket < 2:
+        raise ValueError(
+            f"need min_shared >= 1 and max_bucket >= 2; got {min_shared}, {max_bucket}"
+        )
+    ex = sk.select("group", F.explode("hashes").alias("h"))
+    w = Window.partitionBy("h").orderBy("group")
+    capped = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.group") < F.col("b.group")),
+        )
+        .groupBy(
+            F.col("a.group").alias("group_a"), F.col("b.group").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_shared_raw"))
+        .filter(F.col("_shared_raw") >= min_shared)
+    )
+    est = (
+        pairs.join(sk.selectExpr("group as group_a", "hashes as _ha"), "group_a")
+        .join(sk.selectExpr("group as group_b", "hashes as _hb"), "group_b")
+    )
+    u = F.array_sort(F.array_union(F.col("_ha"), F.col("_hb")))
+    kk = F.least(F.size(u), F.lit(k))
+    s = F.slice(u, 1, kk)
+    shared_k = F.size(
+        F.array_intersect(s, F.array_intersect(F.col("_ha"), F.col("_hb")))
+    ).cast("long")
+    return est.select(
+        "group_a",
+        "group_b",
+        shared_k.alias("shared_k"),
+        kk.cast("long").alias("union_k"),
+        F.floor(shared_k * F.lit(1_000_000) / kk).alias("jaccard_ppm"),
+    )

@@ -154,3 +154,114 @@ def test_hdr_quantiles_validation_and_empty(spark):
         hdr_quantiles(empty, (1_000_001,))
     with pytest.raises(ValueError):
         hdr_build(empty, sub_bits=3)
+
+
+def _h48(s: str) -> int:
+    return int(_md5(s)[:12], 16)
+
+
+def _kmv_mirror(keys: list[str], k: int) -> list[int]:
+    return sorted({_h48(x) for x in keys})[:k]
+
+
+def test_kmv_build_matches_python_mirror(spark):
+    from kermit_spark.ops.sketch import kmv_build
+
+    rows = [(f"g{i % 3}", f"key{i % 40}") for i in range(300)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    got = {r["group"]: list(r["hashes"]) for r in kmv_build(df, k=8).collect()}
+    for g in ("g0", "g1", "g2"):
+        keys = {key for grp, key in rows if grp == g}
+        assert got[g] == _kmv_mirror(sorted(keys), 8)
+
+
+def test_kmv_build_partial_sketch_and_validation(spark):
+    import pytest
+
+    from kermit_spark.ops.sketch import kmv_build
+
+    df = spark.createDataFrame([("g", "a"), ("g", "b"), ("g", "a")],
+                               "group string, key string")
+    [row] = kmv_build(df, k=16).collect()
+    assert sorted(row["hashes"]) == _kmv_mirror(["a", "b"], 16)
+    assert len(row["hashes"]) == 2  # duplicates collapse, sketch stays partial
+    with pytest.raises(ValueError):
+        kmv_build(df, k=1)
+
+
+def test_kmv_union_merge_law(spark):
+    from kermit_spark.ops.sketch import kmv_build, kmv_union
+
+    k = 12
+    a_rows = [("g0", f"a{i}") for i in range(40)] + [("only_a", f"x{i}") for i in range(5)]
+    b_rows = [("g0", f"b{i}") for i in range(40)] + [("only_b", f"y{i}") for i in range(30)]
+    a = spark.createDataFrame(a_rows, "group string, key string")
+    b = spark.createDataFrame(b_rows, "group string, key string")
+    merged = kmv_union(kmv_build(a, k=k), kmv_build(b, k=k), k=k)
+    direct = kmv_build(a.unionByName(b), k=k)
+    got = {r["group"]: list(r["hashes"]) for r in merged.collect()}
+    want = {r["group"]: list(r["hashes"]) for r in direct.collect()}
+    assert got == want  # includes the one-sided groups passing through
+
+
+def test_kmv_distinct_estimate_exact_below_k_and_bounded_error(spark):
+    from kermit_spark.ops.sketch import kmv_build, kmv_distinct_estimate
+
+    k = 256
+    rows = [("small", f"s{i}") for i in range(50)]
+    rows += [("big", f"u{i}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    est = {
+        r["group"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct_estimate(kmv_build(df, k=k), k=k).collect()
+    }
+    assert est["small"] == (50, 50)  # below k -> exact
+    n_hashes, e = est["big"]
+    assert n_hashes == k
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 0.063; allow 4 sigma
+    assert abs(e - 20_000) / 20_000 < 0.25
+    # python mirror of the integer estimator
+    hk = _kmv_mirror([f"u{i}" for i in range(20_000)], k)[-1]
+    assert e == ((k - 1) * (1 << 48)) // hk
+
+
+def test_kmv_pair_jaccard_finds_mirrors_and_estimates(spark):
+    from kermit_spark.ops.sketch import kmv_build, kmv_pair_jaccard
+
+    k = 32
+    # h0/h1 are exact mirrors; h2 overlaps h0 on half its keys; h3 disjoint
+    rows = [("h0", f"p{i}") for i in range(200)]
+    rows += [("h1", f"p{i}") for i in range(200)]
+    rows += [("h2", f"p{i}") for i in range(100)] + [("h2", f"q{i}") for i in range(100)]
+    rows += [("h3", f"z{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    sk = kmv_build(df, k=k)
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_pair_jaccard(sk, k=k, min_shared=2).collect()
+    }
+    assert ("h0", "h1") in got
+    full = got[("h0", "h1")]
+    assert full["shared_k"] == full["union_k"] == k  # identical sets
+    assert full["jaccard_ppm"] == 1_000_000
+    # true J(h0, h2) = 100/300 = 0.333; coordinated sample keeps it near
+    if ("h0", "h2") in got:
+        j = got[("h0", "h2")]["jaccard_ppm"] / 1e6
+        assert 0.08 < j < 0.65
+    assert not any("h3" in pair for pair in got)
+
+
+def test_kmv_pair_jaccard_bucket_cap_bounds_pairs(spark):
+    from kermit_spark.ops.sketch import kmv_build, kmv_pair_jaccard
+
+    # 40 groups all sharing the SAME key set (pathological boilerplate):
+    # uncapped this is 40*39/2 = 780 pairs; cap 10 bounds it to 10*9/2
+    rows = [(f"g{i:02d}", f"c{j}") for i in range(40) for j in range(20)]
+    df = spark.createDataFrame(rows, "group string, key string")
+    sk = kmv_build(df, k=16)
+    pairs = kmv_pair_jaccard(sk, k=16, min_shared=2, max_bucket=10)
+    got = pairs.collect()
+    assert 0 < len(got) <= 45
+    # deterministic keep rule: only the 10 lexicographically lowest groups
+    survivors = {g for r in got for g in (r["group_a"], r["group_b"])}
+    assert survivors <= {f"g{i:02d}" for i in range(10)}
