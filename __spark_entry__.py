@@ -1412,6 +1412,29 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING through the REAL library op
+    (ops.text.train_hashed_classifier): 3 batch-perceptron iterations over
+    64 hashed bag-of-words buckets, labels = English-marker containment
+    (lower(text) ~ '\\b(the|and)\\b'). All-integer updates make the trained
+    weights bit-reproducible; the DuckDB oracle replays the identical
+    recurrence with 3 unrolled CTE iterations (margin join → misclassified
+    filter → per-bucket update sum) over the shared 48-bit md5 bucketing.
+    Returns the nonzero final weights, ready for hashed_linear_score."""
+    from kermit_spark.ops.text import train_hashed_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.lower(F.col("text")).rlike(r"\b(the|and)\b").cast("int").alias("label"),
+    )
+    weights, _ = train_hashed_classifier(
+        docs, 64, iterations=3, id_col="doc_id", track_errors=False
+    )
+    rows = sorted((int(b), int(w)) for b, w in weights.items())
+    return spark.createDataFrame(rows, "bucket long, weight long")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-training-data curation workflow, end-to-end through
     the REAL library ops: language filter (detect_language == 'en') →
@@ -2850,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_normalize": q_text_normalize,
         "text_classifier": q_text_classifier,
+        "text_train_classifier": q_text_train_classifier,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
@@ -4454,6 +4478,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.score_ppm, 0)::BIGINT AS score_ppm
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id
+        """,
+        "text_train_classifier": r"""
+            WITH labeled AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_matches(lower(text), '\b(the|and)\b')
+                            THEN 1 ELSE -1 END AS y,
+                       text
+                FROM documents
+            ),
+            b0 AS (  -- exploded (doc, y, bucket): one row per token occurrence
+                SELECT doc_id, y,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(tok), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) % 64 AS bucket
+                FROM (
+                    SELECT doc_id, y,
+                           unnest(list_filter(
+                               regexp_split_to_array(trim(lower(text)), '\s+'),
+                               t -> length(t) > 0)) AS tok
+                    FROM labeled
+                )
+            ),
+            -- iteration 1: zero weights => every doc misclassified
+            w1 AS (
+                SELECT bucket, sum(y)::BIGINT AS w FROM b0 GROUP BY bucket
+            ),
+            m2 AS (
+                SELECT t.doc_id, any_value(t.y) AS y,
+                       coalesce(sum(w.w), 0)::BIGINT AS m
+                FROM b0 t LEFT JOIN w1 w USING (bucket) GROUP BY t.doc_id
+            ),
+            u2 AS (
+                SELECT b.bucket, sum(b.y)::BIGINT AS delta
+                FROM b0 b JOIN m2 USING (doc_id)
+                WHERE m2.y * m2.m <= 0 GROUP BY b.bucket
+            ),
+            w2 AS (
+                SELECT coalesce(w1.bucket, u2.bucket) AS bucket,
+                       (coalesce(w1.w, 0) + coalesce(u2.delta, 0))::BIGINT AS w
+                FROM w1 FULL JOIN u2 ON w1.bucket = u2.bucket
+            ),
+            m3 AS (
+                SELECT t.doc_id, any_value(t.y) AS y,
+                       coalesce(sum(w.w), 0)::BIGINT AS m
+                FROM b0 t LEFT JOIN w2 w USING (bucket) GROUP BY t.doc_id
+            ),
+            u3 AS (
+                SELECT b.bucket, sum(b.y)::BIGINT AS delta
+                FROM b0 b JOIN m3 USING (doc_id)
+                WHERE m3.y * m3.m <= 0 GROUP BY b.bucket
+            ),
+            w3 AS (
+                SELECT coalesce(w2.bucket, u3.bucket) AS bucket,
+                       (coalesce(w2.w, 0) + coalesce(u3.delta, 0))::BIGINT AS w
+                FROM w2 FULL JOIN u3 ON w2.bucket = u3.bucket
+            )
+            SELECT bucket, w AS weight FROM w3 WHERE w != 0 ORDER BY bucket
         """,
         "text_quality": r"""
             WITH f AS (

@@ -1236,6 +1236,107 @@ def hashed_linear_score(
     )
 
 
+def train_hashed_classifier(
+    df: DataFrame,
+    n_buckets: int,
+    iterations: int = 4,
+    id_col: str = "id",
+    text_col: str = "text",
+    label_col: str = "label",
+    track_errors: bool = True,
+) -> tuple[dict[int, int], list[int]]:
+    """Train the hashed linear classifier ``hashed_linear_score`` applies —
+    distributed batch perceptron over hashed bag-of-words features (the
+    fastText / Vowpal-Wabbit hashing trick), the missing half of the
+    model-based quality-filter loop: label a seed set ("looks like
+    reference corpus" = 1), train here, apply corpus-wide with
+    ``hashed_linear_score(df, weights, n_buckets)``, threshold at 0.
+
+    Batch (not online) perceptron, deliberately: the classic per-example
+    update is sequential and order-dependent — unrunnable and
+    irreproducible distributed — while the batch form aggregates one
+    integer update per iteration over ALL currently-misclassified
+    documents (margin·y ≤ 0), which is order- and partition-independent.
+    All arithmetic is integer (weights start at 0; each misclassified
+    document adds y ∈ {+1,−1} per token occurrence to its buckets), so
+    trained weights are bit-reproducible across engines and feed
+    ``weights_ppm`` directly (linear scores threshold at 0, so the unit is
+    a free scale factor).
+
+    Scale shape: the token→bucket hashing (the shared portable 48-bit md5
+    prefix) is paid ONCE into a persisted (y, array<bucket>) projection;
+    each iteration is one zero-shuffle margin projection (current weights
+    ride the plan as a map literal — a model artifact, ≤ n_buckets
+    entries) followed by one map-side-partial hash-agg on bucket (≤
+    n_buckets distinct keys) collected to the driver. No per-row Python,
+    no driver loop over rows; driver state is the O(n_buckets) model.
+
+    ``label_col`` must be 0/1. Returns (weights, errors_per_iteration);
+    ``track_errors=False`` skips the per-iteration misclassified count
+    (one extra cached-scan agg per iteration).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1, got {iterations}")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+    def bucket(t: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+            F.lit(n_buckets).cast("long"),
+        )
+
+    base = df.select(
+        (F.col(label_col).cast("long") * 2 - 1).alias("_y"),
+        F.transform(tokens, bucket).alias("_b"),
+    ).persist()
+    weights: dict[int, int] = {}
+    errors: list[int] = []
+    try:
+        for _ in range(iterations):
+            if weights:
+                wmap = F.create_map(
+                    *[
+                        x
+                        for b, w in sorted(weights.items())
+                        for x in (F.lit(int(b)).cast("long"), F.lit(int(w)).cast("long"))
+                    ]
+                )
+                margin = F.aggregate(
+                    F.col("_b"),
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.coalesce(F.element_at(wmap, b), F.lit(0).cast("long")),
+                )
+            else:
+                margin = F.lit(0).cast("long")
+            mis = base.filter(F.col("_y") * margin <= 0)
+            if track_errors:
+                errors.append(mis.count())
+            upd = (
+                mis.select("_y", F.explode("_b").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.sum("_y").alias("delta"))
+                .collect()
+            )
+            if not upd:
+                # no misclassified document carries tokens: converged
+                break
+            for row in upd:
+                w = weights.get(row["bucket"], 0) + int(row["delta"])
+                if w:
+                    weights[row["bucket"]] = w
+                else:
+                    weights.pop(row["bucket"], None)
+    finally:
+        base.unpersist()
+    return weights, errors
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training / encoding (Sennrich et al. 2016)
 # ---------------------------------------------------------------------------

@@ -559,6 +559,89 @@ def test_hashed_linear_score_validates_and_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_train_hashed_classifier_matches_python_mirror(spark):
+    import hashlib
+
+    from kermit_spark.ops.text import train_hashed_classifier
+
+    n_buckets = 32
+    rows = [
+        (1, "good wine fine dine", 1),
+        (2, "good good shine line", 1),
+        (3, "bad sad mad cad", 0),
+        (4, "bad bad rad", 0),
+        (5, "good bad mixed", 1),
+        (6, "   ", 0),   # blank: margin 0, always misclassified, no tokens
+        (7, None, 1),    # null text: same
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    got_w, got_err = train_hashed_classifier(
+        df, n_buckets, iterations=3, id_col="id", label_col="label"
+    )
+
+    def buckets(text):
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % n_buckets
+            for t in (text or "").strip().lower().split()
+            if t
+        ]
+
+    docs = [(buckets(t), 2 * y - 1) for _, t, y in rows]
+    w: dict[int, int] = {}
+    errs = []
+    for _ in range(3):
+        mis = [(bs, y) for bs, y in docs if y * sum(w.get(b, 0) for b in bs) <= 0]
+        errs.append(len(mis))
+        upd: dict[int, int] = {}
+        for bs, y in mis:
+            for b in bs:
+                upd[b] = upd.get(b, 0) + y
+        if not any(bs for bs, _ in mis):
+            break
+        for b, d in upd.items():
+            nw = w.get(b, 0) + d
+            if nw:
+                w[b] = nw
+            else:
+                w.pop(b, None)
+    assert got_w == w
+    assert got_err == errs
+
+
+def test_train_hashed_classifier_learns_and_applies(spark):
+    from kermit_spark.ops.text import hashed_linear_score, train_hashed_classifier
+
+    # linearly separable vocabulary: every positive doc speaks "prose",
+    # every negative doc speaks "boilerplate" — disjoint token sets
+    pos_words = ["study", "report", "analysis", "method", "result"]
+    neg_words = ["click", "subscribe", "cookie", "banner", "login"]
+    rows = []
+    for i in range(40):
+        words = [(pos_words if i % 2 else neg_words)[(i + j) % 5] for j in range(6)]
+        rows.append((i, " ".join(words), i % 2))
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    weights, errors = train_hashed_classifier(df, 64, iterations=6, id_col="id")
+    assert errors[0] == 40  # zero weights misclassify everything
+    assert errors[-1] == 0  # converged on separable data
+    assert len(errors) < 6  # convergence break fired before the cap
+    scored = {
+        r["id"]: r["score_ppm"]
+        for r in hashed_linear_score(df, weights, 64, id_col="id").collect()
+    }
+    for i, _, label in rows:
+        assert (scored[i] > 0) == bool(label), f"doc {i}"
+
+
+def test_train_hashed_classifier_validates(spark):
+    from kermit_spark.ops.text import train_hashed_classifier
+
+    df = spark.createDataFrame([(1, "a", 1)], "id long, text string, label int")
+    with pytest.raises(ValueError):
+        train_hashed_classifier(df, 0)
+    with pytest.raises(ValueError):
+        train_hashed_classifier(df, 8, iterations=0)
+
+
 # ---------------------------------------------------------------------------
 # soft-404 detection
 # ---------------------------------------------------------------------------
