@@ -2316,6 +2316,83 @@ def _bpe_stage_cte(k: int) -> str:
             )"""
 
 
+def _sniff_oracle_sql() -> str:
+    """media_sniff oracle, GENERATED from the library's magic-rule constants
+    (ops.media.MAGIC_PREFIXES / RIFF_FORMS / FTYP_HEX / HTML_SNIFF_PREFIXES)
+    — one rule table feeds the Spark expression AND this SQL. Payload hex is
+    re-synthesized relationally; all byte checks are substrings of the hex
+    (2 chars per byte), the markup sniff gated on the ASCII regexp exactly
+    like the engine (the unhex::VARCHAR cast is only reached on ASCII rows,
+    mirroring the lazily-evaluated decode() branch)."""
+    from kermit_spark.ops.media import (
+        ASCII_HEX_RE,
+        FTYP_HEX,
+        HTML_SNIFF_BYTES,
+        HTML_SNIFF_PREFIXES,
+        MAGIC_PREFIXES,
+        RIFF_FORMS,
+    )
+
+    plain = "\n                       ".join(
+        f"WHEN substring(h, 1, {len(p)}) = '{p}' THEN '{m}'"
+        for p, m in sorted(MAGIC_PREFIXES, key=lambda r: -len(r[0]))
+    )
+    riff = " ".join(
+        f"WHEN substring(h, 17, 8) = '{fh}' THEN '{m}'" for fh, m in RIFF_FORMS
+    )
+    markup = " ".join(
+        f"WHEN starts_with(txt, '{p}') THEN '{m}'" for p, m in HTML_SNIFF_PREFIXES
+    )
+    nhex = 2 * HTML_SNIFF_BYTES
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 12
+                       WHEN 0 THEN '89504E470D0A1A0A' || upper(md5(doc_id::VARCHAR))
+                       WHEN 1 THEN 'FFD8FFE0' || upper(md5(doc_id::VARCHAR))
+                       WHEN 2 THEN '474946383961' || upper(md5(doc_id::VARCHAR))
+                       WHEN 3 THEN '524946461000000057454250' || upper(md5(doc_id::VARCHAR))
+                       WHEN 4 THEN '524946461000000057415645' || upper(md5(doc_id::VARCHAR))
+                       WHEN 5 THEN '000000186674797069736F6D' || upper(md5(doc_id::VARCHAR))
+                       WHEN 6 THEN '25504446' || upper(md5(doc_id::VARCHAR))
+                       WHEN 7 THEN '504B0304' || upper(md5(doc_id::VARCHAR))
+                       WHEN 8 THEN '1F8B' || upper(md5(doc_id::VARCHAR))
+                       WHEN 9 THEN hex(encode('  <!DOCTYPE html><p>' || doc_id::VARCHAR))
+                       WHEN 10 THEN hex(encode('<?xml version="1.0"?><d id="' || doc_id::VARCHAR || '"/>'))
+                       ELSE 'AA' || upper(md5(doc_id::VARCHAR))
+                   END AS h,
+                   CASE doc_id % 3
+                       WHEN 0 THEN 'application/octet-stream'
+                       WHEN 1 THEN 'image/png; charset=utf-8'
+                   END AS declared
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, declared, h,
+                   CASE WHEN regexp_matches(substring(h, 1, {nhex}), '{ASCII_HEX_RE}')
+                        THEN lower(ltrim(unhex(substring(h, 1, {nhex}))::VARCHAR))
+                   END AS txt
+            FROM p
+        ),
+        s AS (
+            SELECT doc_id, declared,
+                   CASE
+                       {plain}
+                       WHEN substring(h, 1, 8) = '52494646' THEN (CASE {riff} END)
+                       WHEN substring(h, 9, 8) = '{FTYP_HEX}' THEN 'video/mp4'
+                       WHEN txt IS NOT NULL THEN (CASE {markup} END)
+                   END AS sniffed_type,
+                   lower(trim(string_split(declared, ';')[1])) AS decl_norm
+            FROM g
+        )
+        SELECT doc_id, sniffed_type,
+               coalesce(sniffed_type, decl_norm) AS effective_type,
+               (sniffed_type IS NOT NULL AND declared IS NOT NULL
+                AND sniffed_type != decl_norm) AS type_mismatch
+        FROM s ORDER BY doc_id
+    """
+
+
 def _bpe_oracle_sql() -> str:
     stages = ",\n            ".join(_bpe_stage_cte(k) for k in range(1, _BPE_MERGES + 1))
     ranks = "\n                UNION ALL ".join(
@@ -2785,6 +2862,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media).orderBy("media_id")
 
 
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type detection through the REAL library op
+    (ops.media.detect_content_type → sniff_mime): deterministic payloads
+    with genuine magic numbers (PNG/JPEG/GIF/RIFF-WEBP/RIFF-WAVE/
+    ISO-BMFF-ftyp/PDF/ZIP/GZIP/HTML/XML + an unknown-bytes control) are
+    synthesized per doc_id, with a declared Content-Type that sometimes
+    lies. The oracle GENERATES its CASE from the same MAGIC_PREFIXES /
+    RIFF_FORMS / FTYP_HEX / HTML_SNIFF_PREFIXES constants the engine
+    expression is built from — one rule table, two engines."""
+    from kermit_spark.ops.media import detect_content_type
+
+    doc_s = F.col("doc_id").cast("string")
+    md5h = F.upper(F.md5(doc_s))
+    k = F.pmod(F.col("doc_id"), F.lit(12))
+    hexpat = (
+        F.when(k == 0, F.concat(F.lit("89504E470D0A1A0A"), md5h))
+        .when(k == 1, F.concat(F.lit("FFD8FFE0"), md5h))
+        .when(k == 2, F.concat(F.lit("474946383961"), md5h))
+        .when(k == 3, F.concat(F.lit("524946461000000057454250"), md5h))
+        .when(k == 4, F.concat(F.lit("524946461000000057415645"), md5h))
+        .when(k == 5, F.concat(F.lit("000000186674797069736F6D"), md5h))
+        .when(k == 6, F.concat(F.lit("25504446"), md5h))
+        .when(k == 7, F.concat(F.lit("504B0304"), md5h))
+        .when(k == 8, F.concat(F.lit("1F8B"), md5h))
+        .when(
+            k == 9,
+            F.hex(F.encode(F.concat(F.lit("  <!DOCTYPE html><p>"), doc_s), "utf-8")),
+        )
+        .when(
+            k == 10,
+            F.hex(
+                F.encode(
+                    F.concat(F.lit('<?xml version="1.0"?><d id="'), doc_s, F.lit('"/>')),
+                    "utf-8",
+                )
+            ),
+        )
+        .otherwise(F.concat(F.lit("AA"), md5h))
+    )
+    declared = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("application/octet-stream"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("image/png; charset=utf-8"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    media = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .select("doc_id", F.unhex(hexpat).alias("data"), declared.alias("content_type"))
+    )
+    return detect_content_type(media).select(
+        "doc_id", "sniffed_type", "effective_type", "type_mismatch"
+    ).orderBy("doc_id")
+
+
 def q_headers_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/A5 Histogrammer through the REAL library aggregate
     (metrics.headers_histogram): synthetic per-response header maps (the
@@ -2915,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monitoring
         "headers_histogram": q_headers_histogram,
         # multimodal
+        "media_sniff": q_media_sniff,
         "media_frame_plan": q_media_frame_plan,
         "media_audio_segments": q_media_audio_segments,
         "media_features": q_media_features,
@@ -5528,6 +5660,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             ORDER BY doc_id, "offset"
         """,
+        "media_sniff": _sniff_oracle_sql(),
         "media_frame_plan": """
             SELECT media_id, frame_no, media_id || '#f' || frame_no AS frame_ref
             FROM (SELECT md5(p_name) AS media_id FROM part),

@@ -632,6 +632,111 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> Da
     )
 
 
+# ---------------------------------------------------------------------------
+# magic-byte content sniffing (codec-free, pure JVM)
+# ---------------------------------------------------------------------------
+
+# THE canonical magic table: the sniff expression below AND the driver
+# oracle's generated CASE both derive from these constants. Plain rules
+# match a hex prefix at byte 1; first match wins (longer/more specific
+# prefixes listed before shorter ones that share a stem).
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("377ABCAF271C", "application/x-7z-compressed"),
+    ("FFD8FF", "image/jpeg"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("504B0506", "application/zip"),
+    ("504B0708", "application/zip"),
+    ("4F676753", "application/ogg"),
+    ("1A45DFA3", "video/webm"),
+    ("494433", "audio/mpeg"),
+    ("425A68", "application/x-bzip2"),
+    ("1F8B", "application/gzip"),
+    ("FFFB", "audio/mpeg"),
+    ("FFF3", "audio/mpeg"),
+    ("FFF2", "audio/mpeg"),
+)
+# RIFF containers: 'RIFF' at byte 1, the form tag at bytes 9-12 decides.
+RIFF_FORMS: tuple[tuple[str, str], ...] = (
+    ("57454250", "image/webp"),   # WEBP
+    ("57415645", "audio/wav"),    # WAVE
+    ("41564920", "video/x-msvideo"),  # 'AVI '
+)
+# ISO-BMFF: any size prefix, 'ftyp' at bytes 5-8.
+FTYP_HEX = "66747970"
+# markup sniff (HTML5 §'determining the character encoding' spirit): decoded,
+# whitespace-trimmed, case-folded prefix of the first 32 bytes — gated on the
+# prefix being pure ASCII (hex pairs 00-7F), because Spark 4's decode() throws
+# on malformed UTF-8 rather than replacing; real markup leads with ASCII
+HTML_SNIFF_BYTES = 32
+ASCII_HEX_RE = "^([0-7][0-9A-F])*$"
+HTML_SNIFF_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("<!doctype html", "text/html"),
+    ("<html", "text/html"),
+    ("<?xml", "application/xml"),
+)
+
+
+def sniff_mime(data: Column) -> Column:
+    """Magic-byte content-type detection over an opaque binary column —
+    the server-independent truth crawlers need (Content-Type headers lie;
+    kermit trusts the header with an extension fallback,
+    extensions/core.streaming.coffee:59 — sniffing the BYTES beats both).
+    Pure JVM: one hex() of the first 16 bytes compared against the
+    MAGIC_PREFIXES table, RIFF/ISO-BMFF container dispatch at their fixed
+    offsets, and a decoded-prefix markup sniff. NULL = unknown (caller
+    falls back to declared header / extension map). Zero shuffle, no
+    Python, no decode of the payload body."""
+    h = F.hex(F.substring(data, 1, 16))
+    prefix = F.substring(data, 1, HTML_SNIFF_BYTES)
+    # CASE branches evaluate lazily, so decode() never sees non-ASCII bytes
+    text = F.when(
+        F.hex(prefix).rlike(ASCII_HEX_RE),
+        F.lower(F.ltrim(F.decode(prefix, "UTF-8"))),
+    )
+    riff = F.substring(h, 17, 8)  # bytes 9-12
+    expr: Column = F.lit(None).cast("string")
+    # build the CASE back-to-front so earlier rules win
+    for prefix, mime in reversed(HTML_SNIFF_PREFIXES):
+        expr = F.when(text.startswith(prefix), F.lit(mime)).otherwise(expr)
+    expr = F.when(F.substring(h, 9, 8) == FTYP_HEX, F.lit("video/mp4")).otherwise(expr)
+    riff_expr: Column = F.lit(None).cast("string")
+    for form_hex, mime in reversed(RIFF_FORMS):
+        riff_expr = F.when(riff == form_hex, F.lit(mime)).otherwise(riff_expr)
+    expr = F.when(F.substring(h, 1, 8) == "52494646", riff_expr).otherwise(expr)
+    for prefix, mime in sorted(MAGIC_PREFIXES, key=lambda r: len(r[0])):
+        expr = F.when(F.substring(h, 1, len(prefix)) == prefix, F.lit(mime)).otherwise(
+            expr
+        )
+    return expr
+
+
+def detect_content_type(
+    df: DataFrame,
+    bytes_col: str = "data",
+    declared_col: str = "content_type",
+) -> DataFrame:
+    """Adds ``sniffed_type`` (magic bytes; NULL = unknown), ``effective_type``
+    (sniffed, else the declared header value — the column downstream routing
+    should trust) and ``type_mismatch`` (both present and disagreeing — the
+    lying-server signal worth a metrics counter). One codegen projection."""
+    sniffed = sniff_mime(F.col(bytes_col))
+    declared = F.lower(F.trim(F.split(F.col(declared_col), ";").getItem(0)))
+    return df.select(
+        "*",
+        sniffed.alias("sniffed_type"),
+        F.coalesce(sniffed, declared).alias("effective_type"),
+        (
+            sniffed.isNotNull()
+            & declared.isNotNull()
+            & (sniffed != declared)
+        ).alias("type_mismatch"),
+    )
+
+
 def chunk_signatures(
     media: DataFrame,
     id_col: str = "media_id",

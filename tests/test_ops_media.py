@@ -480,3 +480,67 @@ def test_interleaved_span_dedup_first_occurrence_and_reindex(spark):
     # doc 4's 'hello' lost to doc 1 (globally-first keeper), image kept
     assert out[4]["n_spans_after"] == 1
     assert out[4]["spans"][0]["media_ref"] == "/img/b.png"
+
+
+# ---------------------------------------------------------------------------
+# magic-byte content sniffing
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_mime_magic_table(spark):
+    from kermit_spark.ops.media import sniff_mime
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest", "image/png"),
+        (2, bytes.fromhex("FFD8FFE0") + b"jf", "image/jpeg"),
+        (3, b"GIF89a....", "image/gif"),
+        (4, b"RIFF\x10\x00\x00\x00WEBPxxx", "image/webp"),
+        (5, b"RIFF\x10\x00\x00\x00WAVExxx", "audio/wav"),
+        (6, b"RIFF\x10\x00\x00\x00ZZZZxxx", None),  # unknown RIFF form
+        (7, b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        (8, b"%PDF-1.7 ...", "application/pdf"),
+        (9, b"PK\x03\x04....", "application/zip"),
+        (10, b"\x1f\x8bxxxx", "application/gzip"),
+        (11, b"ID3\x04tag", "audio/mpeg"),
+        (12, b"OggS\x00\x02", "application/ogg"),
+        (13, b"\x1aE\xdf\xa3webm", "video/webm"),
+        (14, b"  <!DOCTYPE html><p>hi", "text/html"),
+        (15, b"<HTML><body>", "text/html"),        # case-folded
+        (16, b"<?xml version='1.0'?>", "application/xml"),
+        (17, b"random bytes \xff\xfe junk", None),  # non-ASCII: decode gated
+        (18, b"plain ascii prose only here", None),
+        (19, b"", None),
+        (20, None, None),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d, _ in rows], "id long, data binary")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", sniff_mime(F.col("data")).alias("m")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+def test_detect_content_type_mismatch_and_plan(spark):
+    from kermit_spark.ops.media import detect_content_type
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes.fromhex("89504E470D0A1A0A") + b"x", "image/gif; charset=x"),
+            (2, b"  <html>", None),                  # sniffed, nothing declared
+            (3, b"\xff\xfejunk", "audio/mpeg"),      # unknown: falls back to header
+            (4, b"\x1f\x8bz", "application/gzip"),   # agreement
+        ],
+        "id long, data binary, content_type string",
+    )
+    out = {r["id"]: r for r in detect_content_type(df).collect()}
+    assert out[1]["sniffed_type"] == "image/png"
+    assert out[1]["effective_type"] == "image/png" and out[1]["type_mismatch"]
+    assert out[2]["effective_type"] == "text/html" and not out[2]["type_mismatch"]
+    assert out[3]["sniffed_type"] is None
+    assert out[3]["effective_type"] == "audio/mpeg" and not out[3]["type_mismatch"]
+    assert out[4]["type_mismatch"] is False
+    # one codegen projection: no shuffle, no Python
+    plan = detect_content_type(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
