@@ -2370,7 +2370,8 @@ def _sniff_oracle_sql() -> str:
         g AS (
             SELECT doc_id, declared, h,
                    CASE WHEN regexp_matches(substring(h, 1, {nhex}), '{ASCII_HEX_RE}')
-                        THEN lower(ltrim(unhex(substring(h, 1, {nhex}))::VARCHAR))
+                        THEN lower(regexp_replace(unhex(substring(h, 1, {nhex}))::VARCHAR,
+                                                  '^\\s+', ''))
                    END AS txt
             FROM p
         ),

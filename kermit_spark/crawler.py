@@ -298,6 +298,13 @@ class CrawlConfig:
     # so a resumed crawl may admit that many extra retries per host).
     # None = unlimited (reference behavior).
     max_pages_per_host: int | None = None
+    # magic-byte content sniffing (ops.media.sniff_mime) on fetched bodies:
+    # routing and the documents table's content_type use the sniffed
+    # EFFECTIVE type, so a server lying in Content-Type can neither hide an
+    # HTML page's links (declared octet-stream → opaque media span) nor
+    # feed binary to the span tokenizer. False = reference parity (header
+    # trusted, extension fallback — core.streaming.coffee:59).
+    sniff_content: bool = False
     # robots cache expiry: a host's rules older than k waves are re-fetched
     # through the same batch probe (RFC 9309 §2.4 bounds robots caching,
     # commonly at 24 h — the wave clock is the engine's time base, matching
@@ -971,7 +978,11 @@ class Crawler:
         # idempotent overwrite on wave re-run after a crash). Status counts
         # ride on the write job via an Observation — no separate count job.
         obs = Observation()
-        docs = parse_documents(fetched, html_meta=cfg.html_compliance).observe(
+        docs = parse_documents(
+            fetched,
+            html_meta=cfg.html_compliance,
+            sniff_content=cfg.sniff_content,
+        ).observe(
             obs,
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
             F.sum(F.when(F.col("status") == 304, 1).otherwise(0)).alias("n_notmod"),

@@ -695,7 +695,7 @@ def sniff_mime(data: Column) -> Column:
     # CASE branches evaluate lazily, so decode() never sees non-ASCII bytes
     text = F.when(
         F.hex(prefix).rlike(ASCII_HEX_RE),
-        F.lower(F.ltrim(F.decode(prefix, "UTF-8"))),
+        F.lower(F.regexp_replace(F.decode(prefix, "UTF-8"), r"^\s+", "")),
     )
     riff = F.substring(h, 17, 8)  # bytes 9-12
     expr: Column = F.lit(None).cast("string")

@@ -215,7 +215,9 @@ def _html_meta_cols(body):
     return base, flag("nofollow"), flag("noindex"), refresh_url, canonical
 
 
-def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
+def parse_documents(
+    fetched: DataFrame, html_meta: bool = False, sniff_content: bool = False
+) -> DataFrame:
     """Fetched rows → documents rows (input_hint schema + crawl metadata).
 
     Non-HTML bodies (media fetches) become a single media span pointing at
@@ -231,10 +233,31 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
     and downstream export filters. Default off: reference parity (the
     reference honors neither), and the documents schema stays unchanged.
     """
+    # sniff_content=True: route (and record) by the magic-byte EFFECTIVE
+    # type instead of trusting the server header — a lying Content-Type
+    # otherwise makes an HTML page a single opaque media span (links
+    # silently lost) or feeds binary to the span tokenizer. Default off =
+    # reference parity (kermit trusts the header + extension fallback,
+    # extensions/core.streaming.coffee:59).
+    content_type = F.col("content_type")
+    if sniff_content:
+        from .ops.media import sniff_mime
+
+        # body is a STRING column; binary payloads are byte-preserving only
+        # under the latin-1 convention (codepoints 0-255 = original bytes).
+        # Spark 4's encode() THROWS on unmappable chars, so the latin-1
+        # re-encode is gated on the prefix being pure 8-bit (lazy CASE);
+        # genuine text falls back to UTF-8, where the ASCII markup sniff
+        # still works. Only the sniffable prefix is ever re-encoded.
+        prefix = F.substring(F.col("body"), 1, 32)
+        bin_prefix = F.when(
+            prefix.rlike(r"^[\x00-\xff]*$"), F.encode(prefix, "ISO-8859-1")
+        ).otherwise(F.encode(prefix, "UTF-8"))
+        content_type = F.coalesce(sniff_mime(bin_prefix), content_type)
     # 304 Not Modified (conditional re-fetch revalidation): the row records
     # the revalidation for lineage; content/spans live in the earlier
     # wave's row — an empty array, like a 404, never a null
-    is_html = (F.col("content_type") == "text/html") & (F.col("status") != 304)
+    is_html = (content_type == "text/html") & (F.col("status") != 304)
     spans = F.when(is_html, extract_spans(F.col("body"))).otherwise(
         F.when(
             F.col("status") == 200,
@@ -258,7 +281,7 @@ def parse_documents(fetched: DataFrame, html_meta: bool = False) -> DataFrame:
         F.col("rank"),
         F.col("depth"),
         F.col("status"),
-        F.col("content_type"),
+        content_type.alias("content_type"),
     ]
     # response headers ride along when the fetcher captured them (S12/A5:
     # Pipeline.coffee:43-44 records them; Histogrammer aggregates them)

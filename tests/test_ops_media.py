@@ -506,6 +506,7 @@ def test_sniff_mime_magic_table(spark):
         (13, b"\x1aE\xdf\xa3webm", "video/webm"),
         (14, b"  <!DOCTYPE html><p>hi", "text/html"),
         (15, b"<HTML><body>", "text/html"),        # case-folded
+        (21, b"\n\t <!doctype html>", "text/html"),  # any leading whitespace
         (16, b"<?xml version='1.0'?>", "application/xml"),
         (17, b"random bytes \xff\xfe junk", None),  # non-ASCII: decode gated
         (18, b"plain ascii prose only here", None),
