@@ -31,6 +31,7 @@ swap touches one file.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -43,6 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "p"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot after this commit read its base —
+    the Iceberg optimistic-concurrency outcome. The attempted commit wrote
+    NOTHING to the snapshot log (its orphan data files are swept by
+    expire_snapshots); reload table state and retry the whole operation."""
 
 
 @dataclass
@@ -87,6 +95,61 @@ class SnapshotCatalog:
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, self._meta_path(table))  # atomic commit point
+
+    # -- optimistic concurrency (Iceberg commit-protocol analog) ------------
+
+    def _claims_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_claims")
+
+    def _claim_version(self, table: str, base: int) -> int:
+        """Reserve a globally-unique snapshot/version id (O_EXCL marker
+        file): concurrent writers sharing a base snapshot get DISTINCT ids,
+        so their data files (``p=K/v{id}``, ``_staging_v{id}``) can never
+        collide on disk. A claim that never commits (crash, lost CAS) just
+        skips an id; its orphan v-dirs are unreferenced and swept by
+        expire_snapshots/rollback_to."""
+        d = self._claims_dir(table)
+        os.makedirs(d, exist_ok=True)
+        n = base + 1
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(d, f"v{n}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return n
+            except FileExistsError:
+                n += 1
+
+    def _commit_meta(self, table: str, meta: TableMeta, expected_base: int) -> None:
+        """Compare-and-swap commit point: the snapshot log is replaced only
+        if its current snapshot is still ``expected_base`` (what this commit
+        loaded); otherwise CommitConflictError — the loser retries against
+        fresh state instead of silently overwriting the winner (the Iceberg
+        atomic-swap-with-retry protocol). The check+swap critical section is
+        an flock on a sidecar lockfile — POSIX-local like the rest of this
+        sandbox catalog; the production swap point is Iceberg's catalog CAS.
+
+        Known benign race (documented, matching the module's maintenance
+        contract): an expire_snapshots that lands between this commit's load
+        and its CAS keeps current_snapshot unchanged, so the commit passes
+        the check and re-records the just-expired snapshot ids; their data
+        dirs are already gone, so those log entries read as empty and the
+        next expire removes them again."""
+        lock_path = os.path.join(self.root, table, "_meta.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self._load_meta(table)
+                if cur is not None and cur.current_snapshot != expected_base:
+                    raise CommitConflictError(
+                        f"table {table!r}: base snapshot {expected_base} is stale "
+                        f"(current is {cur.current_snapshot}); retry the operation"
+                    )
+                self._store_meta(table, meta)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def exists(self, table: str) -> bool:
         return self._load_meta(table) is not None
@@ -159,6 +222,9 @@ class SnapshotCatalog:
         """Create table from ``df`` (must already carry PARTITION_COL in
         [0, num_partitions)). Writes every partition at v0."""
         base = os.path.join(self.root, table)
+        # re-creating over a previous incarnation: stale version claims would
+        # make the new table's first commits skip snapshot ids
+        shutil.rmtree(self._claims_dir(table), ignore_errors=True)
         ver = 0
         self._write_partitions(table, df, ver, align=align)
         written = self._list_written_partitions(base, ver)
@@ -186,14 +252,15 @@ class SnapshotCatalog:
         meta = self._load_meta(table)
         if meta is None:
             raise FileNotFoundError(f"table {table!r} does not exist")
-        new_sid = meta.current_snapshot + 1
+        base_sid = meta.current_snapshot
+        new_sid = self._claim_version(table, base_sid)
         ver = new_sid
         self._write_partitions(table, df, ver, align=align)
         base = os.path.join(self.root, table)
         written = set(self._list_written_partitions(base, ver))
         touched_set = set(int(t) for t in touched) if touched is not None else written
         touched_set |= written
-        partmap = dict(meta.snapshots[str(meta.current_snapshot)])
+        partmap = dict(meta.snapshots[str(base_sid)])
         for part in touched_set & written:
             partmap[str(part)] = ver
         emptied = sorted(touched_set - written)
@@ -204,7 +271,7 @@ class SnapshotCatalog:
         props = dict(properties or {})
         props["ts"] = time.time()
         meta.properties[str(new_sid)] = props
-        self._store_meta(table, meta)
+        self._commit_meta(table, meta, expected_base=base_sid)
         return new_sid
 
     def merge_write(
@@ -232,7 +299,8 @@ class SnapshotCatalog:
         meta = self._load_meta(table)
         if meta is None:
             raise FileNotFoundError(f"table {table!r} does not exist")
-        new_sid = meta.current_snapshot + 1
+        base_sid = meta.current_snapshot
+        new_sid = self._claim_version(table, base_sid)
         ver = new_sid
         self._write_partitions(table, df, ver, align=align)
         base = os.path.join(self.root, table)
@@ -240,7 +308,7 @@ class SnapshotCatalog:
         replace = {int(p) for p in replace_parts}
         partmap = {
             k: (list(v) if isinstance(v, list) else [v])
-            for k, v in meta.snapshots[str(meta.current_snapshot)].items()
+            for k, v in meta.snapshots[str(base_sid)].items()
         }
         for part in written:
             key = str(part)
@@ -262,7 +330,7 @@ class SnapshotCatalog:
         meta.snapshots[str(new_sid)] = partmap
         meta.current_snapshot = new_sid
         meta.properties[str(new_sid)] = props
-        self._store_meta(table, meta)
+        self._commit_meta(table, meta, expected_base=base_sid)
         return new_sid, written
 
     def read_incremental(
@@ -409,6 +477,7 @@ class SnapshotCatalog:
             raise KeyError(
                 f"snapshot {snapshot} of table {table!r} is not retained"
             )
+        cur_sid = meta.current_snapshot
         dropped = [s for s in meta.snapshots if int(s) > snapshot]
         for s in dropped:
             meta.snapshots.pop(s, None)
@@ -430,7 +499,15 @@ class SnapshotCatalog:
             for vdir in os.listdir(pdir):
                 if vdir.startswith("v") and vdir[1:].isdigit() and int(vdir[1:]) not in keep:
                     shutil.rmtree(os.path.join(pdir, vdir), ignore_errors=True)
-        self._store_meta(table, meta)
+        # release the dropped ids' version claims too: commit numbering after
+        # a rollback REUSES the dropped range (the contract above), which is
+        # safe exactly because the orphan v-dirs were just deleted
+        cdir = self._claims_dir(table)
+        if os.path.isdir(cdir):
+            for claim in os.listdir(cdir):
+                if claim[1:].isdigit() and int(claim[1:]) > snapshot:
+                    os.unlink(os.path.join(cdir, claim))
+        self._commit_meta(table, meta, expected_base=cur_sid)
         return snapshot
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
@@ -473,8 +550,16 @@ class SnapshotCatalog:
         for s in expired:
             meta.snapshots.pop(str(s), None)
             meta.properties.pop(str(s), None)
+        # expired ids can never be re-claimed (claims start above the current
+        # snapshot), so their marker files are pure clutter — drop them
+        cdir = self._claims_dir(table)
+        if os.path.isdir(cdir):
+            for s in expired:
+                claim = os.path.join(cdir, f"v{s}")
+                if os.path.exists(claim):
+                    os.unlink(claim)
         if expired or removed:
-            self._store_meta(table, meta)
+            self._commit_meta(table, meta, expected_base=meta.current_snapshot)
         return removed
 
     # -- internals ---------------------------------------------------------

@@ -273,3 +273,90 @@ def test_rollback_then_incremental_reads_stay_consistent(spark, cat):
     cat.rollback_to("t", 0)
     cat.merge_write("t", _df(spark, [(3, 4, "c")]), replace_parts=())  # snap 1'
     assert _rows(cat.read_incremental("t", 0)) == [(3, 4, "c")]
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency (Iceberg commit-protocol analog)
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_commit_loser_conflicts_not_lost_update(spark, tmp_path):
+    """Two writers race a commit on the same base snapshot: the one whose
+    CAS lands second must raise CommitConflictError — never silently
+    overwrite the winner — and the winner's rows must survive. The loser's
+    already-written data files are orphans expire_snapshots sweeps."""
+    from kermit_spark.catalog import CommitConflictError
+
+    root = str(tmp_path / "cat")
+    c1 = SnapshotCatalog(spark, root)
+    c2 = SnapshotCatalog(spark, root)
+    c1.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+
+    # interleave deterministically: while c2's commit is mid-write (after
+    # loading its base snapshot), c1 lands a full commit
+    real_write = SnapshotCatalog._write_partitions
+
+    def sneaky_write(self, table, df, ver, align=True):
+        real_write(self, table, df, ver, align=align)
+        if self is c2:
+            c1.overwrite_partitions("t", _df(spark, [(0, 10, "WINNER")]), [0])
+
+    c2._write_partitions = sneaky_write.__get__(c2)
+    with pytest.raises(CommitConflictError):
+        c2.overwrite_partitions("t", _df(spark, [(1, 99, "LOSER")]), [1])
+
+    got = sorted((r["p"], r["k"], r["v"]) for r in c1.read("t").collect())
+    assert got == [(0, 10, "WINNER"), (1, 2, "b")]
+    # distinct claimed versions: the loser's data landed in its own v-dir,
+    # never the winner's; expire sweeps the unreferenced orphan
+    removed = c1.expire_snapshots("t", keep_last=10)
+    assert removed >= 1
+    got2 = sorted((r["p"], r["k"], r["v"]) for r in c1.read("t").collect())
+    assert got2 == got
+
+
+def test_conflict_loser_can_retry_and_succeed(spark, tmp_path):
+    from kermit_spark.catalog import CommitConflictError
+
+    root = str(tmp_path / "cat2")
+    c1 = SnapshotCatalog(spark, root)
+    c2 = SnapshotCatalog(spark, root)
+    c1.create("t", _df(spark, [(0, 1, "a"), (1, 2, "b")]), 4)
+    fired = []
+    real_write = SnapshotCatalog._write_partitions
+
+    def sneaky_write(self, table, df, ver, align=True):
+        real_write(self, table, df, ver, align=align)
+        if self is c2 and not fired:
+            fired.append(True)
+            c1.overwrite_partitions("t", _df(spark, [(0, 10, "w")]), [0])
+
+    c2._write_partitions = sneaky_write.__get__(c2)
+    with pytest.raises(CommitConflictError):
+        c2.overwrite_partitions("t", _df(spark, [(1, 99, "l")]), [1])
+    # retry against fresh state (the documented recovery): now it lands,
+    # preserving BOTH writers' effects
+    c2.overwrite_partitions("t", _df(spark, [(1, 99, "l")]), [1])
+    got = sorted((r["p"], r["k"], r["v"]) for r in c2.read("t").collect())
+    assert got == [(0, 10, "w"), (1, 99, "l")]
+
+
+def test_merge_write_commit_is_cas_guarded(spark, tmp_path):
+    from kermit_spark.catalog import CommitConflictError
+
+    root = str(tmp_path / "cat3")
+    c1 = SnapshotCatalog(spark, root)
+    c2 = SnapshotCatalog(spark, root)
+    c1.create("t", _df(spark, [(0, 1, "a")]), 4)
+    real_write = SnapshotCatalog._write_partitions
+
+    def sneaky_write(self, table, df, ver, align=True):
+        real_write(self, table, df, ver, align=align)
+        if self is c2:
+            c1.overwrite_partitions("t", _df(spark, [(0, 10, "w")]), [0])
+
+    c2._write_partitions = sneaky_write.__get__(c2)
+    with pytest.raises(CommitConflictError):
+        c2.merge_write("t", _df(spark, [(1, 5, "new")]), replace_parts=[])
+    got = sorted((r["p"], r["k"], r["v"]) for r in c1.read("t").collect())
+    assert got == [(0, 10, "w")]
