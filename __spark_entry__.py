@@ -1675,6 +1675,60 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_features(docs).orderBy("doc_id")
 
 
+def q_text_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) through the REAL
+    library op (ops.text.c4_clean). The word-soup corpus has no newlines
+    or punctuation, so each doc synthesizes a page from fixed word slices:
+    two-or-three prose lines that must survive (one quote-terminated every
+    4th doc), a nav fragment with no terminal punctuation, a 3-word line
+    (under the 5-word floor), a "javascript" banner every 5th doc, a
+    "lorem ipsum" page-block every 11th and a "{" page-block every 13th;
+    every 17th doc loses its third sentence and fails min_sentences. The
+    oracle never re-runs the line predicates — it CONSTRUCTS the expected
+    kept lines and flags from the same template, so any drift in the
+    engine's terminal-punct / word-count / blockword / page-gate logic
+    hash-mismatches."""
+    from kermit_spark.ops.text import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    line = lambda start: F.concat_ws(" ", F.slice(w, start, 6))  # noqa: E731
+    syn = docs.select(
+        "doc_id",
+        F.concat(
+            line(1), F.lit("."),
+            F.lit("\nHome | About | Contact\n"),
+            line(5),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("!")).otherwise(F.lit("?")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nPlease enable javascript to view the comments."),
+            ).otherwise(F.lit("")),
+            F.lit("\n"), F.concat_ws(" ", F.slice(w, 1, 3)), F.lit("."),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("\n"), line(3),
+                    F.when(F.col("doc_id") % 4 == 0, F.lit('."')).otherwise(F.lit(".")),
+                )
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("\n{ leaked template code }")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        c4_clean(syn)
+        .select(
+            "doc_id", "text_clean", "n_lines", "n_kept_lines", "n_sentences",
+            "has_block_0", "has_block_1", "c4_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _PII_INJECT = (
     " contact user{id}@example.com or 10.0.{oct}.7 card 4111111111111111 tel +1 555 0001942"
 )
@@ -3010,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
+        "text_c4": q_text_c4,
         "text_redact": q_text_redact,
         "text_soft404": q_text_soft404,
         "text_line_dedup": q_text_line_dedup,
@@ -5454,6 +5509,47 @@ def oracle_sql() -> dict[str, str]:
         # .gopher_features (split on \s+, lines on \n, grams joined with one
         # space); rounding is the portable half-up form; the top-2-gram
         # tie-break is (count, char-length, value) DESC in both engines.
+        # C4 cleaning: the oracle CONSTRUCTS the expected kept lines / flags
+        # from the same synthesis template (which lines pass is known by
+        # construction) — it never re-runs the engine's line predicates, so
+        # any drift in terminal-punct / word-count / blockword / page-gate
+        # logic mismatches. Slices w[a:b] are 1-based inclusive = Spark
+        # slice(w, a, b-a+1).
+        "text_c4": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            syn AS (
+                SELECT doc_id,
+                       array_to_string(w[1:6], ' ') || '.' AS l1,
+                       array_to_string(w[5:10], ' ')
+                           || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '?' END) AS l3,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE array_to_string(w[3:8], ' ')
+                                 || (CASE WHEN doc_id % 4 = 0 THEN '."' ELSE '.' END)
+                       END AS l6,
+                       (doc_id % 5 = 0) AS js,
+                       (doc_id % 11 = 0) AS b0,
+                       (doc_id % 13 = 0) AS b1
+                FROM base
+            )
+            SELECT doc_id,
+                   l1 || chr(10) || l3
+                      || (CASE WHEN l6 IS NULL THEN '' ELSE chr(10) || l6 END)
+                       AS text_clean,
+                   (4 + (CASE WHEN js THEN 1 ELSE 0 END)
+                      + (CASE WHEN l6 IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN b0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN b1 THEN 1 ELSE 0 END))::BIGINT AS n_lines,
+                   (2 + (CASE WHEN l6 IS NULL THEN 0 ELSE 1 END))::BIGINT
+                       AS n_kept_lines,
+                   (2 + (CASE WHEN l6 IS NULL THEN 0 ELSE 1 END))::BIGINT
+                       AS n_sentences,
+                   b0 AS has_block_0,
+                   b1 AS has_block_1,
+                   (l6 IS NOT NULL AND NOT b0 AND NOT b1) AS c4_keep
+            FROM syn ORDER BY doc_id
+        """,
         "text_gopher": r"""
             WITH base AS (
                 SELECT doc_id, coalesce(text, '') AS t,

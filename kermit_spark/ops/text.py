@@ -1041,6 +1041,91 @@ def dedupe_lines(
     )
 
 
+# C4 cleaning constants (Raffel et al. 2020 §2.2, the C4 corpus heuristics).
+# THE canonical constants: the __spark_entry__ oracle derives its SQL from
+# these same values, so the rule set cannot drift between engine and oracle.
+# Terminal-punctuation test: sentence-final . ! ? optionally followed by a
+# closing quote (straight or curly) — Java regex ∩ RE2 (DuckDB) safe.
+C4_TERMINAL_RE = "[.!?][\"'”’]?$"
+# line-level drop: the paper removes any line with the word "javascript"
+# (cookie/JS-required banners); substring match on the lowercased line.
+C4_LINE_BLOCKWORD = "javascript"
+# page-level drops: boilerplate filler and leaked code/templates.
+C4_PAGE_BLOCK_SUBSTRINGS = ("lorem ipsum", "{")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the heuristics
+    that turned Common Crawl into C4, the canonical LLM pretraining
+    cleanup): keep only lines that read like prose sentences, then gate
+    the page. The reference stores bodies verbatim
+    (`src/kermit/extensions/ext.offline.coffee`); this is the downstream
+    pass every text pipeline runs on the stored corpus.
+
+    Line rules (applied to each newline-split, whitespace-trimmed line):
+      * must end in terminal punctuation — ``C4_TERMINAL_RE`` (. ! ? with
+        an optional closing quote), the paper's "terminal punctuation
+        mark" rule;
+      * must contain at least ``min_words_per_line`` whitespace words
+        (paper: 5);
+      * must not contain the word "javascript" (case-insensitive) —
+        cookie/JS-required banner lines.
+    Page rules (paper: drop the whole page):
+      * any ``C4_PAGE_BLOCK_SUBSTRINGS`` hit in the lowercased original
+        text ("lorem ipsum" filler, "{" leaked code/templates);
+      * fewer than ``min_sentences`` sentences in the CLEANED text
+        (sentence = terminal-punct occurrence; paper: 3).
+
+    Adds ``{text_col}_clean`` (kept trimmed lines re-joined with
+    newlines), ``n_lines``, ``n_kept_lines``, ``n_sentences``, one
+    boolean per page rule and the aggregate ``c4_keep``. Rows are never
+    dropped — compose with ``.filter("c4_keep")`` so curation stays
+    inspectable (same contract as gopher_filter).
+
+    Scale shape: map-only — split / higher-order filter / regexp inside
+    one whole-stage-codegen projection, no Python, no shuffle; the
+    corpus-level "three-sentence span dedup" half of C4 is the separate
+    substring_dup_spans op (ops/dedup.py)."""
+    if min_words_per_line < 1:
+        raise ValueError(f"need min_words_per_line >= 1, got {min_words_per_line}")
+    if min_sentences < 0:
+        raise ValueError(f"need min_sentences >= 0, got {min_sentences}")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(raw, r"\n"), lambda x: F.trim(x))
+    # sentence-terminal regex without the end anchor counts occurrences
+    sent_re = C4_TERMINAL_RE[:-1]
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(x, r"\s+"), lambda w: F.length(w) > 0))
+            >= F.lit(min_words_per_line)
+        )
+        & ~F.lower(x).contains(C4_LINE_BLOCKWORD),
+    )
+    clean = F.array_join(kept, "\n")
+    out = df.select(
+        "*",
+        clean.alias(f"{text_col}_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.regexp_count(clean, F.lit(sent_re)).cast("long").alias("n_sentences"),
+        *[
+            F.lower(raw).contains(s).alias(f"has_block_{i}")
+            for i, s in enumerate(C4_PAGE_BLOCK_SUBSTRINGS)
+        ],
+    )
+    page_ok = F.col("n_sentences") >= F.lit(min_sentences)
+    for i in range(len(C4_PAGE_BLOCK_SUBSTRINGS)):
+        page_ok = page_ok & ~F.col(f"has_block_{i}")
+    return out.withColumn("c4_keep", page_ok)
+
+
 def min_shingle_fingerprint(text: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Portable document fingerprint: the n smallest md5(shingle) digests,
     concatenated. Engine-independent (md5 + sort) — the oracle-checkable

@@ -1000,3 +1000,98 @@ def test_script_profile_scripts_and_mojibake(spark):
     t5 = rows[4][1]
     n = len(re.findall("[\ufffd]|[\u00c2\u00c3][\u0080-\u00bf]", t5))
     assert got[5]["mojibake_per_kchar"] == (n * 1000) // len(t5)
+
+
+def test_c4_clean_python_mirror(spark):
+    import re
+
+    from kermit_spark.ops.text import (
+        C4_LINE_BLOCKWORD,
+        C4_PAGE_BLOCK_SUBSTRINGS,
+        C4_TERMINAL_RE,
+        c4_clean,
+    )
+
+    rows = [
+        # prose page: 3 real sentences + a nav fragment + a short line
+        (1, "This is a perfectly ordinary prose sentence for testing.\n"
+            "Home | About | Contact\n"
+            "Another complete sentence appears right here in the text!\n"
+            "Too short.\n"
+            "Finally a third full sentence closes out the page, nicely done?"),
+        # javascript banner line must be dropped, rest kept
+        (2, "Please enable JavaScript to view the comments powered by a widget.\n"
+            "Here is the first real sentence of the document body text.\n"
+            "Here is the second real sentence of the document body text.\n"
+            "Here is the third real sentence of the document body text."),
+        # lorem ipsum page-level drop
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.\n"
+            "A second real sentence that would otherwise pass the filter.\n"
+            "A third real sentence that would otherwise pass the filter too."),
+        # curly brace page-level drop
+        (4, "function f() { return 1; } is leaked template code here today.\n"
+            "One more sentence that is long enough to pass the line rules.\n"
+            "And another sentence that is long enough to pass them as well."),
+        # quote-terminated line kept; too-few-sentences page dropped
+        (5, 'He said the whole thing was "entirely fine by me."\nShort tail'),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    # independent python mirror of the same published rules
+    term = re.compile(C4_TERMINAL_RE)
+    def mirror(text):
+        text = text or ""
+        lines = [ln.strip() for ln in text.split("\n")]
+        kept = [
+            ln for ln in lines
+            if term.search(ln)
+            and len([w for w in re.split(r"\s+", ln) if w]) >= 5
+            and C4_LINE_BLOCKWORD not in ln.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(C4_TERMINAL_RE[:-1], clean))
+        blocks = [s in text.lower() for s in C4_PAGE_BLOCK_SUBSTRINGS]
+        return clean, len(lines), len(kept), n_sent, blocks, (
+            n_sent >= 3 and not any(blocks)
+        )
+
+    for doc_id, text in rows:
+        clean, n_lines, n_kept, n_sent, blocks, keep = mirror(text)
+        r = got[doc_id]
+        assert r["text_clean"] == clean, doc_id
+        assert r["n_lines"] == n_lines and r["n_kept_lines"] == n_kept, doc_id
+        assert r["n_sentences"] == n_sent, doc_id
+        assert [r[f"has_block_{i}"] for i in range(len(blocks))] == blocks, doc_id
+        assert r["c4_keep"] == keep, doc_id
+
+    # semantic spot checks (the mirror could be wrong the same way twice)
+    assert got[1]["c4_keep"] and "Home | About" not in got[1]["text_clean"]
+    assert "Too short." not in got[1]["text_clean"]
+    assert got[2]["c4_keep"] and "JavaScript" not in got[2]["text_clean"]
+    assert not got[3]["c4_keep"] and got[3]["has_block_0"]
+    assert not got[4]["c4_keep"] and got[4]["has_block_1"]
+    assert not got[5]["c4_keep"]  # only 1 sentence survives
+    assert '"' in got[5]["text_clean"]  # quote-terminated line was kept
+    assert got[6]["text_clean"] == "" and not got[6]["c4_keep"]
+
+
+def test_c4_clean_no_shuffle_no_python(spark):
+    from kermit_spark.ops.text import c4_clean
+
+    df = spark.createDataFrame([(1, "A sentence that is long enough.")],
+                               "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_clean_validation(spark):
+    from kermit_spark.ops.text import c4_clean
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        c4_clean(df, min_words_per_line=0)
+    with pytest.raises(ValueError):
+        c4_clean(df, min_sentences=-1)
