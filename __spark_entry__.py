@@ -548,6 +548,71 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_recrawl_cache_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness driving the re-crawl schedule, through the REAL
+    library ops (frontier.cache_floor_waves → recrawl_schedule's
+    interval_floors): the q_recrawl_schedule history gets per-fetch
+    response headers synthesized by URL class — max-age growing with the
+    wave (latest-wins semantics), no-cache, s-maxage-beats-max-age, an
+    Expires/Date pair (u%4 hours apart, exercising the HTTP-date parser),
+    and no caching headers at all. The oracle never parses a header: it
+    CONSTRUCTS the expected freshness per class from the same template,
+    then replays the integer estimator with the floor fold — so drift in
+    the engine's directive regexes, date parsing, latest-row pick or
+    floor join all hash-mismatch."""
+    from kermit_spark.frontier import cache_floor_waves, recrawl_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.pmod(F.col("doc_id"), F.lit(100))
+    wave = F.floor(F.col("doc_id") / 100).cast("long")
+    url = F.concat(F.lit("http://r.test/p/"), u.cast("string"))
+    hist = docs.select(
+        url.alias("url"),
+        wave.alias("wave"),
+        F.md5(
+            F.concat(
+                F.lit("v"),
+                F.floor(wave / (1 + F.pmod(u, F.lit(6)))).cast("string"),
+                F.lit("#"),
+                u.cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    cls = u % 5
+    cc = (
+        F.when(cls == 0, F.concat(F.lit("max-age="), (600 * (wave + 1)).cast("string")))
+        .when(cls == 1, F.lit("no-cache, private"))
+        .when(
+            cls == 2,
+            F.concat(F.lit("s-maxage="), (1000 * (u + 1)).cast("string"), F.lit(", max-age=60")),
+        )
+    )
+    expires = F.when(
+        cls == 3,
+        F.concat(F.lit("Thu, 02 Jan 2025 0"), (u % 4).cast("string"), F.lit(":00:00 GMT")),
+    )
+    date = F.when(cls == 3, F.lit("Thu, 02 Jan 2025 00:00:00 GMT"))
+    fetches = docs.select(
+        url.alias("url"),
+        wave.alias("wave"),
+        F.create_map(
+            F.lit("cache-control"), cc, F.lit("expires"), expires, F.lit("date"), date
+        ).alias("headers"),
+    )
+    floors = cache_floor_waves(fetches, seconds_per_wave=900)
+    sched = recrawl_schedule(
+        hist, current_wave=6, min_interval=1, max_interval=8, interval_floors=floors
+    )
+    return (
+        sched.join(floors, "url", "left")
+        .select(
+            "url", "n_fetches", "n_changes", "interval_waves", "last_wave",
+            "next_due", "overdue", "freshness_s", "floor_waves",
+        )
+        .orderBy("url")
+    )
+
+
 def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint per-row invariant — span-sequence equality over
     (kind, text, media_ref, order) — as a HARD oracle row: HTML bodies are
@@ -3020,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_spans": q_parse_spans,
         "media_caption": q_media_caption,
         "recrawl_schedule": q_recrawl_schedule,
+        "recrawl_cache_floor": q_recrawl_cache_floor,
         "pack_interleaved": q_pack_interleaved,
         "interleaved_span_dedup": q_interleaved_span_dedup,
         "media_assets": q_media_assets,
@@ -3826,6 +3892,57 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 4, 'text', t2, NULL FROM d
             ) ORDER BY doc_id, "offset"
+        """,
+        # cache-floor recrawl: freshness per URL class is CONSTRUCTED from
+        # the synthesis template (never parsed from headers), so the
+        # engine's directive regexes / HTTP-date parse / latest-row pick /
+        # floor join are all under test. seconds_per_wave = 900.
+        "recrawl_cache_floor": """
+            WITH hist AS (
+                SELECT doc_id % 100 AS u,
+                       'http://r.test/p/' || (doc_id % 100) AS url,
+                       (doc_id // 100)::BIGINT AS wave,
+                       md5('v' || ((doc_id // 100) // (1 + doc_id % 100 % 6))
+                           || '#' || (doc_id % 100)) AS ch
+                FROM documents
+            ),
+            ordered AS (
+                SELECT u, url, wave, ch,
+                       lag(ch) OVER (PARTITION BY url ORDER BY wave, ch) AS prev
+                FROM hist
+            ),
+            agg AS (
+                SELECT u, url, count(*)::BIGINT AS n_fetches,
+                       sum(CASE WHEN prev IS NOT NULL AND ch <> prev
+                                THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                       max(wave)::BIGINT AS last_wave
+                FROM ordered GROUP BY u, url
+            ),
+            fresh AS (
+                SELECT *,
+                       CASE u % 5
+                           WHEN 0 THEN 600 * (last_wave + 1)
+                           WHEN 1 THEN 0
+                           WHEN 2 THEN 1000 * (u + 1)
+                           WHEN 3 THEN 3600 * (u % 4)
+                           ELSE NULL
+                       END::BIGINT AS freshness_s
+                FROM agg
+            ),
+            est AS (
+                SELECT url, n_fetches, n_changes, last_wave, freshness_s,
+                       ((freshness_s + 899) // 900)::BIGINT AS floor_waves,
+                       greatest(
+                           greatest(1, least(8, n_fetches // (n_changes + 1))),
+                           coalesce((freshness_s + 899) // 900, 0)
+                       )::BIGINT AS interval_waves
+                FROM fresh
+            )
+            SELECT url, n_fetches, n_changes, interval_waves, last_wave,
+                   (last_wave + interval_waves)::BIGINT AS next_due,
+                   6 >= last_wave + interval_waves AS overdue,
+                   freshness_s, floor_waves
+            FROM est ORDER BY url
         """,
         "recrawl_schedule": """
             WITH hist AS (

@@ -1293,7 +1293,13 @@ class Crawler:
         the automated per-wave policy use CrawlConfig.recrawl_after_waves."""
         return self.frontier.recrawl(match, wave=self.last_wave + 1)
 
-    def adaptive_recrawl(self, min_interval: int = 1, max_interval: int = 16) -> int:
+    def adaptive_recrawl(
+        self,
+        min_interval: int = 1,
+        max_interval: int = 16,
+        respect_cache_headers: bool = False,
+        seconds_per_wave: int = 3600,
+    ) -> int:
         """Change-rate-driven re-crawl: estimate each URL's revisit interval
         from the engine's OWN fetch history (frontier.recrawl_schedule over
         per-URL content hashes — md5 of the span payload from the documents
@@ -1306,10 +1312,18 @@ class Crawler:
         where content actually churns — static pages back off to
         ``max_interval`` waves, fast-changing ones come due every wave.
         Run at policy cadence, then crawl() again. Returns the number of
-        URLs rescheduled."""
+        URLs rescheduled.
+
+        ``respect_cache_headers=True`` additionally folds the servers' OWN
+        freshness declarations in (RFC 9111: Cache-Control max-age /
+        s-maxage / no-cache, Expires-Date): each URL's revisit interval is
+        floored at ``ceil(freshness / seconds_per_wave)`` from its latest
+        response's headers (frontier.cache_floor_waves), so the estimator
+        never re-fetches what the server declared still fresh — even past
+        ``max_interval``. No-op when the fetcher captured no headers."""
         from pyspark.sql.window import Window
 
-        from .frontier import recrawl_schedule
+        from .frontier import cache_floor_waves, recrawl_schedule
 
         next_wave = self.last_wave + 1
         w = (
@@ -1327,11 +1341,18 @@ class Crawler:
             )
             .filter(F.col("content_hash").isNotNull())
         )
+        floors = None
+        if respect_cache_headers and "headers" in self.documents().columns:
+            floors = cache_floor_waves(
+                self.documents().select("url", "wave", "headers"),
+                seconds_per_wave=seconds_per_wave,
+            )
         sched = recrawl_schedule(
             hist,
             current_wave=next_wave,
             min_interval=min_interval,
             max_interval=max_interval,
+            interval_floors=floors,
         )
         return self.frontier.recrawl_urls(
             sched.filter(F.col("overdue")), wave=next_wave

@@ -75,6 +75,11 @@ class CorpusFetcher:
         # responses — emitted as a Location header, which the crawler's
         # follow_redirects mode turns into a discovery
         self.has_location = "location" in corpus.columns
+        # optional freshness column: a corpus carrying cache_control models
+        # a server declaring RFC 9111 freshness — emitted as a
+        # Cache-Control response header, which cache_floor_waves /
+        # adaptive_recrawl(respect_cache_headers=True) consume
+        self.has_cache_control = "cache_control" in corpus.columns
         if self.has_etag:
             cols.append(F.col("etag").alias("_c_etag"))
         if self.has_last_modified:
@@ -83,6 +88,8 @@ class CorpusFetcher:
             cols.append(F.col("retry_after").cast("string").alias("_c_ra"))
         if self.has_location:
             cols.append(F.col("location").alias("_c_loc"))
+        if self.has_cache_control:
+            cols.append(F.col("cache_control").alias("_c_cc"))
         self.corpus = corpus.select(*cols)
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self._last_cache: DataFrame | None = None
@@ -129,6 +136,7 @@ class CorpusFetcher:
             or self.has_last_modified
             or self.has_retry_after
             or self.has_location
+            or self.has_cache_control
         ):
             header_kvs = [
                 (F.lit("content-type"), F.col("_c_ct")),
@@ -150,6 +158,8 @@ class CorpusFetcher:
                 header_kvs.append((F.lit("retry-after"), F.col("_c_ra")))
             if self.has_location:
                 header_kvs.append((F.lit("location"), F.col("_c_loc")))
+            if self.has_cache_control:
+                header_kvs.append((F.lit("cache-control"), F.col("_c_cc")))
             # null-valued entries (a corpus row without an ETag) are dropped
             # so the map only carries headers the "server" actually sent
             headers_col = F.map_filter(

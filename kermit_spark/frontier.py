@@ -1080,6 +1080,7 @@ def recrawl_schedule(
     url_col: str = "url",
     wave_col: str = "wave",
     hash_col: str = "content_hash",
+    interval_floors: DataFrame | None = None,
 ) -> DataFrame:
     """Change-rate-driven re-crawl scheduling (the Cho & Garcia-Molina
     freshness policy, integerized): from the per-URL fetch HISTORY
@@ -1103,12 +1104,21 @@ def recrawl_schedule(
     the overdue set to ``Frontier.schedule`` (status=scheduled, rank by
     staleness) to close the loop.
 
+    ``interval_floors`` (optional): a (url, floor_waves) frame — typically
+    ``cache_floor_waves`` over the latest responses' Cache-Control/Expires
+    headers — left-joined in; each URL's interval becomes
+    ``max(estimated, floor_waves)`` AFTER the ``max_interval`` clamp, so a
+    server-declared freshness lifetime may exceed the policy cap (that is
+    the point: the server said the re-fetch is pointless until then). The
+    output schema is identical with or without floors.
+
     Scale shape: ONE shuffle (hash agg on url with map-side partial
     collect_list); each URL's history array is bounded by its own fetch
     count, never corpus size, and the change-count scan over it is
     higher-order array algebra in the same projection — no window sort, no
     second exchange. content hashes are fixed-width digests, so shuffle
-    rows are constant-size."""
+    rows are constant-size (the optional floors join adds one equi-join on
+    the same url key — broadcast-eligible when the floor set is small)."""
     if min_interval < 1 or max_interval < min_interval:
         raise ValueError(
             f"need 1 <= min_interval <= max_interval; got {min_interval}, {max_interval}"
@@ -1142,6 +1152,17 @@ def recrawl_schedule(
         F.lit(min_interval).cast("long"),
         F.least(F.lit(max_interval).cast("long"), F.floor(n / (changes + 1))),
     )
+    if interval_floors is not None:
+        g = g.join(
+            interval_floors.select(
+                F.col("url"), F.col("floor_waves").alias("_floor")
+            ),
+            "url",
+            "left",
+        )
+        interval = F.greatest(
+            interval, F.coalesce(F.col("_floor"), F.lit(0).cast("long"))
+        )
     last_wave = F.element_at("_a", -1)["w"]
     return g.select(
         "url",
@@ -1151,6 +1172,99 @@ def recrawl_schedule(
         last_wave.alias("last_wave"),
         (last_wave + interval).alias("next_due"),
         (F.lit(current_wave) >= last_wave + interval).alias("overdue"),
+    )
+
+
+# Cache-Control / Expires parsing constants (RFC 9111 §4.2.1 freshness).
+# THE canonical patterns: the __spark_entry__ oracle derives its SQL from
+# these, so directive parsing cannot drift between engine and oracle.
+# Boundary (^|[,\s]) keeps max-age from matching inside s-maxage.
+CC_MAXAGE_RE = r'(^|[,\s])max-age\s*=\s*"?(\d+)'
+CC_SMAXAGE_RE = r'(^|[,\s])s-maxage\s*=\s*"?(\d+)'
+CC_NOSTORE_RE = r"(^|[,\s])(no-store|no-cache)([,\s]|$)"
+# HTTP-date (IMF-fixdate): Spark 4 refuses day-of-week letters in PARSE
+# patterns, so the weekday prefix and trailing " GMT" are stripped first
+# and the remainder parsed with this pattern (month names are English in
+# both engines: Spark pins Locale.US, DuckDB %b is English-only).
+HTTP_DATE_STRIP_RE = "^[A-Za-z]{3}, "
+HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss"
+
+
+def _http_date_unix(col: Column) -> Column:
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, HTTP_DATE_STRIP_RE, ""), " GMT$", ""
+    )
+    return F.unix_timestamp(F.try_to_timestamp(cleaned, F.lit(HTTP_DATE_FMT)))
+
+
+def cache_freshness_s(headers: Column) -> Column:
+    """Server-declared freshness lifetime in seconds from a response
+    header map (RFC 9111 §4.2.1) — how long the server says the fetched
+    copy stays fresh, i.e. the earliest sensible re-fetch:
+
+      * ``no-store`` / ``no-cache`` → 0 (revalidate whenever the crawler
+        likes — conditional GETs are already free here);
+      * else ``s-maxage`` (the shared-cache bound — a crawl corpus is a
+        shared cache) or ``max-age``, whichever is declared first in that
+        precedence order;
+      * else ``Expires - Date`` when both headers parse as HTTP-dates
+        (clamped at 0 — an already-expired response is stale now);
+      * null when the server declared nothing.
+
+    Header keys must be lowercase (the fetchers normalize them). Pure
+    JVM — regexp + date arithmetic in one codegen projection; the
+    Expires/Date difference is timezone-free by construction."""
+    cc = F.lower(F.coalesce(F.element_at(headers, "cache-control"), F.lit("")))
+    s_maxage = F.regexp_extract(cc, CC_SMAXAGE_RE, 2).try_cast("long")
+    max_age = F.regexp_extract(cc, CC_MAXAGE_RE, 2).try_cast("long")
+    # greatest() skips nulls (would turn "no Expires pair" into 0), so the
+    # stale-clamp applies only when both dates actually parsed
+    raw_delta = _http_date_unix(F.element_at(headers, "expires")) - _http_date_unix(
+        F.element_at(headers, "date")
+    )
+    delta = F.when(raw_delta.isNotNull(), F.greatest(raw_delta, F.lit(0).cast("long")))
+    return F.when(cc.rlike(CC_NOSTORE_RE), F.lit(0).cast("long")).otherwise(
+        F.coalesce(s_maxage, max_age, delta)
+    )
+
+
+def cache_floor_waves(
+    fetches: DataFrame,
+    seconds_per_wave: int,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """Per-URL minimum revisit interval (in waves) from the LATEST fetch's
+    caching headers: ``ceil(freshness / seconds_per_wave)``. Feed the
+    result to ``recrawl_schedule(interval_floors=...)`` so the change-rate
+    estimator never schedules a re-fetch the server already declared
+    pointless — the crawler-side reading of RFC 9111 freshness.
+
+    Returns (url, freshness_s, floor_waves); both null when the latest
+    response declared nothing (no constraint). Scale shape: directive
+    parsing is map-side codegen; ONE hash agg on url whose max(struct)
+    carries only (wave, freshness) longs — headers never shuffle."""
+    if seconds_per_wave < 1:
+        raise ValueError(f"need seconds_per_wave >= 1, got {seconds_per_wave}")
+    per_row = fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(wave_col).cast("long").alias("_w"),
+        cache_freshness_s(F.col(headers_col)).alias("_f"),
+    )
+    # latest wave wins; freshness breaks (impossible-here) wave ties
+    latest = per_row.groupBy("url").agg(
+        F.max(F.struct(F.col("_w"), F.col("_f"))).alias("_m")
+    )
+    fresh = F.col("_m._f")
+    return latest.select(
+        "url",
+        fresh.alias("freshness_s"),
+        # exact for any real freshness (double-floor == integer div below
+        # 2^53 seconds; the universe expires first)
+        F.floor((fresh + F.lit(seconds_per_wave - 1)) / F.lit(seconds_per_wave))
+        .cast("long")
+        .alias("floor_waves"),
     )
 
 

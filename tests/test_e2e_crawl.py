@@ -913,3 +913,66 @@ def test_adaptive_politeness_caps_degraded_host(spark, tmp_path_factory):
     # caps table carries ONLY the degraded host
     caps = {r["host"]: r["budget_cap"] for r in c._adaptive_politeness_caps().collect()}
     assert "good.test" not in caps and caps["bad.test"] == 1
+
+
+def test_adaptive_recrawl_respects_cache_headers(spark, tmp_path):
+    """RFC 9111 wiring e2e: page a CHANGES between passes (estimator says
+    re-fetch now) but its server declares max-age far beyond the policy cap
+    — respect_cache_headers=True must NOT reschedule it, while the default
+    policy does. Page b (no caching headers) behaves identically in both
+    modes."""
+    root = str(tmp_path / "cachefloor")
+
+    def corpus(body_a: str):
+        return spark.createDataFrame(
+            [
+                ("http://ha.test/a.html", 200, "text/html", body_a,
+                 "public, max-age=999999"),
+                ("http://hb.test/b.html", 200, "text/html",
+                 "<html><body><p>stable content forever</p></body></html>",
+                 None),
+            ],
+            "url string, status int, content_type string, body string,"
+            " cache_control string",
+        )
+
+    seeds = ["http://ha.test/a.html", "http://hb.test/b.html"]
+    cfg = CrawlConfig(num_partitions=4, politeness=Politeness((Limit(r".*", 10),)))
+
+    c1 = Crawler(
+        spark, SnapshotCatalog(spark, root),
+        CorpusFetcher(corpus("<html><body><p>version one</p></body></html>")), cfg,
+    )
+    c1.seed(seeds)
+    c1.crawl(1)
+    c1.adaptive_recrawl()  # both single-observation URLs come due
+
+    c2 = Crawler(
+        spark, SnapshotCatalog(spark, root),
+        CorpusFetcher(corpus("<html><body><p>version two changed</p></body></html>")), cfg,
+    )
+    c2.crawl(1)
+    # default policy: the changed page is rescheduled (baseline behavior)
+    assert c2.adaptive_recrawl() == 1
+    status = {
+        r["url"]: r["status"]
+        for r in c2.frontier.read().select("url", "status").collect()
+    }
+    assert status["http://ha.test/a.html"] == "scheduled"
+
+    # same state, cache-aware policy: the server said a is fresh for ~11
+    # days -> nothing is due (b already backed off; a is floored)
+    c3 = Crawler(
+        spark, SnapshotCatalog(spark, root),
+        CorpusFetcher(corpus("<html><body><p>version three</p></body></html>")),
+        cfg,
+    )
+    c3.crawl(1)  # re-fetches the rescheduled a; b stays visited
+    n = c3.adaptive_recrawl(respect_cache_headers=True, seconds_per_wave=3600)
+    status3 = {
+        r["url"]: r["status"]
+        for r in c3.frontier.read().select("url", "status").collect()
+    }
+    assert status3["http://ha.test/a.html"] == "visited", (n, status3)
+    # and the cache-blind policy WOULD have rescheduled it from this state
+    assert c3.adaptive_recrawl() >= 1

@@ -954,3 +954,101 @@ def test_adaptive_host_delays_continuation_matches_one_shot(spark):
         spark.createDataFrame(rows(11, 20), schema), init_delays=first, **kw
     ).collect()[0]["delay_ms"]
     assert cont == one_shot
+
+
+def test_cache_freshness_parsing(spark):
+    from kermit_spark.frontier import cache_freshness_s
+
+    rows = [
+        (1, {"cache-control": "max-age=600"}),
+        (2, {"cache-control": "public, max-age=3600, must-revalidate"}),
+        (3, {"cache-control": "s-maxage=7200, max-age=60"}),       # shared wins
+        (4, {"cache-control": "no-cache, private"}),               # -> 0
+        (5, {"cache-control": "no-store"}),                        # -> 0
+        (6, {"cache-control": 'max-age="120"'}),                   # quoted form
+        (7, {"expires": "Thu, 02 Jan 2025 03:00:00 GMT",
+             "date": "Thu, 02 Jan 2025 00:00:00 GMT"}),            # 3h delta
+        (8, {"expires": "Wed, 01 Jan 2025 00:00:00 GMT",
+             "date": "Thu, 02 Jan 2025 00:00:00 GMT"}),            # expired -> 0
+        (9, {"expires": "garbage", "date": "also garbage"}),       # -> null
+        (10, {"content-type": "text/html"}),                       # -> null
+        (11, {"cache-control": "smax-age=999"}),                   # no boundary hit
+        # max-age beats the Expires pair when both present (RFC 9111 §4.2.1)
+        (12, {"cache-control": "max-age=5",
+              "expires": "Thu, 02 Jan 2025 03:00:00 GMT",
+              "date": "Thu, 02 Jan 2025 00:00:00 GMT"}),
+    ]
+    df = spark.createDataFrame(rows, "id long, headers map<string,string>")
+    got = {r["id"]: r["f"] for r in df.select("id", cache_freshness_s(F.col("headers")).alias("f")).collect()}
+    assert got[1] == 600 and got[2] == 3600
+    assert got[3] == 7200
+    assert got[4] == 0 and got[5] == 0
+    assert got[6] == 120
+    assert got[7] == 3 * 3600
+    assert got[8] == 0
+    assert got[9] is None and got[10] is None
+    assert got[11] is None
+    assert got[12] == 5
+    # pure JVM: no shuffle, no Python
+    plan = (
+        df.select(cache_freshness_s(F.col("headers")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_cache_floor_waves_latest_wins(spark):
+    from kermit_spark.frontier import cache_floor_waves
+
+    rows = [
+        # u1: wave 0 said 1h, wave 2 (latest) says 30min -> floor over latest
+        ("u1", 0, {"cache-control": "max-age=3600"}),
+        ("u1", 2, {"cache-control": "max-age=1800"}),
+        # u2: latest declared nothing -> null floor
+        ("u2", 0, {"cache-control": "max-age=9999"}),
+        ("u2", 1, {"content-type": "text/html"}),
+        # u3: no-cache -> 0 freshness -> floor 0
+        ("u3", 5, {"cache-control": "no-cache"}),
+    ]
+    df = spark.createDataFrame(rows, "url string, wave long, headers map<string,string>")
+    got = {r["url"]: r for r in cache_floor_waves(df, seconds_per_wave=600).collect()}
+    assert got["u1"]["freshness_s"] == 1800 and got["u1"]["floor_waves"] == 3
+    assert got["u2"]["freshness_s"] is None and got["u2"]["floor_waves"] is None
+    assert got["u3"]["floor_waves"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cache_floor_waves(df, seconds_per_wave=0)
+
+
+def test_recrawl_schedule_respects_cache_floor(spark):
+    from kermit_spark.frontier import cache_floor_waves, recrawl_schedule
+
+    # u1 changes every fetch (estimator says interval 1) but the server
+    # declares 5 waves of freshness; u2 has no floor -> estimator verdict
+    hist = spark.createDataFrame(
+        [("u1", w, f"h{w}") for w in range(4)]
+        + [("u2", w, f"g{w}") for w in range(4)],
+        "url string, wave long, content_hash string",
+    )
+    floors = cache_floor_waves(
+        spark.createDataFrame(
+            [("u1", 3, {"cache-control": "max-age=5000"})],
+            "url string, wave long, headers map<string,string>",
+        ),
+        seconds_per_wave=1000,
+    )
+    base = {r["url"]: r for r in recrawl_schedule(hist, current_wave=4).collect()}
+    got = {
+        r["url"]: r
+        for r in recrawl_schedule(
+            hist, current_wave=4, interval_floors=floors
+        ).collect()
+    }
+    assert base["u1"]["interval_waves"] == 1 and base["u1"]["overdue"]
+    assert got["u1"]["interval_waves"] == 5            # floor wins, beyond estimate
+    assert got["u1"]["next_due"] == 8 and not got["u1"]["overdue"]
+    assert got["u2"] == base["u2"]                     # no floor -> unchanged
+    # schema identical with and without floors (driver-contract stability)
+    assert recrawl_schedule(hist, 4).columns == recrawl_schedule(
+        hist, 4, interval_floors=floors
+    ).columns
