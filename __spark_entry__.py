@@ -3055,13 +3055,31 @@ def q_headers_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full crawl engine end-to-end (rows-only: snapshots + pandas UDFs +
-    window dequeue are not one SQL statement). Correctness is covered by the
-    pytest golden suite against an independent oracle."""
+    """The full crawl engine end-to-end — seed → dequeue → fetch → parse →
+    discover → dedup → commit, over the template-synthesized closed site
+    graph (_corpus_from_documents: doc i links to (7i+1)%N and (13i+3)%N).
+    Because the graph is arithmetic, the whole 2-wave closure is known by
+    construction, so this runs with a HARD oracle: the SQL derives the
+    expected visited set (seed + its two link targets, deduped), each
+    page's host/depth and the template's 3-span layout (prose + 2 links),
+    without re-running any engine logic. The politeness budget (20/host)
+    is deliberately non-binding — dequeue-cap semantics are oracled
+    separately (politeness_topk); deeper multi-wave closures, span
+    equality and ordering are pinned by the pytest golden suite against an
+    independent html.parser oracle. doc_id (the engine's 64-bit URL hash)
+    is excluded: DuckDB has no xxhash64, and the hash path is certified by
+    url_canonicalize/frontier_dedup."""
     crawler = _run_crawl(spark, sf_dir, waves=2, budget=20)
     return (
         crawler.documents()
-        .select("doc_id", "url", "host", "status", "depth", "rank", F.size("spans").alias("n_spans"))
+        .select(
+            "url",
+            "host",
+            F.col("status").cast("long").alias("status"),
+            F.col("depth").cast("long").alias("depth"),
+            F.col("rank").cast("long").alias("rank"),
+            F.size("spans").cast("long").alias("n_spans"),
+        )
         .orderBy("url")
     )
 
@@ -3892,6 +3910,35 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 4, 'text', t2, NULL FROM d
             ) ORDER BY doc_id, "offset"
+        """,
+        # full 2-wave crawl: expected closure CONSTRUCTED from the site
+        # template (seed 0 links to (7·0+1)%N=1 and (13·0+3)%N=3; both new
+        # at any N>4), host = d{doc%8}.test, template page = 1 prose span +
+        # 2 link spans. The engine's dequeue/fetch/parse/dedup/commit chain
+        # must land exactly on this constructed set.
+        "crawl_wave": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            w0 AS (SELECT 0::BIGINT AS doc, 0::BIGINT AS depth),
+            w1 AS (
+                SELECT DISTINCT t.doc, 1::BIGINT AS depth
+                FROM (
+                    SELECT (d.doc * 7 + 1) % n.n AS doc FROM w0 d, n
+                    UNION ALL
+                    SELECT (d.doc * 13 + 3) % n.n FROM w0 d, n
+                ) t
+                WHERE t.doc NOT IN (SELECT doc FROM w0)
+            ),
+            visited AS (
+                SELECT * FROM w0 UNION ALL SELECT * FROM w1
+            )
+            SELECT 'http://d' || (doc % 8) || '.test/doc/' || doc || '.html'
+                       AS url,
+                   'd' || (doc % 8) || '.test' AS host,
+                   200::BIGINT AS status,
+                   depth,
+                   1::BIGINT AS rank,
+                   3::BIGINT AS n_spans
+            FROM visited ORDER BY url
         """,
         # cache-floor recrawl: freshness per URL class is CONSTRUCTED from
         # the synthesis template (never parsed from headers), so the
