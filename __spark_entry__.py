@@ -1676,6 +1676,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, num_planes=6).orderBy("query_id", "rnk")
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN through the REAL library ops
+    (ops.similarity.pq_codebooks/pq_encode/pq_topk): md5-sampled codebooks
+    split the 64-dim space into m=4 subspaces of 16 dims with ks=16 codes
+    each; the corpus compresses to 4 small ints per row and queries search
+    by asymmetric distance (table lookups, never raw corpus floats). Every
+    float op is the same left fold the DuckDB oracle replays, so codebooks,
+    codes, distance tables and ADC scores are bit-identical."""
+    from kermit_spark.ops.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("id") < 8)
+    return pq_topk(emb, queries, k=5, m=4, ks=16).orderBy("query_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: text analysis
 # ---------------------------------------------------------------------------
@@ -3136,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_index": q_ann_ivf_index,
         "semdedup": q_semdedup,
         "embedding_project": q_embedding_project,
@@ -3386,6 +3404,61 @@ def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
             FROM scored
         )
         SELECT query_id, rnk, neighbor_id, score
+        FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def _ann_pq_oracle(m: int = 4, ks: int = 16, k: int = 5) -> str:
+    """DuckDB replication of ops.similarity.pq_topk: codebooks = subvectors
+    of the ks smallest-md5(id) corpus rows (the shared _centroids_of
+    sample), per-subspace squared-L2 with the exact Spark zip_with left
+    fold (0.0 + e1 == e1 in IEEE, so init-less list_reduce matches),
+    encoding = first-min argmin (lowest code on ties, same as
+    array_position-of-array_min), ADC score = fold of the m per-subspace
+    table lookups in subspace order (list(d ORDER BY s) reduce = Spark's
+    sequential + chain)."""
+    return f"""
+        WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INTEGER - 1 AS code,
+                   v AS cv
+            FROM vec QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {ks}
+        ),
+        sub AS (SELECT (len(v) // {m})::INTEGER AS w FROM vec LIMIT 1),
+        subd AS (
+            SELECT vv.vec_id, s.s, ce.code,
+                   list_reduce(list_transform(generate_series(1, sub.w),
+                       i -> (vv.v[s.s * sub.w + i] - ce.cv[s.s * sub.w + i])
+                          * (vv.v[s.s * sub.w + i] - ce.cv[s.s * sub.w + i])),
+                       {_LSH_FOLD}) AS d
+            FROM vec vv
+            CROSS JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS s) s
+            CROSS JOIN cent ce CROSS JOIN sub
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM subd) WHERE rn = 1
+        ),
+        pair_d AS (
+            SELECT q.vec_id AS query_id, c.neighbor_id, q.s, q.d
+            FROM subd q JOIN codes c ON c.s = q.s AND c.code = q.code
+            WHERE q.vec_id < 8 AND c.neighbor_id != q.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_reduce(list(d ORDER BY s), {_LSH_FOLD}), 4) AS adc_dist
+            FROM pair_d GROUP BY query_id, neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        SELECT query_id, rnk, neighbor_id, adc_dist
         FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
     """
 
@@ -4784,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle(num_planes=6, k=5),
         "ann_ivf_topk": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),
+        "ann_pq_topk": _ann_pq_oracle(m=4, ks=16, k=5),
         # the persistent-index path returns bit-identical results, so it
         # shares the transient IVF oracle (index round-trip certified)
         "ann_ivf_index": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),

@@ -338,6 +338,139 @@ def ivf_index_topk(
     return _topk_per_query(scored, k)
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. TPAMI 2011): split the
+    d-dim space into ``m`` subspaces of d/m dims; subspace ``s``'s codebook
+    is the s-th subvector of the ``ks`` deterministic sample rows (smallest
+    md5(id) — the same engine-portable quantizer sample the IVF path uses,
+    so codebooks are hash-oracle-able and rebuilds reproduce). Returns
+    ``books[s][j]`` = centroid j of subspace s. A seeded-kmeans-per-
+    subspace variant would plug in exactly like kmeans_centroids does for
+    IVF — sample codebooks keep the whole PQ path SQL-certifiable."""
+    if m < 1 or ks < 1:
+        raise ValueError(f"need m >= 1 and ks >= 1, got m={m} ks={ks}")
+    sample = _centroids_of(corpus, ks, id_col, vec_col)
+    if len(sample) < ks:
+        raise ValueError(f"corpus has {len(sample)} rows < ks={ks}")
+    d = len(sample[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[vec[s * sub : (s + 1) * sub] for vec in sample] for s in range(m)]
+
+
+def _sq_dist(vec_slice, cent: list[float]):
+    """Left-fold squared L2 distance between a vector-slice column and a
+    literal centroid — the fold order the DuckDB oracle replays."""
+    plane = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec_slice, plane, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small codes — the nearest
+    codebook centroid per subspace (squared-L2 argmin, ties to the lowest
+    code, matching array_position-of-min semantics in the oracle).
+
+    THE scale move of the similarity family: a 64-dim float corpus (256 B/
+    row) compresses to m=4 ints (≤4 B/row as bytes on disk) — at 100 TB of
+    embeddings the searchable representation drops to sub-TB, which is the
+    difference between ANN fitting in cluster page cache or not. Pure JVM:
+    m·ks literal fold expressions inside one codegen projection, zero
+    shuffle; persist the output like any DataFrame (the snapshot catalog
+    or parquet) and re-encode only on corpus change."""
+    v = F.col(vec_col).cast("array<double>")
+    m = len(books)
+    sub = len(books[0][0])
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(v, s * sub + 1, sub)
+        dists = F.array(*[_sq_dist(sl, c) for c in books[s]])
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    codes: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: each query precomputes one ks-entry distance table per subspace
+    (query-subvector to every centroid), then every corpus code row scores
+    as m table LOOKUPS summed in subspace order — no float vectors on the
+    scan side at all. Returns (query_id, rnk, neighbor_id, adc_dist),
+    ranked ascending by rounded distance with neighbor-id tie-break;
+    self-matches excluded.
+
+    Scale shape: queries (with their tables, m·ks doubles each) broadcast;
+    the codes table streams through one codegen projection of integer
+    lookups — per-candidate cost O(m) instead of O(d), scan bytes ~d/m·8×
+    smaller than brute force, and only (query_id, neighbor_id, dist)
+    shuffles into the per-query top-k. Pass precomputed ``codes``/``books``
+    (pq_encode/pq_codebooks) for the build-once/search-many form."""
+    if books is None:
+        books = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    sub = len(books[0][0])
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[_sq_dist(F.slice(qv, s * sub + 1, sub), c) for c in books[s]]
+            ).alias(f"_dt{s}")
+            for s in range(m)
+        ],
+    )
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.col(f"_dt{s}"), F.element_at(F.col("codes"), s + 1) + 1
+        )
+    scored = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_dist")
+    )
+
+
 def random_projection(
     emb: DataFrame,
     out_dim: int = 16,

@@ -259,3 +259,93 @@ def test_random_projection_validates_and_zero_shuffle(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pq_encode_and_adc_match_numpy(spark, emb, vectors):
+    import hashlib
+
+    from kermit_spark.ops.similarity import pq_codebooks, pq_encode, pq_topk
+
+    m, ks = 4, 8
+    sub = DIM // m
+    books = pq_codebooks(emb, m=m, ks=ks)
+
+    # numpy mirror: same md5(id)-smallest sample, same subvector split
+    order = sorted(range(N), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    samp = [vectors[i] for i in order[:ks]]
+    exp_books = [
+        [[float(x) for x in v[s * sub : (s + 1) * sub]] for v in samp]
+        for s in range(m)
+    ]
+    assert books == exp_books
+
+    codes = {r["neighbor_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+
+    def np_code(vec, s):
+        dists = [
+            float(np.sum((vec[s * sub : (s + 1) * sub] - np.array(c)) ** 2))
+            for c in exp_books[s]
+        ]
+        return int(np.argmin(dists))  # argmin takes the first = lowest code
+
+    for i in range(N):
+        assert codes[i] == [np_code(vectors[i], s) for s in range(m)], i
+
+    # ADC search mirror for 3 queries
+    got = pq_topk(emb, emb.filter(F.col("id") < 3), k=K, m=m, ks=ks)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["neighbor_id"], r["adc_dist"])
+        )
+    for q in range(3):
+        dt = [
+            [
+                float(np.sum((vectors[q][s * sub : (s + 1) * sub] - np.array(c)) ** 2))
+                for c in exp_books[s]
+            ]
+            for s in range(m)
+        ]
+        dist = {
+            i: round(sum(dt[s][codes[i][s]] for s in range(m)), 4)
+            for i in range(N)
+            if i != q
+        }
+        exp = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:K]
+        assert [(n, d) for _, n, d in sorted(by_q[q])] == exp, q
+
+
+def test_pq_recall_vs_brute_force(spark, emb):
+    from kermit_spark.ops.similarity import pq_topk, recall_at_k
+
+    queries = emb.filter(F.col("id") < 10)
+    exact = brute_force_topk(emb, queries, k=K)
+    approx = pq_topk(emb, queries, k=K, m=4, ks=16).withColumnRenamed(
+        "adc_dist", "score"
+    )
+    # clustered data: coarse 4x16 codes must still put most true neighbors
+    # in the ADC top-k
+    assert recall_at_k(exact, approx) >= 0.5
+
+
+def test_pq_plan_and_validation(spark, emb):
+    from kermit_spark.ops.similarity import pq_codebooks, pq_encode, pq_topk
+
+    books = pq_codebooks(emb, m=4, ks=8)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    # encoding is one map-side codegen projection: no shuffle, no Python
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    plan2 = (
+        pq_topk(emb, emb.filter(F.col("id") < 2), k=3, m=4, ks=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # queries (with their distance tables) broadcast against the codes scan
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
+    assert "EvalPython" not in plan2
+    with pytest.raises(ValueError):
+        pq_codebooks(emb, m=5, ks=8)   # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        pq_codebooks(emb, m=0)
+    with pytest.raises(ValueError):
+        pq_codebooks(emb.limit(3), m=4, ks=8)
