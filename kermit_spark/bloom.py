@@ -39,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -68,6 +69,101 @@ class BloomSpec:
     def for_capacity(n_keys_per_partition: int, bits_per_key: int = 10) -> "BloomSpec":
         m = max(1 << 10, int(n_keys_per_partition * bits_per_key))
         return BloomSpec(m_bits=m, k_hashes=7)
+
+
+def _popcount(bits: np.ndarray) -> int:
+    """Set-bit count of a uint8 buffer (numpy>=2 bitwise_count; unpackbits
+    fallback keeps numpy 1.x working)."""
+    bc = getattr(np, "bitwise_count", None)
+    if bc is not None:
+        return int(bc(bits).sum())
+    return int(np.unpackbits(bits).sum())
+
+
+def _fill_row(bits: np.ndarray | None, m: int, k: int, n_items: int) -> dict:
+    """Saturation stats for one blob. ``est_keys`` inverts the expected-fill
+    curve E[fill] = 1-(1-1/m)^(kn) ≈ 1-e^(-kn/m)  ⇒  n ≈ -(m/k)·ln(1-fill)
+    (standard Bloom cardinality estimate — Swamidass & Baldi 2007);
+    ``est_fpp`` = fill^k, the *actual* false-positive rate of the blob as
+    built, which keeps climbing as merges OR more keys into a fixed m."""
+    set_bits = _popcount(bits) if bits is not None and len(bits) else 0
+    fill = set_bits / m if m else 0.0
+    if 0.0 < fill < 1.0:
+        est_keys = -(m / k) * float(np.log1p(-fill))
+    else:
+        est_keys = 0.0 if fill == 0.0 else float("inf")
+    return {
+        "n_items": int(n_items),
+        "m_bits": int(m),
+        "k_hashes": int(k),
+        "fill_ratio": fill,
+        "est_keys": est_keys,
+        "est_fpp": fill**k if k else 1.0,
+    }
+
+
+def blob_fill_stats(
+    blobs: dict[int, tuple[np.ndarray, int, int]], counts: dict[int, int]
+) -> dict[int, dict]:
+    """Driver-side saturation stats for the held blob set (the steady-state
+    wave path already has these in memory — popcount costs m/8 bytes per
+    partition, no Spark job). Returns {p: _fill_row(...)}."""
+    return {
+        int(p): _fill_row(bits, m, k, counts.get(int(p), 0))
+        for p, (bits, m, k) in blobs.items()
+    }
+
+
+FILL_STATS_SCHEMA = StructType(
+    [
+        StructField("p", IntegerType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("m_bits", LongType(), False),
+        StructField("k_hashes", IntegerType(), False),
+        StructField("fill_ratio", DoubleType(), False),
+        StructField("est_keys", DoubleType(), False),
+        StructField("est_fpp", DoubleType(), False),
+    ]
+)
+
+
+def bloom_fill_stats(bloom: DataFrame) -> DataFrame:
+    """Distributed saturation stats over a url_seen blob table — the path
+    for blob sets beyond the driver broadcast cap (10^10-frontier mode:
+    thousands of partitions × up to hundreds of MB each). One Arrow batch
+    per blob row, popcount executor-side; only the 7-column stat row comes
+    back. Cuckoo rows (k_hashes=0, blob = uint8 fingerprint table, 0=empty)
+    report slot LOAD FACTOR in fill_ratio, occupied slots in est_keys, and
+    the spec's fp bound 2·SLOTS/2^8 in est_fpp (cuckoo fp rate is structural
+    — it does not climb with fill the way a Bloom's does; inserts start
+    failing near ~95% load instead)."""
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = r["filter"]
+                bits = np.frombuffer(buf, dtype=np.uint8) if buf is not None else None
+                k = int(r["k_hashes"])
+                if k == 0:  # cuckoo fingerprint table
+                    occupied = int(np.count_nonzero(bits)) if bits is not None else 0
+                    slots = len(bits) if bits is not None else 0
+                    row = {
+                        "n_items": int(r["n_items"]),
+                        "m_bits": int(r["m_bits"]),
+                        "k_hashes": 0,
+                        "fill_ratio": occupied / slots if slots else 0.0,
+                        "est_keys": float(occupied),
+                        "est_fpp": 8.0 / 256.0,
+                    }
+                else:
+                    row = _fill_row(bits, int(r["m_bits"]), k, int(r["n_items"]))
+                row["p"] = int(r["p"])
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)[[f.name for f in FILL_STATS_SCHEMA.fields]]
+
+    return bloom.mapInPandas(stats, FILL_STATS_SCHEMA)
 
 
 def _probe_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:

@@ -45,6 +45,8 @@ from pyspark.sql.window import Window
 from .bloom import (
     BLOOM_SCHEMA,
     BloomSpec,
+    blob_fill_stats,
+    bloom_fill_stats,
     bloom_prefilter,
     bloom_prefilter_blobs,
     bloom_prefilter_broadcast,
@@ -325,6 +327,8 @@ class Frontier:
         bloom_spec: BloomSpec | None = None,
         bloom_min_frontier: int = BLOOM_MIN_FRONTIER,
         bloom_commit_every: int = 8,
+        bloom_max_fpp: float | None = 0.02,
+        bloom_growth: float = 4.0,
         seen_filter: str = "bloom",
         cuckoo_spec: CuckooSpec | None = None,
     ):
@@ -352,6 +356,17 @@ class Frontier:
         # Crash between flushes ⇒ one O(frontier) rebuild at next use — the
         # blobs are derived state, the frontier table is membership truth.
         self.bloom_commit_every = bloom_commit_every
+        # saturation guard: a fixed-m Bloom silently degrades as waves OR
+        # more keys in (fpp = fill^k keeps climbing) — at 10^10-frontier
+        # scale that turns the prefilter into a no-op and the exact
+        # anti-join back into a full-frontier shuffle. Every flush epoch the
+        # driver popcounts its held blobs (m/8 bytes each, no Spark job);
+        # when any partition's ACTUAL fpp exceeds ``bloom_max_fpp`` the spec
+        # grows to ``bloom_growth``× the observed peak keys and the blobs
+        # are rebuilt once from the frontier (the documented O(frontier)
+        # rebuild — amortized: capacity quadruples each time). None = off.
+        self.bloom_max_fpp = bloom_max_fpp
+        self.bloom_growth = bloom_growth
         self._blobs: dict | None = None  # p -> (bits ndarray, m, k)
         self._blob_counts: dict[int, int] = {}
         self._blobs_epoch = -1
@@ -461,6 +476,12 @@ class Frontier:
         no-op when nothing is dirty."""
         if self._blobs is None or not self._dirty_parts:
             return
+        if self.seen_filter == "bloom" and self.bloom_max_fpp is not None:
+            stats = blob_fill_stats(self._blobs, self._blob_counts)
+            worst = max((s["est_fpp"] for s in stats.values()), default=0.0)
+            if worst > self.bloom_max_fpp:
+                self._grow_and_rebuild(stats)
+                return
         dirty = sorted(self._dirty_parts)
         if self.seen_filter == "cuckoo":
             rows = [
@@ -489,6 +510,54 @@ class Frontier:
             URL_SEEN_TABLE, df, dirty, properties={"synced_epoch": self._blobs_epoch}
         )
         self._dirty_parts = set()
+
+    def _grow_and_rebuild(self, stats: dict[int, dict]) -> None:
+        """Saturation response: grow the Bloom spec to ``bloom_growth``× the
+        observed per-partition key peak (10 bits/key → fpp back to ≈0.8%)
+        and rebuild the WHOLE blob set from the frontier table — membership
+        truth, so the rebuild can never lose a key. Committed at the current
+        blob epoch; the driver copy reloads lazily on next use."""
+        import math
+
+        peak = max(
+            max(
+                s["n_items"],
+                s["est_keys"] if math.isfinite(s["est_keys"]) else 0.0,
+            )
+            for s in stats.values()
+        )
+        self.bloom_spec = BloomSpec.for_capacity(int(math.ceil(peak * self.bloom_growth)))
+        bloom = self._build_seen(self.read().select("p", "url_hash"))
+        self.catalog.overwrite_partitions(
+            URL_SEEN_TABLE,
+            bloom,
+            range(self.num_partitions),
+            properties={"synced_epoch": self._blobs_epoch},
+        )
+        self._blobs = None
+        self._blobs_epoch = -1
+        self._dirty_parts = set()
+
+    def seen_fill_stats(self) -> dict[int, dict]:
+        """Per-partition saturation of the URL-seen structure: {p:
+        {n_items, m_bits, k_hashes, fill_ratio, est_keys, est_fpp}}.
+        Driver-held Bloom blobs are popcounted in-process (no Spark job);
+        otherwise (cuckoo mode, or blob sets beyond the driver cap) one
+        distributed pass over the blob table (bloom.bloom_fill_stats)."""
+        if self.seen_filter == "bloom" and self._blobs is not None:
+            return blob_fill_stats(self._blobs, self._blob_counts)
+        rows = bloom_fill_stats(self.catalog.read(URL_SEEN_TABLE)).collect()
+        return {
+            r["p"]: {
+                "n_items": r["n_items"],
+                "m_bits": r["m_bits"],
+                "k_hashes": r["k_hashes"],
+                "fill_ratio": r["fill_ratio"],
+                "est_keys": r["est_keys"],
+                "est_fpp": r["est_fpp"],
+            }
+            for r in rows
+        }
 
     def read(self) -> DataFrame:
         return self.catalog.read(FRONTIER_TABLE)

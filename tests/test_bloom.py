@@ -76,3 +76,58 @@ def test_merge_is_incremental_union(spark):
     assert all(tagged.values()), tagged
     n = {r["p"]: r["n_items"] for r in merged.collect()}
     assert n == {0: 3, 1: 1, 2: 1}
+
+
+def test_fill_stats_exact_popcount_and_estimates(spark):
+    """fill_ratio is the exact popcount/m of the blob; est_fpp = fill^k (the
+    blob's ACTUAL false-positive rate as built); est_keys inverts the
+    expected-fill curve and lands within ~15% of the true cardinality."""
+    import pytest
+
+    from kermit_spark.bloom import blob_fill_stats, bloom_fill_stats, collect_blobs
+
+    frontier = spark.createDataFrame(
+        [(i % 2, i * 7919) for i in range(400)], "p int, url_hash long"
+    )
+    bloom = build_bloom(frontier, SPEC).persist()
+    stats = {r["p"]: r for r in bloom_fill_stats(bloom).collect()}
+    for row in bloom.collect():
+        p = row["p"]
+        bits = np.frombuffer(row["filter"], dtype=np.uint8)
+        exact_fill = int(np.unpackbits(bits).sum()) / SPEC.m_bits
+        assert stats[p]["fill_ratio"] == pytest.approx(exact_fill, abs=0)
+        assert stats[p]["est_fpp"] == pytest.approx(exact_fill**SPEC.k_hashes)
+        assert stats[p]["est_keys"] == pytest.approx(200, rel=0.15)
+        assert stats[p]["n_items"] == 200
+    # the driver-side path over collected blobs agrees exactly
+    blobs, counts = collect_blobs(bloom)
+    driver = blob_fill_stats(blobs, counts)
+    for p, s in driver.items():
+        assert s["fill_ratio"] == stats[p]["fill_ratio"]
+        assert s["est_fpp"] == stats[p]["est_fpp"]
+        assert s["est_keys"] == stats[p]["est_keys"]
+    bloom.unpersist()
+
+
+def test_fill_stats_empty_and_cuckoo_rows(spark):
+    """An all-zero blob reports fill 0 / est 0; a cuckoo fingerprint row
+    (k_hashes=0) reports slot load factor, not popcount."""
+    from kermit_spark.bloom import bloom_fill_stats
+    from kermit_spark.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(n_buckets=64)
+    cf.insert(np.arange(1, 41, dtype=np.int64))
+    rows = [
+        (0, bytes(SPEC.m_bits >> 3), 0, SPEC.m_bits, SPEC.k_hashes),
+        (1, cf.table.tobytes(), 40, cf.n_buckets, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "p int, filter binary, n_items long, m_bits long, k_hashes int"
+    )
+    stats = {r["p"]: r for r in bloom_fill_stats(df).collect()}
+    assert stats[0]["fill_ratio"] == 0.0
+    assert stats[0]["est_keys"] == 0.0
+    assert stats[0]["est_fpp"] == 0.0
+    occupied = int(np.count_nonzero(cf.table))
+    assert stats[1]["fill_ratio"] == occupied / cf.table.size
+    assert stats[1]["est_keys"] == float(occupied)

@@ -202,6 +202,40 @@ def test_blob_crash_resume_rebuilds_and_stays_exact(spark, tmp_path):
     assert fr_resume.schedule(_urls(spark, _range_urls(60, 61)), wave=3) == 1
 
 
+def test_bloom_autogrows_on_saturation(spark, tmp_path):
+    """A fixed-m Bloom saturates as waves OR keys in (fpp = fill^k climbs
+    toward 1, turning the prefilter into a no-op at 10^10 scale). The flush
+    hook must detect actual fpp > bloom_max_fpp from the driver-held blobs,
+    grow the spec, and rebuild from the frontier — with dedup exactness
+    untouched on both sides of the rebuild."""
+    from kermit_spark.bloom import BloomSpec
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    tiny = BloomSpec(m_bits=1 << 10, k_hashes=7)
+    fr = Frontier(
+        cat, num_partitions=2, bloom_min_frontier=0, bloom_commit_every=1,
+        bloom_spec=tiny, bloom_max_fpp=0.02,
+    )
+    fr.init(_urls(spark, _range_urls(0, 50)))
+    # ~375 keys/partition into 1024 bits -> fill ≈ 0.92, fpp ≈ 0.57 >> 0.02
+    fr.schedule(_urls(spark, _range_urls(50, 800)), wave=1)
+    assert fr.bloom_spec.m_bits > tiny.m_bits
+    # post-rebuild blobs are back at healthy fpp (read from the table: the
+    # driver copy reloads lazily)
+    stats = fr.seen_fill_stats()
+    assert max(s["est_fpp"] for s in stats.values()) <= 0.02
+    # rebuild counted the true frontier keys (split across p by host hash)
+    assert sum(s["n_items"] for s in stats.values()) == 800
+    # exactness across the rebuild: everything seen is still seen...
+    assert fr.schedule(_urls(spark, _range_urls(0, 800)), wave=2) == 0
+    # ...and new URLs still land
+    assert fr.schedule(_urls(spark, _range_urls(800, 820)), wave=3) == 20
+    # a resumed instance agrees with the grown, committed blobs
+    fr2 = Frontier(SnapshotCatalog(spark, str(tmp_path / "cat")),
+                   num_partitions=2, bloom_min_frontier=0)
+    assert fr2.schedule(_urls(spark, _range_urls(0, 820)), wave=4) == 0
+
+
 # -- dequeue / politeness ---------------------------------------------------
 
 
