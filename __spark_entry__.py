@@ -1358,6 +1358,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_near_dups(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components through the REAL library op
+    (ops.graph.connected_components_star — alternating large-star/small-star
+    contraction, Kiveris et al. SoCC'14). The synthetic graph is chosen to be
+    the shape min-label propagation CANNOT close in budget: path edges
+    (n, n+37) give 37 chains of diameter ~N/37 (≈40 at sf0.01, growing with
+    sf), where star contraction needs only O(log N) alternations. Oracle: a
+    recursive-CTE closure + min-label group (engine-independent truth — it
+    never replays the contraction)."""
+    from kermit_spark.ops.graph import connected_components_star
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = int(cust.agg(F.max("c_custkey")).first()[0])
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    pairs = nodes.filter(F.col("node") + 37 <= m).select(
+        F.col("node").alias("a"), (F.col("node") + 37).alias("b")
+    )
+    return connected_components_star(pairs).orderBy("node")
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic curation sampling through the REAL library ops
     (ops.sample): portable-hash Bernoulli keep at rate 1/2, then exact
@@ -3114,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
         "link_opic": q_link_opic,
+        "link_components": q_link_components,
         "link_trustrank": q_link_trustrank,
         "url_trap_filter": q_url_trap_filter,
         "conditional_fetch": q_conditional_fetch,
@@ -4326,6 +4347,30 @@ def oracle_sql() -> dict[str, str]:
             {_trust_stage_cte(3)}
             SELECT node, rank AS trust_fp FROM tr3
             ORDER BY trust_fp DESC, node ASC LIMIT 100
+        """,
+        # star-contraction CC: recursive-CTE closure is the engine-
+        # independent truth (it never replays the contraction)
+        "link_components": """
+            WITH RECURSIVE nodes AS (
+                SELECT c_custkey::BIGINT AS node FROM customer
+            ),
+            mx AS (SELECT max(node) AS m FROM nodes),
+            edges AS (
+                SELECT node AS src, node + 37 AS dst
+                FROM nodes, mx WHERE node + 37 <= mx.m
+                UNION
+                SELECT node + 37 AS src, node AS dst
+                FROM nodes, mx WHERE node + 37 <= mx.m
+            ),
+            reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+            SELECT n.node AS node, coalesce(c.component, n.node) AS component
+            FROM nodes n LEFT JOIN cc c USING (node)
+            ORDER BY node
         """,
         # OPIC: 3 unrolled integer rounds of the documented recurrence
         "link_opic": f"""

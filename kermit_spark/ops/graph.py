@@ -131,6 +131,98 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): (node, component) with component = MIN node id —
+    the SAME contract as :func:`connected_components`.
+
+    This is the adversarial-shape scale path the min-label docstring
+    defers to: min-label propagation costs O(graph diameter) rounds, so a
+    long chain of near-dup docs (pathological but real — think paginated
+    boilerplate A~B~C~...) at 10^10 edges never converges in budget.
+    Star contraction converges in O(log n) rounds on ANY shape because
+    every round at least halves the height of each tree:
+
+      large-star: group both edge directions by u; every neighbor v > u
+                  re-points to m = min(N(u) ∪ {u}).
+      small-star: orient edges child=max/parent=min, group by child;
+                  the child and all its parents link to the min parent.
+
+    Both steps are one shuffle (groupBy u) + one join back — the same cost
+    model per round as min-label, just ~log(n) of them. Convergence = the
+    edge set is a fixpoint (a min-rooted star forest maps to itself under
+    both steps); checked with an exact count + exceptAll probe per round
+    over localCheckpoint'd sets, so the test never re-derives the LSH
+    pipeline feeding ``pairs``. Prefer min-label for the star/clique
+    clusters banded LSH emits (2-4 rounds, no orientation work); prefer
+    this for unknown or long-path cluster shapes.
+    """
+    nodes = (
+        pairs.select(F.explode(F.array(F.col(a_col), F.col(b_col))).alias("node"))
+        .distinct()
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: m = min(neighbors ∪ self); larger neighbors re-point
+        lmin = both.groupBy("u").agg(F.min("v").alias("mn"))
+        lmin = lmin.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        large = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (child=max, parent=min); child + every parent
+        # link to the child's min parent
+        oriented = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        # fixpoint: new ⊆ old ∧ |new| == |old| ⟺ sets equal (both distinct)
+        if n_new == n_edges and small.exceptAll(edges).limit(1).count() == 0:
+            edges = small
+            break
+        edges, n_edges = small, n_new
+    # star forest: children → root; roots and isolated nodes → themselves.
+    # (min-parent agg is a no-op at fixpoint — one parent per child — and
+    # keeps labels single-valued if max_iter ever cuts convergence short)
+    parents = edges.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("parent"))
+    labels = nodes.join(parents, "node", "left").select(
+        "node", F.coalesce(F.col("parent"), F.col("node")).alias("component")
+    )
+    nodes.unpersist()
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     num_iters: int = 3,

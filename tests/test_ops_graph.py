@@ -345,3 +345,83 @@ def test_trustrank_matches_python_and_zeroes_spam(spark):
     # spam farm holds exactly zero trust; the seed cluster holds plenty
     assert got[10] == got[11] == got[12] == 0
     assert min(got[1], got[2], got[3]) > 0
+
+
+# -- star-contraction connected components -----------------------------------
+
+
+def _union_find_cc(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # second pass: canonical min label per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from kermit_spark.ops.graph import connected_components_star
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        edges = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(40 + trial * 30)
+            }
+        )
+        nodes = sorted({x for e in edges for x in e})
+        pairs = spark.createDataFrame(edges, "a int, b int")
+        got = _cc_dict(connected_components_star(pairs))
+        assert got == _union_find_cc(edges, nodes), trial
+
+
+def test_star_cc_long_path_converges_in_log_rounds(spark):
+    """The whole point of star contraction: a 300-node path has diameter
+    299, far beyond min-label's budget — star contraction closes it within
+    max_iter=12 ≈ O(log n) alternations."""
+    from kermit_spark.ops.graph import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a int, b int"
+    )
+    got = _cc_dict(connected_components_star(pairs, max_iter=12))
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_star_cc_agrees_with_min_label_on_lsh_shapes(spark):
+    from kermit_spark.ops.graph import connected_components_star
+
+    # star/clique shapes (what banded LSH emits) + an isolated pair +
+    # a self-loop that must not create a phantom component
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (10, 11), (7, 7), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    star = _cc_dict(connected_components_star(pairs))
+    label = _cc_dict(connected_components(pairs))
+    # min-label keeps self-loop node 7 (it appears in pairs); star must too
+    assert star == label
+    assert star[7] == 7
+
+
+def test_star_cc_partition_invariance(spark):
+    from kermit_spark.ops.graph import connected_components_star
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    a = _cc_dict(connected_components_star(pairs.repartition(1)))
+    b = _cc_dict(connected_components_star(pairs.repartition(13)))
+    assert a == b
