@@ -414,6 +414,7 @@ def canonicalize_near_dups(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """The last step of a training-data dedup pipeline: collapse near-dup
     PAIRS (from minhash/simhash/embedding LSH) into CLUSTERS and pick one
@@ -427,8 +428,17 @@ def canonicalize_near_dups(
     doc id — the component map is cluster-members-only (≪ corpus), so Spark
     broadcasts it when small and shuffles on the id otherwise; nothing here
     is ever all-pairs.
+
+    ``algorithm``: 'label' (min-label propagation — O(diameter) rounds,
+    right for the star/clique shapes banded LSH emits) or 'star'
+    (large-star/small-star contraction — O(log n) rounds, right when
+    cluster shapes are unknown or chain-like). Both produce the identical
+    (component = min id) labeling.
     """
-    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    cc_fn = connected_components if algorithm == "label" else connected_components_star
+    cc = cc_fn(pairs, a_col=a_col, b_col=b_col)
     return (
         doc_ids.select(F.col(id_col).alias("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -425,3 +425,21 @@ def test_star_cc_partition_invariance(spark):
     a = _cc_dict(connected_components_star(pairs.repartition(1)))
     b = _cc_dict(connected_components_star(pairs.repartition(13)))
     assert a == b
+
+
+def test_canonicalize_star_algorithm_equals_label(spark):
+    import pytest
+
+    from kermit_spark.ops.graph import canonicalize_near_dups
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "a int, b int"
+    )
+    label = sorted(map(tuple, canonicalize_near_dups(docs, pairs).collect()))
+    star = sorted(
+        map(tuple, canonicalize_near_dups(docs, pairs, algorithm="star").collect())
+    )
+    assert label == star
+    with pytest.raises(ValueError):
+        canonicalize_near_dups(docs, pairs, algorithm="bogus")
