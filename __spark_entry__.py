@@ -2145,6 +2145,53 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_export_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-shard export through the REAL sink pipeline
+    (export.build_token_vocab → tokens_to_ids → export_token_shards): the
+    documents tokenize to lowercased words, get frequency-ranked vocab
+    ids, and land in Megatron-style .bin shards + a parquet index. The
+    returned INDEX (shard_id, doc_id, offset, n_tokens) is fully
+    engine-portable — shard = pmod(hash48(doc_id), n_shards) on the
+    digit-sum md5 hash, offsets = per-shard doc_id-ordered cumsum — so the
+    DuckDB oracle replays it exactly without reading a byte of .bin (the
+    binary bytes + read-back equality are pytest-certified)."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.export import (
+        build_token_vocab,
+        export_token_shards,
+        tokens_to_ids,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(coalesce(text, ''))," + r" '\\s+'), w -> length(w) > 0)"
+        ).alias("tokens"),
+    )
+    vocab = build_token_vocab(toks)
+    ids = tokens_to_ids(toks, vocab)
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_tokens_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        idx = export_token_shards(ids, tmp, tokens_per_shard=1 << 15, dtype="uint32")
+        return (
+            idx.select(
+                F.col("shard_id").cast("long").alias("shard_id"),
+                "doc_id",
+                "offset",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF through the REAL library op (ops.text.tfidf_terms,
     smoothed-idf, portable half-up rounding); corpus size rides the plan as
@@ -3198,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_incremental": q_catalog_incremental,
         "warc_cdx": q_warc_cdx,
         "export_shards": q_export_shards,
+        "export_tokens": q_export_tokens,
         "warc_roundtrip": q_warc_roundtrip,
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
@@ -5151,6 +5199,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # shard-export round trip: the text_pack recurrence aggregated per
         # (source, bin) — what the manifest rebuilt from disk must equal
+        # token-shard index: portable hash48 sharding + per-shard cumsum
+        "export_tokens": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                       w -> length(w) > 0)) AS n_tokens
+                FROM documents
+            ),
+            nz AS (SELECT * FROM words WHERE n_tokens > 0),
+            tot AS (SELECT CAST(ceil(sum(n_tokens)::DOUBLE / 32768) AS BIGINT) AS n_shards FROM nz),
+            sh AS (
+                SELECT doc_id, n_tokens,
+                       CAST(list_sum(list_transform(generate_series(1, 12),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                * 16 ** (12 - i))) AS BIGINT) % (SELECT n_shards FROM tot) AS shard_id
+                FROM nz
+            )
+            SELECT shard_id, doc_id,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset",
+                   n_tokens::BIGINT AS n_tokens
+            FROM sh ORDER BY doc_id
+        """,
         "export_shards": r"""
             WITH RECURSIVE toks AS (
                 SELECT source, doc_id,
