@@ -186,6 +186,41 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority AGING through the REAL dequeue (frontier.dequeue_order with
+    aging_rate): rows carry discovery waves 0..6, the dequeue runs at
+    current_wave=10 with rate 2000, so effective priority =
+    price + 2000·(10−wave) — old low-priority rows outrank fresh
+    high-priority ones (starvation prevention). The oracle ranks by the
+    identical double expression; rate 0 parity with the pure §2.8 order is
+    pinned in pytest."""
+    from kermit_spark.frontier import Limit, Politeness, dequeue
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host_id = F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")
+    elig = orders.select(
+        host_id.alias("host_id"),
+        F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test")).alias("host"),
+        F.col("o_orderkey").alias("url_hash"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("wave"),
+    )
+    selected = dequeue(
+        elig, Politeness((Limit(".*", 3),)), aging_rate=2000, current_wave=10
+    )
+    return (
+        selected.select(
+            "host_id",
+            F.col("rank").alias("rnk"),
+            "okey",
+            "priority",
+            F.col("wave").cast("long").alias("wave"),
+        ).orderBy("host_id", "rnk")
+    )
+
+
 def q_domain_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registrable-domain (eTLD+1) politeness through the REAL dequeue with
     politeness_key=registrable_domain: 4 subdomain shards per site share ONE
@@ -3174,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
+        "politeness_aging": q_politeness_aging,
         "domain_politeness": q_domain_politeness,
         "phase_counts": q_phase_counts,
         "robots_gate": q_robots_gate,
@@ -3978,6 +4014,19 @@ def oracle_sql() -> dict[str, str]:
                        o_totalprice AS priority,
                        row_number() OVER (PARTITION BY (o_custkey % 25)
                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3 ORDER BY host_id, rnk
+        """,
+        "politeness_aging": """
+            SELECT host_id, rnk, okey, priority, wave FROM (
+                SELECT (o_custkey % 25) AS host_id, o_orderkey AS okey,
+                       o_totalprice AS priority,
+                       (o_orderkey % 7)::BIGINT AS wave,
+                       row_number() OVER (
+                           PARTITION BY (o_custkey % 25)
+                           ORDER BY o_totalprice::DOUBLE
+                                    + 2000 * (10 - (o_orderkey % 7)) DESC,
+                                    (o_orderkey % 7) ASC, o_orderkey ASC) AS rnk
                 FROM orders
             ) WHERE rnk <= 3 ORDER BY host_id, rnk
         """,

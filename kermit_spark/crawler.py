@@ -256,6 +256,11 @@ class CrawlConfig:
     # production norm; Heritrix's queue-assignment-policy analog). False =
     # reference parity (core.queues.coffee keys per URL-host).
     politeness_by_domain: bool = False
+    # priority aging (starvation prevention): dequeue ranks by
+    # priority + rate·(current wave − discovery wave), so budget-starved
+    # low-priority URLs eventually outrank fresh high-priority influx.
+    # 0 = off (pure SURVEY §2.8 order — reference parity).
+    priority_aging_rate: int = 0
     # 3xx handling when the fetcher SURFACES redirects (CorpusFetcher with a
     # location column; HttpFetcher follows silently like the reference's
     # request lib, so live crawls never see these rows): the Location target
@@ -886,6 +891,8 @@ class Crawler:
             global_cap=cfg.global_cap,
             host_budgets=host_budgets,
             politeness_key=pkey,
+            aging_rate=cfg.priority_aging_rate,
+            current_wave=wave,
         ).persist()
         # one action materializes the batch AND yields host list + count
         per_host = selected.groupBy("p", "host").count().collect()
@@ -903,6 +910,7 @@ class Crawler:
                 undelayed, cfg.politeness, sub_salts=cfg.sub_salts,
                 global_cap=cfg.global_cap, host_budgets=host_budgets,
                 politeness_key=pkey,
+                aging_rate=cfg.priority_aging_rate, current_wave=wave,
             ).persist()
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)

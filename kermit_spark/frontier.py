@@ -204,10 +204,23 @@ class RandomizedDelay:
         return coin < F.lit(int(self.ratio * 10000))
 
 
-def dequeue_order() -> list[Column]:
-    """The deterministic ordering contract of SURVEY §2.8."""
+def dequeue_order(aging_rate: int = 0, current_wave: int | None = None) -> list[Column]:
+    """The deterministic ordering contract of SURVEY §2.8.
+
+    ``aging_rate`` > 0 turns on priority AGING (starvation prevention —
+    Heritrix cost-policy / OS-scheduler aging analog): the first sort key
+    becomes priority + aging_rate·(current_wave − discovery wave), so a
+    low-priority URL gains one priority unit per ``1/aging_rate`` waves it
+    waits and eventually outranks a constant influx of fresh high-priority
+    URLs — without aging, a hot host under budget pressure starves its
+    long tail FOREVER under pure (priority DESC). Integer arithmetic, so
+    the contract stays bit-reproducible; rate 0 (default) is exactly the
+    §2.8 order. Later tie-break keys are unchanged."""
+    eff = F.col("priority")
+    if aging_rate and current_wave is not None:
+        eff = eff + F.lit(int(aging_rate)) * (F.lit(int(current_wave)) - F.col("wave"))
     return [
-        F.col("priority").desc(),
+        eff.desc(),
         F.col("depth").asc(),
         F.col("wave").asc(),
         F.col("url_hash").asc(),
@@ -222,6 +235,8 @@ def dequeue(
     enforce_total: bool = True,
     host_budgets: DataFrame | None = None,
     politeness_key: Column | None = None,
+    aging_rate: int = 0,
+    current_wave: int | None = None,
 ) -> DataFrame:
     """Select ≤ budget(host) URLs per host, deterministically ordered.
 
@@ -246,6 +261,11 @@ def dequeue(
     budget pattern then matches against the key; host_budgets caps stay
     per-host (robots state is per-host) and bound each host's rows inside
     its domain group.
+
+    ``aging_rate``/``current_wave``: priority aging for starvation
+    prevention — see :func:`dequeue_order`. Both windows and the host-cap
+    pre-rank use the same aged key, so the contract stays one consistent
+    total order.
     """
     # default mode groups on the host column ITSELF — materializing a _pkey
     # copy there would widen every shuffle row by the host string for nothing
@@ -273,7 +293,7 @@ def dequeue(
             # rows, not the whole group — rank per host first, then let the
             # group-level windows run on the survivors. One extra window,
             # paid only when both features are on.
-            wh = Window.partitionBy("host").orderBy(*dequeue_order())
+            wh = Window.partitionBy("host").orderBy(*dequeue_order(aging_rate, current_wave))
             df = (
                 df.withColumn("_hr", F.row_number().over(wh))
                 .filter(F.col("_cap").isNull() | (F.col("_hr") <= F.col("_cap")))
@@ -293,14 +313,14 @@ def dequeue(
     df = df.withColumn(
         "_sub", F.pmod(F.col("url_hash"), F.lit(sub_salts)).cast("int")
     )
-    w1 = Window.partitionBy(kcol, "_sub").orderBy(*dequeue_order())
+    w1 = Window.partitionBy(kcol, "_sub").orderBy(*dequeue_order(aging_rate, current_wave))
     df = (
         df.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("_budget"))
         .drop("_r1", "_sub")
     )
     # level 2: exact per-key rank on the bounded survivor set
-    w2 = Window.partitionBy(kcol).orderBy(*dequeue_order())
+    w2 = Window.partitionBy(kcol).orderBy(*dequeue_order(aging_rate, current_wave))
     df = (
         df.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("_budget"))

@@ -1086,3 +1086,31 @@ def test_recrawl_schedule_respects_cache_floor(spark):
     assert recrawl_schedule(hist, 4).columns == recrawl_schedule(
         hist, 4, interval_floors=floors
     ).columns
+
+
+def test_priority_aging_prevents_starvation(spark):
+    """Under pure (priority DESC) a constant influx of fresh high-priority
+    URLs starves the long tail forever on a budget-1 host; aging_rate makes
+    waiting rows gain priority per wave waited, so the old URL eventually
+    outranks the fresh one — and rate 0 stays exactly the §2.8 order."""
+    old = as_frontier_rows(
+        spark.createDataFrame([("http://a.test/old", 1.0)], "url string, priority double"),
+        4, wave=0,
+    )
+    new = as_frontier_rows(
+        spark.createDataFrame([("http://a.test/new", 5.0)], "url string, priority double"),
+        4, wave=10,
+    )
+    elig = old.unionByName(new)
+    pol = Politeness((Limit(".*", 1),))
+    assert dequeue(elig, pol).first()["url"] == "http://a.test/new"
+    # old effective = 1 + 1·(10−0) = 11 > 5: the starving URL finally wins
+    assert (
+        dequeue(elig, pol, aging_rate=1, current_wave=10).first()["url"]
+        == "http://a.test/old"
+    )
+    # rate 0 with a current_wave is a no-op
+    assert (
+        dequeue(elig, pol, aging_rate=0, current_wave=10).first()["url"]
+        == "http://a.test/new"
+    )
