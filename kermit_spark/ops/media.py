@@ -893,3 +893,142 @@ def interleaved_span_dedup(
             ).alias("spans"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — insertion-robust binary near-dup
+# ---------------------------------------------------------------------------
+
+CDC_SIG_SCHEMA = "media_id string, chunk_idx int, chunk_md5 string, chunk_len int"
+
+#: rolling-hash parameters: window K, base B, modulus P (prime < 2^31 so the
+#: whole recurrence stays in exact int64 — portable across engines by
+#: construction, unlike uint64 wraparound)
+_CDC_K, _CDC_B, _CDC_P = 16, 1000003, 2147483647
+
+
+def cdc_chunk_signatures(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    mask_bits: int = 6,
+    min_chunk: int = 16,
+    max_chunk: int = 1024,
+) -> DataFrame:
+    """CONTENT-DEFINED chunk fingerprints for opaque media bytes (Rabin-
+    style CDC — LBFS, Muthitacharoen et al. SOSP'01; the dedup layout of
+    every modern backup/dedup store): a K-byte polynomial rolling hash
+    scans the payload and cuts a boundary wherever ``hash % 2^mask_bits
+    == 2^mask_bits - 1`` (expected chunk ≈ 2^mask_bits bytes), bounded to
+    [min_chunk, max_chunk] with forced cuts at max.
+
+    Why it exists next to :func:`chunk_signatures`: fixed boundaries shift
+    under ANY byte insertion/deletion — prepend 1 byte of metadata and all
+    8 sections change, the near-dup is lost. CDC boundaries move WITH the
+    content, so an insertion re-aligns within ~one chunk and every later
+    chunk hash still matches. The join key is the chunk HASH alone (no
+    index — indices shift by construction).
+
+    Arrow-batched mapInPandas; the per-position hash is one vectorized
+    numpy strided matmul per asset (the winnowing kernel of
+    ops.text._winnow_batch on bytes), only the boundary walk is a short
+    python loop over CANDIDATE cuts (≈ len/2^mask_bits per asset).
+    Output: (id, chunk_idx, chunk_md5, chunk_len); chunk_idx is ordinal
+    (reassembly order), not a join key."""
+    import hashlib
+
+    mask = (1 << mask_bits) - 1
+    K, B, P = _CDC_K, _CDC_B, _CDC_P
+
+    def chunk(batches):
+        powers = np.array(
+            [pow(B, K - 1 - j, P) for j in range(K)], dtype=np.int64
+        )
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = r[bytes_col]
+                if raw is None or len(raw) == 0:
+                    continue
+                data = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n = len(data)
+                cuts = []
+                if n >= K:
+                    win = np.lib.stride_tricks.sliding_window_view(data, K).astype(np.int64)
+                    hashes = (win * powers % P).sum(axis=1) % P
+                    # candidate boundary AFTER position i+K (window end)
+                    cand = (np.nonzero((hashes & mask) == mask)[0] + K).tolist()
+                else:
+                    cand = []
+                last = 0
+                ci = 0
+                for pos in cand:
+                    while pos - last > max_chunk:
+                        cuts.append(last + max_chunk)
+                        last += max_chunk
+                    if pos - last >= min_chunk and pos < n:
+                        cuts.append(pos)
+                        last = pos
+                while n - last > max_chunk:
+                    cuts.append(last + max_chunk)
+                    last += max_chunk
+                bounds = [0] + cuts + [n]
+                for ci, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                    piece = data[lo:hi].tobytes()
+                    rows.append(
+                        (
+                            r[id_col],
+                            ci,
+                            hashlib.md5(piece).hexdigest(),
+                            hi - lo,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "chunk_idx", "chunk_md5", "chunk_len"]
+                )
+
+    src = media.select(F.col(id_col).alias(id_col), F.col(bytes_col))
+    return src.mapInPandas(chunk, CDC_SIG_SCHEMA)
+
+
+def media_cdc_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    mask_bits: int = 6,
+    min_chunk: int = 16,
+    max_chunk: int = 1024,
+    min_shared: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate media by shared CONTENT-DEFINED chunks: pairs of
+    assets sharing >= ``min_shared`` distinct chunk hashes — robust to
+    byte insertion/deletion (appended EXIF, prepended header rewrites,
+    spliced watermark bytes), the cases fixed-section
+    media_chunk_near_dups misses by construction.
+
+    Scale shape: equi-join on chunk_md5 ONLY (indices shift, so they stay
+    out of the key), bucket-capped at ``max_bucket`` lowest ids (a chunk
+    of zeros shared by millions of assets can never go quadratic), one
+    hash-agg counting distinct shared hashes per pair. Output:
+    (a, b, shared), a < b."""
+    sigs = cdc_chunk_signatures(
+        media, id_col=id_col, bytes_col=bytes_col,
+        mask_bits=mask_bits, min_chunk=min_chunk, max_chunk=max_chunk,
+    ).select(F.col("media_id").alias("_id"), "chunk_md5").distinct()
+    wcap = Window.partitionBy("chunk_md5").orderBy("_id")
+    sigs = (
+        sigs.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    left = sigs.select("chunk_md5", F.col("_id").alias("a"))
+    right = sigs.select("chunk_md5", F.col("_id").alias("b"))
+    return (
+        left.join(right, ["chunk_md5"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

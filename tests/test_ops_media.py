@@ -545,3 +545,81 @@ def test_detect_content_type_mismatch_and_plan(spark):
     plan = detect_content_type(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# -- content-defined chunking ------------------------------------------------
+
+
+def test_cdc_chunks_reassemble_and_bound(spark):
+    import hashlib
+
+    import numpy as np
+
+    from kermit_spark.ops.media import cdc_chunk_signatures
+
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
+    media = spark.createDataFrame([("m1", bytearray(payload))], "media_id string, data binary")
+    rows = sorted(
+        cdc_chunk_signatures(media, min_chunk=16, max_chunk=256).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # chunks tile the payload exactly, in order, within [min, max]
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    assert sum(r["chunk_len"] for r in rows) == len(payload)
+    assert all(r["chunk_len"] <= 256 for r in rows)
+    assert all(r["chunk_len"] >= 16 for r in rows[:-1])  # tail may be short
+    # hashes are the md5 of the actual slices
+    pos = 0
+    for r in rows:
+        piece = payload[pos : pos + r["chunk_len"]]
+        assert r["chunk_md5"] == hashlib.md5(piece).hexdigest()
+        pos += r["chunk_len"]
+    # deterministic across runs
+    again = sorted(
+        cdc_chunk_signatures(media, min_chunk=16, max_chunk=256).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_cdc_survives_insertion_where_fixed_chunks_fail(spark):
+    """THE reason CDC exists: prepend 7 bytes to an asset and every fixed
+    section shifts (fixed-boundary near-dup lost), while content-defined
+    boundaries re-align within ~one chunk and the pair is still found."""
+    import numpy as np
+
+    from kermit_spark.ops.media import media_cdc_near_dups, media_chunk_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=4000, dtype=np.uint8).tobytes()
+    shifted = b"EXIFHDR" + base
+    media = spark.createDataFrame(
+        [("a0", bytearray(base)), ("a1", bytearray(shifted))],
+        "media_id string, data binary",
+    )
+    fixed = media_chunk_near_dups(media, n_chunks=8, min_shared=6).collect()
+    assert fixed == []  # every section boundary shifted -> no match
+    cdc = media_cdc_near_dups(media, min_shared=4).collect()
+    assert len(cdc) == 1 and cdc[0]["a"] == "a0" and cdc[0]["b"] == "a1"
+    assert cdc[0]["shared"] >= 4
+
+
+def test_cdc_bucket_cap_bounds_join(spark):
+    import numpy as np
+
+    from kermit_spark.ops.media import cdc_chunk_signatures, media_cdc_near_dups
+
+    # 30 identical assets: capped buckets keep pair count at C(cap,2), not C(30,2)
+    rng = np.random.default_rng(3)
+    payload = bytearray(rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes())
+    media = spark.createDataFrame(
+        [(f"m{i:02d}", payload) for i in range(30)], "media_id string, data binary"
+    )
+    pairs = media_cdc_near_dups(media, min_shared=4, max_bucket=5).collect()
+    ids = {p for r in pairs for p in (r["a"], r["b"])}
+    assert ids <= {f"m{i:02d}" for i in range(5)}  # lowest ids kept
+    assert len(pairs) == 10  # C(5,2)
+    # empty payloads contribute nothing
+    empty = spark.createDataFrame([("e", bytearray(b""))], "media_id string, data binary")
+    assert cdc_chunk_signatures(empty).collect() == []
