@@ -1731,6 +1731,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, num_planes=6).orderBy("query_id", "rnk")
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN through the REAL library op
+    (ops.similarity.ivf_pq_topk): IVF cell pruning (md5-sample coarse
+    quantizer, 4 of 16 cells probed) multiplied by PQ asymmetric-distance
+    scoring (4×16 codebooks) — the FAISS IVFPQ shape. Both halves reuse
+    the exact helpers their standalone oracles certify, and this oracle
+    composes the same two CTE chains, so candidates AND scores are
+    bit-identical."""
+    from kermit_spark.ops.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("id") < 8)
+    return ivf_pq_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, m=4, ks=16
+    ).orderBy("query_id", "rnk")
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN through the REAL library ops
     (ops.similarity.pq_codebooks/pq_encode/pq_topk): md5-sampled codebooks
@@ -3258,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivf_index": q_ann_ivf_index,
         "semdedup": q_semdedup,
         "embedding_project": q_embedding_project,
@@ -3551,6 +3571,93 @@ def _ann_pq_oracle(m: int = 4, ks: int = 16, k: int = 5) -> str:
             SELECT q.vec_id AS query_id, c.neighbor_id, q.s, q.d
             FROM subd q JOIN codes c ON c.s = q.s AND c.code = q.code
             WHERE q.vec_id < 8 AND c.neighbor_id != q.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_reduce(list(d ORDER BY s), {_LSH_FOLD}), 4) AS adc_dist
+            FROM pair_d GROUP BY query_id, neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        SELECT query_id, rnk, neighbor_id, adc_dist
+        FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def _ann_ivfpq_oracle(
+    n_centroids: int = 16, n_probe: int = 4, m: int = 4, ks: int = 16, k: int = 5
+) -> str:
+    """DuckDB replication of ops.similarity.ivf_pq_topk — the _ann_ivf_oracle
+    candidate chain (md5-sample cells, first-max assignment, n_probe probe
+    windows) composed with the _ann_pq_oracle scoring chain (codebooks,
+    first-min codes, subspace-ordered ADC fold), joined by restricting PQ
+    pairs to probed (query, cell) matches."""
+    cos_assign = f"""list_reduce(list_transform(generate_series(1, len(vv.v)),
+                       i -> vv.v[i] * ce.cv[i]), {_LSH_FOLD})
+                   / (sqrt(list_reduce(list_transform(vv.v, x -> x * x), {_LSH_FOLD}))
+                      * sqrt(list_reduce(list_transform(ce.cv, x -> x * x), {_LSH_FOLD})))"""
+    return f"""
+        WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ccent AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INTEGER - 1 AS cell,
+                   v AS cv
+            FROM vec QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_centroids}
+        ),
+        assign AS (
+            SELECT vv.vec_id, ce.cell, {cos_assign} AS sim
+            FROM vec vv, ccent ce
+        ),
+        corpus_cell AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM assign) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM assign WHERE vec_id < 8) WHERE rn <= {n_probe}
+        ),
+        pcent AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INTEGER - 1 AS code,
+                   v AS cv
+            FROM vec QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {ks}
+        ),
+        sub AS (SELECT (len(v) // {m})::INTEGER AS w FROM vec LIMIT 1),
+        subd AS (
+            SELECT vv.vec_id, s.s, pe.code,
+                   list_reduce(list_transform(generate_series(1, sub.w),
+                       i -> (vv.v[s.s * sub.w + i] - pe.cv[s.s * sub.w + i])
+                          * (vv.v[s.s * sub.w + i] - pe.cv[s.s * sub.w + i])),
+                       {_LSH_FOLD}) AS d
+            FROM vec vv
+            CROSS JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS s) s
+            CROSS JOIN pcent pe CROSS JOIN sub
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM subd) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT pr.query_id, cc.neighbor_id
+            FROM probes pr JOIN corpus_cell cc ON cc.cell = pr.cell
+            WHERE cc.neighbor_id != pr.query_id
+        ),
+        pair_d AS (
+            SELECT ca.query_id, ca.neighbor_id, q.s, q.d
+            FROM cand ca
+            JOIN codes c ON c.neighbor_id = ca.neighbor_id
+            JOIN subd q ON q.vec_id = ca.query_id AND q.s = c.s AND q.code = c.code
         ),
         scored AS (
             SELECT query_id, neighbor_id,
@@ -5000,6 +5107,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(num_planes=6, k=5),
         "ann_ivf_topk": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),
         "ann_pq_topk": _ann_pq_oracle(m=4, ks=16, k=5),
+        "ann_ivfpq_topk": _ann_ivfpq_oracle(n_centroids=16, n_probe=4, m=4, ks=16, k=5),
         # the persistent-index path returns bit-identical results, so it
         # shares the transient IVF oracle (index round-trip certified)
         "ann_ivf_index": _ann_ivf_oracle(n_centroids=16, n_probe=4, k=5),

@@ -20,7 +20,7 @@ output, same contract the frontier dequeue follows (SURVEY §2.8 spirit).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -394,6 +394,15 @@ def pq_encode(
     shuffle; persist the output like any DataFrame (the snapshot catalog
     or parquet) and re-encode only on corpus change."""
     v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _pq_codes_expr(v, books).alias("codes")
+    )
+
+
+def _pq_codes_expr(v, books) -> Column:
+    """array<int> of per-subspace codes for a vector column — first-min
+    argmin per subspace (array_position-of-array_min), shared by pq_encode
+    and the composed IVF-PQ scan so the two paths cannot drift."""
     m = len(books)
     sub = len(books[0][0])
     code_cols = []
@@ -401,9 +410,7 @@ def pq_encode(
         sl = F.slice(v, s * sub + 1, sub)
         dists = F.array(*[_sq_dist(sl, c) for c in books[s]])
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.array(*code_cols).alias("codes")
-    )
+    return F.array(*code_cols)
 
 
 def pq_topk(
@@ -455,6 +462,80 @@ def pq_topk(
         )
     scored = (
         codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_dist")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Composed IVF-PQ ANN — the FAISS IVFPQ shape (non-residual variant):
+    the IVF coarse quantizer prunes candidates to each query's ``n_probe``
+    nearest of ``n_centroids`` cells, and PQ asymmetric distance scores
+    the survivors from ``m`` table lookups. The two compressions multiply:
+    ~n_probe/n_centroids of the corpus is touched, at ~d/(m·lookup) the
+    bytes per candidate — at 100 TB of embeddings this is the difference
+    between an ANN query being a full-corpus float scan and a sub-percent
+    integer-code probe.
+
+    Candidate semantics are EXACTLY ivf_topk's (same md5-sample centroids,
+    same first-max cell assignment, same probe windows) and scoring is
+    EXACTLY pq_topk's (same codebooks, codes and fold order) — pinned by
+    the n_probe == n_centroids equivalence test and the shared helpers
+    (_cell_and_probes, _pq_codes_expr). Returns (query_id, rnk,
+    neighbor_id, adc_dist), ascending ADC distance, self excluded."""
+    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    cell_expr, probes_of = _cell_and_probes(cents, vec_col, n_probe)
+    books = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    sub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    # ONE corpus scan: cell + codes in the same codegen projection
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_expr.alias("cell"),
+        _pq_codes_expr(v, books).alias("codes"),
+    )
+    qv = F.col("qvec")
+    q = probes_of(queries, id_col).select(
+        "query_id",
+        "cell",
+        *[
+            F.array(
+                *[_sq_dist(F.slice(qv, s * sub + 1, sub), cbk) for cbk in books[s]]
+            ).alias(f"_dt{s}")
+            for s in range(m)
+        ],
+    )
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.col(f"_dt{s}"), F.element_at(F.col("codes"), s + 1) + 1
+        )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

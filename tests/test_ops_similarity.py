@@ -349,3 +349,41 @@ def test_pq_plan_and_validation(spark, emb):
         pq_codebooks(emb, m=0)
     with pytest.raises(ValueError):
         pq_codebooks(emb.limit(3), m=4, ks=8)
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb):
+    """n_probe == n_centroids probes every cell, so the IVF pruning is a
+    no-op and IVF-PQ must equal plain PQ ADC exactly — the composition
+    invariant that pins the two shared helpers together."""
+    from kermit_spark.ops.similarity import ivf_pq_topk, pq_topk
+
+    queries = emb.filter(F.col("id") < 5)
+    full = sorted(map(tuple, pq_topk(emb, queries, k=K, m=4, ks=16).collect()))
+    comp = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=K, n_centroids=8, n_probe=8, m=4, ks=16
+            ).collect(),
+        )
+    )
+    assert comp == full
+
+
+def test_ivfpq_recall_and_plan(spark, emb):
+    from kermit_spark.ops.similarity import brute_force_topk, ivf_pq_topk, recall_at_k
+
+    queries = emb.filter(F.col("id") < 10)
+    exact = brute_force_topk(emb, queries, k=K)
+    approx = ivf_pq_topk(
+        emb, queries, k=K, n_centroids=8, n_probe=4, m=4, ks=16
+    ).withColumnRenamed("adc_dist", "score")
+    # clustered data: pruned cells + coarse codes still find most neighbors
+    assert recall_at_k(exact, approx) >= 0.4
+    plan = (
+        ivf_pq_topk(emb, emb.filter(F.col("id") < 2), k=3, n_centroids=8, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # probe set broadcast against the single-scan (cell, codes) projection
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
