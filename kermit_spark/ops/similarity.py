@@ -304,6 +304,38 @@ def build_ivf_index(
     catalog.create(f"{prefix}_cells", assigned, n_centroids)
 
 
+def extend_ivf_index(
+    catalog,
+    new_vectors: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    prefix: str = "ivf",
+) -> None:
+    """Append new vectors to a persisted IVF index WITHOUT a rebuild — the
+    daily-increment path (the :func:`ops.dedup.extend_minhash_index`
+    analog): centroids are read back FROZEN from ``{prefix}_centroids``,
+    the increment is assigned with the exact same first-max rule, and the
+    rows fast-append into only the touched cell partitions
+    (catalog.merge_write with an empty replace set — commit cost O(new
+    data), untouched cells keep their files byte-for-byte).
+
+    Equivalence contract (pinned in pytest): searching the extended index
+    == searching an index built from the union corpus with the SAME
+    centroid list. Quantizer drift is the caller's tradeoff: frozen
+    centroids skew cell balance as the distribution shifts — rebuild when
+    recall or cell-size skew degrades (the same advice as the minhash
+    caps)."""
+    cent_rows = catalog.read(f"{prefix}_centroids").orderBy("cell").collect()
+    cents = [list(r["centroid"]) for r in cent_rows]
+    cell_expr, _ = _cell_and_probes(cents, vec_col, n_probe=1)
+    assigned = new_vectors.select(
+        cell_expr.alias("p"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    catalog.merge_write(f"{prefix}_cells", assigned, replace_parts=())
+
+
 def ivf_index_topk(
     catalog,
     queries: DataFrame,

@@ -387,3 +387,55 @@ def test_ivfpq_recall_and_plan(spark, emb):
     # probe set broadcast against the single-scan (cell, codes) projection
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_extend_ivf_index_equals_frozen_centroid_rebuild(spark, emb, vectors, tmp_path):
+    """Incremental append: extending the index with new vectors must search
+    identically to an index holding the union corpus under the SAME frozen
+    centroids — and the untouched cells' files must not be rewritten."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_index_topk,
+    )
+
+    base = emb.filter(F.col("id") < 40)
+    inc_rows = [(200 + i, [float(x) for x in vectors[40 + i]]) for i in range(10)]
+    inc = spark.createDataFrame(inc_rows, "id long, embedding array<double>")
+    queries = emb.filter(F.col("id") < 5)
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "a"))
+    build_ivf_index(cat, base, n_centroids=8)
+    extend_ivf_index(cat, inc)
+    got = sorted(tuple(r) for r in ivf_index_topk(cat, queries, k=K, n_probe=3).collect())
+
+    # independent numpy mirror: base's frozen md5-sample centroids, first-max
+    # assignment of the UNION corpus, 3-cell probes, exact rounded cosine
+    import hashlib
+
+    base_ids = sorted(range(40), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:8]
+    cents = np.array([vectors[i] for i in base_ids])
+    corpus = {i: vectors[i] for i in range(40)} | {200 + i: vectors[40 + i] for i in range(10)}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def cell_of(v):
+        sims = [cos(v, c) for c in cents]
+        return int(np.argmax(sims))  # first max = lowest cell on ties
+
+    cells = {i: cell_of(v) for i, v in corpus.items()}
+    want = []
+    for q in range(5):
+        sims = [cos(vectors[q], c) for c in cents]
+        probe = sorted(range(8), key=lambda c: (-sims[c], c))[:3]
+        cand = [i for i, c in cells.items() if c in probe and i != q]
+        scored = sorted(
+            ((round(cos(vectors[q], corpus[i]), 4), i) for i in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        want += [(q, rk + 1, i, s) for rk, (s, i) in enumerate(scored)]
+    assert got == sorted(want)
+    # increment ids surface as true neighbors of their cluster
+    assert any(r[2] >= 200 for r in got)
