@@ -1410,7 +1410,15 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = nodes.filter(F.col("node") + 37 <= m).select(
         F.col("node").alias("a"), (F.col("node") + 37).alias("b")
     )
-    return connected_components_star(pairs).orderBy("node")
+    cc = connected_components_star(pairs)
+    # mirror the oracle's LEFT JOIN over ALL customers: an isolated node
+    # (no ±37 neighbor — possible under sparse keys / tiny scale) labels
+    # itself instead of silently vanishing from the result
+    return (
+        nodes.join(cc, "node", "left")
+        .select("node", F.coalesce(F.col("component"), F.col("node")).alias("component"))
+        .orderBy("node")
+    )
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5364,7 +5372,9 @@ def oracle_sql() -> dict[str, str]:
                                        w -> length(w) > 0)) AS n_tokens
                 FROM documents
             ),
-            nz AS (SELECT * FROM words WHERE n_tokens > 0),
+            -- empty docs survive with n_tokens=0 (tokens_to_ids keeps them
+            -- via posexplode_outer; a dropped doc would read as missing)
+            nz AS (SELECT * FROM words),
             tot AS (SELECT CAST(ceil(sum(n_tokens)::DOUBLE / 32768) AS BIGINT) AS n_shards FROM nz),
             sh AS (
                 SELECT doc_id, n_tokens,

@@ -146,6 +146,8 @@ def bloom_fill_stats(bloom: DataFrame) -> DataFrame:
                 bits = np.frombuffer(buf, dtype=np.uint8) if buf is not None else None
                 k = int(r["k_hashes"])
                 if k == 0:  # cuckoo fingerprint table
+                    from .cuckoo import _SLOTS
+
                     occupied = int(np.count_nonzero(bits)) if bits is not None else 0
                     slots = len(bits) if bits is not None else 0
                     row = {
@@ -154,7 +156,9 @@ def bloom_fill_stats(bloom: DataFrame) -> DataFrame:
                         "k_hashes": 0,
                         "fill_ratio": occupied / slots if slots else 0.0,
                         "est_keys": float(occupied),
-                        "est_fpp": 8.0 / 256.0,
+                        # structural fp bound of partial-key cuckoo:
+                        # 2 buckets x slots candidate fingerprints / 2^8
+                        "est_fpp": 2.0 * _SLOTS / 256.0,
                     }
                 else:
                     row = _fill_row(bits, int(r["m_bits"]), k, int(r["n_items"]))

@@ -137,9 +137,11 @@ def build_token_vocab(tokens_df: DataFrame, tokens_col: str = "tokens") -> DataF
         (off_map[F.col("bucket")] + F.row_number().over(w) - 1).cast("int").alias("tid"),
         "tf",
     )
-    rows = out.collect()  # vocabulary-sized; materialize before unpersist
+    # materialize distributed (NOT a driver collect — a web-scale vocab is
+    # tens of millions of rows) so the ranks survive stats.unpersist()
+    out = out.localCheckpoint()
     stats.unpersist()
-    return tokens_df.sparkSession.createDataFrame(rows, out.schema)
+    return out
 
 
 def tokens_to_ids(
@@ -153,9 +155,11 @@ def tokens_to_ids(
     through a (token, tid) vocab table: posexplode → broadcast join →
     order-restoring array_sort regroup. One shuffle on the doc id; the
     vocab never shuffles (broadcast). Unknown tokens get ``unk_id``.
-    Output: (id_col, token_ids, n_tokens)."""
+    Empty/null token arrays survive as ``token_ids = []`` (posexplode_outer
+    keeps the row; a dropped document would be indistinguishable from a
+    missing one downstream). Output: (id_col, token_ids, n_tokens)."""
     pe = tokens_df.select(
-        F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "token")
+        F.col(id_col), F.posexplode_outer(F.col(tokens_col)).alias("pos", "token")
     )
     joined = pe.join(F.broadcast(vocab.select("token", "tid")), "token", "left")
     return (
@@ -163,8 +167,16 @@ def tokens_to_ids(
         .agg(
             F.transform(
                 F.array_sort(
+                    # the null-pos marker row of an empty doc contributes
+                    # nothing (collect_list skips nulls) but keeps the group
                     F.collect_list(
-                        F.struct(F.col("pos"), F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid"))
+                        F.when(
+                            F.col("pos").isNotNull(),
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid"),
+                            ),
+                        )
                     )
                 ),
                 lambda s: s["tid"],
@@ -207,6 +219,9 @@ def export_token_shards(
 
     if dtype not in ("uint16", "uint32"):
         raise ValueError(f"dtype must be uint16|uint32, got {dtype!r}")
+    # two actions read df (totals aggregate, then the shard write) — cache
+    # so a corpus-sized upstream (tokenize + id-map) computes once
+    df = df.persist()
     totals = df.agg(
         F.coalesce(F.sum(F.size(F.col(ids_col))), F.lit(0)).alias("toks"),
     ).first()
@@ -255,6 +270,7 @@ def export_token_shards(
     )
     idx = staged.groupBy("__shard").applyInPandas(write_shard, TOKEN_INDEX_SCHEMA)
     idx.write.mode("overwrite").parquet(os.path.join(path, "index"))
+    df.unpersist()
     return df.sparkSession.read.parquet(os.path.join(path, "index"))
 
 
@@ -280,7 +296,9 @@ def read_token_shards(
     out_schema = StructType(
         [
             StructField("doc_id", LongType(), False),
-            StructField("token_ids", ArrayType(IntegerType()), False),
+            # LONG elements: a uint32 id above 2^31 is valid on disk and
+            # must not wrap negative on read-back
+            StructField("token_ids", ArrayType(LongType()), False),
             StructField("n_tokens", IntegerType(), False),
         ]
     )
@@ -296,7 +314,7 @@ def read_token_shards(
                     for _, r in grp.sort_values("offset").iterrows():
                         fh.seek(int(r["offset"]) * np_dtype.itemsize)
                         buf = fh.read(int(r["n_tokens"]) * np_dtype.itemsize)
-                        ids = np.frombuffer(buf, dtype=np_dtype).astype(np.int32)
+                        ids = np.frombuffer(buf, dtype=np_dtype).astype(np.int64)
                         rows.append((int(r["doc_id"]), ids.tolist(), int(r["n_tokens"])))
             if rows:
                 yield pd.DataFrame(rows, columns=["doc_id", "token_ids", "n_tokens"])

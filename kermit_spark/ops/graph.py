@@ -163,10 +163,13 @@ def connected_components_star(
     clusters banded LSH emits (2-4 rounds, no orientation work); prefer
     this for unknown or long-path cluster shapes.
     """
+    # localCheckpoint (not persist): the node set is only read by the lazy
+    # final labels join, after the loop — a persist would never be hit
+    # before its unpersist, silently re-deriving an expensive pairs input
     nodes = (
         pairs.select(F.explode(F.array(F.col(a_col), F.col(b_col))).alias("node"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -216,11 +219,9 @@ def connected_components_star(
     # (min-parent agg is a no-op at fixpoint — one parent per child — and
     # keeps labels single-valued if max_iter ever cuts convergence short)
     parents = edges.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("parent"))
-    labels = nodes.join(parents, "node", "left").select(
+    return nodes.join(parents, "node", "left").select(
         "node", F.coalesce(F.col("parent"), F.col("node")).alias("component")
     )
-    nodes.unpersist()
-    return labels
 
 
 def pagerank(

@@ -933,8 +933,10 @@ def cdc_chunk_signatures(
     numpy strided matmul per asset (the winnowing kernel of
     ops.text._winnow_batch on bytes), only the boundary walk is a short
     python loop over CANDIDATE cuts (≈ len/2^mask_bits per asset).
-    Output: (id, chunk_idx, chunk_md5, chunk_len); chunk_idx is ordinal
-    (reassembly order), not a join key."""
+    Output: (media_id, chunk_idx, chunk_md5, chunk_len) — the id column is
+    stringified and named media_id regardless of ``id_col`` (the Arrow
+    schema is fixed); chunk_idx is ordinal (reassembly order), not a join
+    key."""
     import hashlib
 
     mask = (1 << mask_bits) - 1
@@ -988,7 +990,9 @@ def cdc_chunk_signatures(
                     rows, columns=["media_id", "chunk_idx", "chunk_md5", "chunk_len"]
                 )
 
-    src = media.select(F.col(id_col).alias(id_col), F.col(bytes_col))
+    src = media.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(bytes_col)
+    )
     return src.mapInPandas(chunk, CDC_SIG_SCHEMA)
 
 

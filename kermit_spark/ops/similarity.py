@@ -473,33 +473,49 @@ def pq_topk(
     (pq_encode/pq_codebooks) for the build-once/search-many form."""
     if books is None:
         books = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    m = len(books)
-    sub = len(books[0][0])
     if codes is None:
         codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-    qv = F.col(vec_col).cast("array<double>")
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[_sq_dist(F.slice(qv, s * sub + 1, sub), c) for c in books[s]]
-            ).alias(f"_dt{s}")
-            for s in range(m)
-        ],
+        F.col(id_col).alias("query_id"), *_pq_table_cols(vec_col, books)
     )
+    scored = codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_adc_score(len(books)), round_digits).alias("adc_dist"),
+    )
+    return _rank_adc(scored, k)
+
+
+def _pq_table_cols(vec_col: str, books) -> list[Column]:
+    """Per-query ADC distance tables: one ks-entry array per subspace
+    (query subvector to every codebook centroid), shared by pq_topk and
+    ivf_pq_topk so scoring cannot drift between the two paths."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(books[0][0])
+    return [
+        F.array(
+            *[_sq_dist(F.slice(v, s * sub + 1, sub), c) for c in books[s]]
+        ).alias(f"_dt{s}")
+        for s in range(len(books))
+    ]
+
+
+def _adc_score(m: int) -> Column:
+    """ADC score = the m table lookups summed in subspace order (the exact
+    left-to-right double fold the SQL oracles replay)."""
     score = F.lit(0.0)
     for s in range(m):
         score = score + F.element_at(
             F.col(f"_dt{s}"), F.element_at(F.col("codes"), s + 1) + 1
         )
-    scored = (
-        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(score, round_digits).alias("adc_dist"),
-        )
-    )
+    return score
+
+
+def _rank_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Ascending-ADC per-query top-k with neighbor-id tie-break — the one
+    ranking contract for both PQ paths."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -540,8 +556,6 @@ def ivf_pq_topk(
     cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
     cell_expr, probes_of = _cell_and_probes(cents, vec_col, n_probe)
     books = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
-    m = len(books)
-    sub = len(books[0][0])
     v = F.col(vec_col).cast("array<double>")
     # ONE corpus scan: cell + codes in the same codegen projection
     c = corpus.select(
@@ -549,39 +563,20 @@ def ivf_pq_topk(
         cell_expr.alias("cell"),
         _pq_codes_expr(v, books).alias("codes"),
     )
-    qv = F.col("qvec")
-    q = probes_of(queries, id_col).select(
-        "query_id",
-        "cell",
-        *[
-            F.array(
-                *[_sq_dist(F.slice(qv, s * sub + 1, sub), cbk) for cbk in books[s]]
-            ).alias(f"_dt{s}")
-            for s in range(m)
-        ],
-    )
-    score = F.lit(0.0)
-    for s in range(m):
-        score = score + F.element_at(
-            F.col(f"_dt{s}"), F.element_at(F.col("codes"), s + 1) + 1
-        )
+    # distance tables computed ONCE PER QUERY (the probe explode would
+    # evaluate the m*ks folds n_probe times), then joined to the probe set
+    qt = queries.select(F.col(id_col).alias("query_id"), *_pq_table_cols(vec_col, books))
+    q = probes_of(queries, id_col).select("query_id", "cell").join(qt, "query_id")
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(score, round_digits).alias("adc_dist"),
+            F.round(_adc_score(len(books)), round_digits).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "adc_dist")
-    )
+    return _rank_adc(scored, k)
 
 
 def random_projection(
