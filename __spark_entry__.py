@@ -2119,6 +2119,41 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET extracted-text export ROUND TRIP through the REAL conversion
+    sink (kermit_spark.warc.write_wet/read_wet): the shared interleaved
+    synthesis is written as WARC/1.0 conversion records (visible text =
+    text-span bodies + link anchors in span order, newline-joined,
+    whitespace-only entries dropped — the Common Crawl .wet rule) and
+    parsed back by Content-Length. The oracle re-derives the same text
+    with an ordered string_agg over the synthesis CTE, so the hash
+    certifies both the extraction rule and byte fidelity through the
+    format."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import read_wet, write_wet
+
+    docs = _synth_interleaved_docs(spark, sf_dir).select(
+        F.concat(F.lit("http://w.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("wave"),
+        F.col("spans"),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_wet_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_wet(docs.repartition(4), tmp)
+        return (
+            read_wet(spark, tmp)
+            .select("url", F.md5(F.col("text")).alias("text_md5"))
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot read (Iceberg incremental-scan / CDC analog)
     through the REAL catalog (SnapshotCatalog.read_incremental): snapshot 0
@@ -3311,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "export_tokens": q_export_tokens,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_wet": q_warc_wet,
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
         "text_bigram_lm": q_text_bigram_lm,
@@ -5361,6 +5397,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS body_md5
             FROM documents
             ORDER BY url
+        """,
+        # WET conversion export: visible text re-derived by ordered
+        # string_agg over the shared synthesis (text chunks with non-space
+        # content, kept verbatim, plus the trailing link anchor 'next')
+        "warc_wet": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            vis AS (
+                SELECT doc_id, off, t AS entry
+                FROM tspans WHERE length(trim(t)) > 0
+                UNION ALL
+                SELECT doc_id, (nc*2)::INT AS off, 'next' AS entry FROM d
+            ),
+            txt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(entry, chr(10) ORDER BY off), '') AS text
+                FROM vis GROUP BY doc_id
+            )
+            SELECT 'http://w.test/d/' || doc_id AS url, md5(text) AS text_md5
+            FROM txt ORDER BY url
         """,
         # shard-export round trip: the text_pack recurrence aggregated per
         # (source, bin) — what the manifest rebuilt from disk must equal

@@ -303,6 +303,12 @@ class CrawlConfig:
     # so a resumed crawl may admit that many extra retries per host).
     # None = unlimited (reference behavior).
     max_pages_per_host: int | None = None
+    # per-PAGE discovery budget (Heritrix extractor max-outlinks analog):
+    # only the first n link-kind spans per page, in document order, become
+    # discovery candidates — a machine-generated page with 10^5 anchors
+    # cannot flood the dedup join. Applied as a shuffle-free array slice
+    # before the explode. None = unlimited (reference behavior).
+    max_outlinks: int | None = None
     # magic-byte content sniffing (ops.media.sniff_mime) on fetched bodies:
     # routing and the documents table's content_type use the sniffed
     # EFFECTIVE type, so a server lying in Content-Type can neither hide an
@@ -318,6 +324,13 @@ class CrawlConfig:
     # sitemap URLs seed like any first fetch (dedup drops known ones).
     # 0 = never re-fetch (reference parity: fetch once, cache forever).
     robots_max_age_waves: int = 0
+    # RFC 9309 §2.3.1.4 "unreachable" semantics: a 5xx robots.txt probe
+    # means the host's policy is UNKNOWN and the crawler must assume
+    # complete disallow (4xx stays allow-all per §2.3.1.3). With
+    # robots_max_age_waves > 0 the host re-probes and recovers when the
+    # server does; with fetch-once it stays conservatively blocked.
+    # False = treat any non-200 as allow-all.
+    robots_5xx_disallow: bool = True
 
     def admit_expr(self, url) -> F.Column:
         """url_filter AND trap defense — the combined admission predicate."""
@@ -482,7 +495,10 @@ class Crawler:
             )
             fetched = self.fetcher.fetch(to_fetch)
             new_rules = robots_rules_from_fetch(
-                fetched, self.config.user_agent, wave=wave
+                fetched,
+                self.config.user_agent,
+                wave=wave,
+                server_error_disallow=self.config.robots_5xx_disallow,
             )
             if not self.catalog.exists(ROBOTS_TABLE):
                 self.catalog.create(ROBOTS_TABLE, new_rules, self.config.num_partitions)
@@ -1039,6 +1055,7 @@ class Crawler:
             docs,
             honor_base=cfg.html_compliance,
             honor_nofollow=cfg.html_compliance,
+            max_outlinks=cfg.max_outlinks,
         ).filter(cfg.admit_expr(F.col("url")))
         if sitemap_cands is not None:
             candidates = candidates.unionByName(

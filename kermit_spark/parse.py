@@ -308,6 +308,7 @@ def discover_links(
     documents: DataFrame,
     honor_base: bool = False,
     honor_nofollow: bool = False,
+    max_outlinks: int | None = None,
 ) -> DataFrame:
     """X3: spans → candidate URLs for the next wave.
 
@@ -322,6 +323,13 @@ def discover_links(
     and a <meta http-equiv=refresh url=...> target is discovered like a
     link (honor_base gates it — it's part of the same compliance mode).
     All default off — reference parity.
+
+    ``max_outlinks`` keeps only the FIRST n link-kind spans per page in
+    document order (the Heritrix extractor link-budget analog): a
+    machine-generated page with 10^5 anchors contributes a bounded set of
+    discovery candidates instead of flooding the dedup join. Shuffle-free —
+    the cap is an array slice on the spans column BEFORE the explode, so
+    no (page_url) repartition ever happens.
     """
     if honor_nofollow and "robots_nofollow" in documents.columns:
         documents = documents.filter(~F.coalesce(F.col("robots_nofollow"), F.lit(False)))
@@ -331,12 +339,17 @@ def discover_links(
         )
     else:
         base_url = F.col("url")
+    link_spans = F.filter(
+        F.col("spans"), lambda s: s["kind"].isin("link", "resource", "media")
+    )
+    if max_outlinks is not None:
+        link_spans = F.slice(link_spans, 1, int(max_outlinks))
     exploded = documents.select(
         base_url.alias("base_url"),
         F.col("url").alias("page_url"),
         F.col("depth"),
-        F.posexplode_outer("spans").alias("pos", "span"),
-    ).filter(F.col("span.kind").isin("link", "resource", "media"))
+        F.posexplode_outer(link_spans).alias("pos", "span"),
+    )
     cleaned = exploded.select(
         clean_urls(F.col("base_url"), F.col("span.media_ref")).alias("url"),
         F.col("page_url").alias("referer"),

@@ -219,22 +219,43 @@ def make_parse_udf(agent: str = "kermit-spark"):
 
 
 def robots_rules_from_fetch(
-    fetched: DataFrame, agent: str = "kermit-spark", wave: int = 0
+    fetched: DataFrame, agent: str = "kermit-spark", wave: int = 0,
+    server_error_disallow: bool = True,
 ) -> DataFrame:
     """Fetched robots.txt rows → (p, host, fetched, rules, crawl_delay,
-    sitemaps, fetched_wave). Non-200 fetches yield empty rules + null delay
-    (allow-all). ``fetched_wave`` stamps WHEN the rules were obtained — the
-    age datum robots_max_age_waves expiry reads (RFC 9309 §2.4: cached
+    sitemaps, fetched_wave). Status-class semantics per RFC 9309 §2.3.1:
+    200 parses the body; 4xx/other non-200 "unavailable" yields empty rules
+    (allow-all, §2.3.1.3); 5xx "unreachable" yields a complete-disallow rule
+    (§2.3.1.4 — a crawler MUST assume full disallow while the server
+    errors; with ``robots_max_age_waves`` expiry the host re-probes and
+    recovers, with fetch-once it stays conservatively blocked).
+    ``server_error_disallow=False`` restores the older allow-all-on-any-
+    failure behavior. ``fetched_wave`` stamps WHEN the rules were obtained —
+    the age datum robots_max_age_waves expiry reads (RFC 9309 §2.4: cached
     robots results should not be used for longer than the origin allows,
     commonly bounded at 24 h; the wave clock is this engine's time base)."""
     parse = make_parse_udf(agent)
-    parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(
-        F.struct(
-            F.array().cast(RULES_TYPE).alias("rules"),
-            F.lit(None).cast("double").alias("crawl_delay"),
-            F.array().cast("array<string>").alias("sitemaps"),
-        )
+    allow_all = F.struct(
+        F.array().cast(RULES_TYPE).alias("rules"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+        F.array().cast("array<string>").alias("sitemaps"),
     )
+    # url_path() always yields a leading '/', so '^/' matches every target
+    disallow_all = F.struct(
+        F.array(
+            F.struct(F.lit("^/").alias("pattern"), F.lit(False).alias("allow"))
+        ).cast(RULES_TYPE).alias("rules"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+        F.array().cast("array<string>").alias("sitemaps"),
+    )
+    failed = (
+        F.when(
+            (F.col("status") >= 500) & (F.col("status") <= 599), disallow_all
+        ).otherwise(allow_all)
+        if server_error_disallow
+        else allow_all
+    )
+    parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(failed)
     return fetched.select(
         F.col("p"),
         F.col("host"),

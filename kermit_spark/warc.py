@@ -343,3 +343,132 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInPandas(parse, WARC_READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET — the extracted-text conversion sibling of the response archive
+# (Common Crawl ships crawl text as WARC-Type: conversion records in .wet
+# files; text-pipeline consumers read those instead of raw WARC). Same
+# framing discipline as write_warc: one complete record string per row,
+# parallel part files, explicit date, ids derived from (url, wave) so the
+# conversion record's WARC-Refers-To matches the response record write_warc
+# produced for the same row.
+# ---------------------------------------------------------------------------
+
+WET_READ_SCHEMA = "url string, wave int, text string"
+
+
+def wet_text(spans) -> "F.Column":
+    """Visible text of an interleaved document, as one newline-joined
+    string in span order: text-span bodies and link anchor text (what a
+    text extractor keeps), media/resource refs dropped. Whitespace-only
+    entries contribute nothing. Pure JVM expression — no Python on the
+    extraction path."""
+    visible = F.transform(
+        spans,
+        lambda s: F.when(s["kind"].isin("text", "link"), s["text"]),
+    )
+    return F.array_join(
+        F.filter(visible, lambda t: t.isNotNull() & (F.trim(t) != "")),
+        "\n",
+    )
+
+
+def _render_wet_record(url, wave, text, date: str) -> str:
+    import hashlib
+
+    body = text or ""
+    n = len(body.encode("utf-8"))
+
+    def uuid_of(key: str) -> str:
+        rid = hashlib.md5(key.encode()).hexdigest()
+        return f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
+
+    return (
+        f"{_WARC_VERSION}\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uuid_of(url + chr(0) + str(wave) + chr(0) + 'wet')}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{uuid_of(url + chr(0) + str(wave))}>\r\n"
+        f"WARC-Kermit-Wave: {wave}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {n}\r\n"
+        "\r\n"
+        f"{body}\r\n"
+    )
+
+
+def write_wet(
+    documents: DataFrame,
+    path: str,
+    date: str = "2000-01-01T00:00:00Z",
+    order_cols: tuple[str, ...] = ("url",),
+) -> None:
+    """documents rows (url, wave, spans) → ``path`` as parallel .wet part
+    files of WARC/1.0 conversion records. Text derivation (wet_text) runs
+    JVM-side; only the record assembly is an Arrow batch."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        _render_wet_record(u, w, t, date)
+                        for u, w, t in zip(pdf["url"], pdf["wave"], pdf["text"])
+                    ]
+                }
+            )
+
+    (
+        documents.select("url", "wave", wet_text(F.col("spans")).alias("text"))
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(render, "value string")
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n")
+        .text(path)
+    )
+
+
+def _parse_wet_file(text: str) -> list[tuple]:
+    """Sequential Content-Length-driven parse of one .wet file (conversion
+    records carry the plain-text payload directly — no HTTP head)."""
+    out: list[tuple] = []
+    pos = 0
+    while pos < len(text):
+        if not text.startswith(_WARC_VERSION, pos):
+            break
+        head_end = text.index("\r\n\r\n", pos)
+        headers = {}
+        for line in text[pos:head_end].split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers["content-length"])
+        body_start = head_end + 4
+        body = text[body_start:].encode("utf-8")[:n].decode("utf-8")
+        out.append(
+            (
+                headers["warc-target-uri"],
+                int(headers.get("warc-kermit-wave", 0)),
+                body,
+            )
+        )
+        pos = body_start + len(body) + 4
+    return out
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Parse .wet files back to (url, wave, text) — one task per file."""
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf["value"]:
+                rows.extend(_parse_wet_file(text))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "wave", "text"])
+
+    return files.mapInPandas(parse, WET_READ_SCHEMA)

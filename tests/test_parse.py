@@ -137,6 +137,40 @@ def test_html_meta_extraction_forms(spark):
     assert "base_href" not in cols and "robots_nofollow" not in cols
 
 
+def test_discover_links_max_outlinks_caps_in_document_order(spark):
+    """max_outlinks keeps the first n LINK-KIND spans per page in document
+    order — interleaved text spans don't consume budget, and the uncapped
+    call is unchanged."""
+    from kermit_spark.parse import discover_links, parse_documents
+
+    body = (
+        "prose one <a href='/l1.html'>1</a> prose two "
+        '<link href="/r1.css"> <a href=/l2.html>2</a> '
+        '<img src="/m1.png"> <a href="/l3.html">3</a>'
+    )
+    docs = parse_documents(_fetched_df(spark, body))
+    assert discover_links(docs).count() == 5
+    capped = discover_links(docs, max_outlinks=3).orderBy("url").collect()
+    assert [r["url"] for r in capped] == [
+        "http://a.test/l1.html",
+        "http://a.test/l2.html",
+        "http://a.test/r1.css",
+    ]
+    # per-PAGE budget: a second page keeps its own first-n
+    two = docs.unionByName(
+        parse_documents(
+            _fetched_df(spark, "<a href='/only.html'>x</a>").withColumn(
+                "url", F.lit("http://b.test/p.html")
+            ).withColumn("host", F.lit("b.test")).withColumn("url_hash", F.lit(2))
+        )
+    )
+    got = discover_links(two, max_outlinks=1).orderBy("url").collect()
+    assert [r["url"] for r in got] == [
+        "http://a.test/l1.html",
+        "http://b.test/only.html",
+    ]
+
+
 def test_discover_links_honor_base_href(spark):
     """Relative links resolve against <base href> (itself resolved against
     the page URL) when honored; against the page URL otherwise. The referer

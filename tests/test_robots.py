@@ -224,6 +224,46 @@ def test_gate_empty_rules_allows(spark):
     assert robots_gate(eligible, rules).count() == 1
 
 
+def test_rules_from_fetch_status_classes(spark):
+    """RFC 9309 §2.3.1 status semantics: 200 parses, 4xx allow-all,
+    5xx complete disallow (and the opt-out restores allow-all)."""
+    from kermit_spark.robots import robots_rules_from_fetch
+
+    fetched = spark.createDataFrame(
+        [
+            (0, "ok.test", 200, "User-agent: *\nDisallow: /private/\n"),
+            (0, "gone.test", 404, None),
+            (1, "down.test", 503, None),
+        ],
+        "p int, host string, status int, body string",
+    )
+    rules = {
+        r["host"]: [(x["pattern"], x["allow"]) for x in r["rules"]]
+        for r in robots_rules_from_fetch(fetched).collect()
+    }
+    assert rules["ok.test"] == [("^/private/", False)]
+    assert rules["gone.test"] == []  # unavailable -> allow-all
+    assert rules["down.test"] == [("^/", False)]  # unreachable -> disallow-all
+
+    # the disallow-all rule actually blocks every path through the gate
+    eligible = spark.createDataFrame(
+        [(1, "http://down.test/", "down.test"), (1, "http://down.test/a?q=1", "down.test")],
+        "p int, url string, host string",
+    )
+    gated = robots_gate(
+        eligible, robots_rules_from_fetch(fetched).select("host", "rules")
+    )
+    assert gated.count() == 0
+
+    legacy = {
+        r["host"]: list(r["rules"])
+        for r in robots_rules_from_fetch(
+            fetched, server_error_disallow=False
+        ).collect()
+    }
+    assert legacy["down.test"] == []
+
+
 def test_gate_matches_parser_verdicts_end_to_end(spark):
     """Differential: JVM regexp_like gate == the Python _verdict mirror over
     a wildcard/allow/anchor rule set."""

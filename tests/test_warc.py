@@ -200,3 +200,78 @@ def test_cdx_table_lookup_prunes_buckets_and_fetches(spark, tmp_path):
         "http://h3.test/p/3": "body-3",
         "http://h17.test/p/17": "body-17",
     }
+
+
+SPANS_DDL = (
+    "url string, wave int, "
+    "spans array<struct<kind string, text string, media_ref string, offset int>>"
+)
+
+
+def test_wet_round_trip_and_text_rule(spark, tmp_path):
+    """WET conversion records: visible text = text-span bodies + link
+    anchors in span order, newline-joined; whitespace-only and media/
+    resource spans contribute nothing; empty docs round-trip as ''."""
+    from kermit_spark.warc import read_wet, write_wet
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "http://a.test/1",
+                0,
+                [
+                    ("text", "hello  world", None, 0),
+                    ("link", "next", "/n/2", 1),
+                    ("media", None, "/img/x.png", 2),
+                    ("text", "  ", None, 3),
+                    ("resource", None, "/s.css", 4),
+                    ("text", "tail", None, 5),
+                ],
+            ),
+            ("http://a.test/2", 1, []),
+        ],
+        SPANS_DDL,
+    )
+    path = str(tmp_path / "wet")
+    write_wet(docs.repartition(3), path)
+    back = {r["url"]: r for r in read_wet(spark, path).collect()}
+    assert back["http://a.test/1"]["text"] == "hello  world\nnext\ntail"
+    assert back["http://a.test/1"]["wave"] == 0
+    assert back["http://a.test/2"]["text"] == ""
+    assert back["http://a.test/2"]["wave"] == 1
+
+
+def test_wet_refers_to_matches_response_record_id(spark, tmp_path):
+    """The conversion record's WARC-Refers-To is the WARC-Record-ID the
+    response archive writes for the SAME (url, wave) — the Common Crawl
+    wet→warc linkage."""
+    import re
+
+    from kermit_spark.warc import write_warc, write_wet
+
+    spans_docs = spark.createDataFrame(
+        [("http://a.test/x", 3, [("text", "t", None, 0)])], SPANS_DDL
+    )
+    resp_docs = spark.createDataFrame(
+        [("http://a.test/x", 3, 200, "text/html", "<p>t</p>")],
+        "url string, wave int, status int, content_type string, body string",
+    )
+    wet_dir, warc_dir = str(tmp_path / "wet"), str(tmp_path / "warc")
+    write_wet(spans_docs, wet_dir)
+    write_warc(resp_docs, warc_dir)
+
+    def slurp(d):
+        import pathlib
+
+        return "".join(
+            p.read_text() for p in sorted(pathlib.Path(d).glob("part-*"))
+        )
+
+    wet_text_raw, warc_text = slurp(wet_dir), slurp(warc_dir)
+    refers = re.search(r"WARC-Refers-To: <urn:uuid:([0-9a-f-]+)>", wet_text_raw).group(1)
+    resp_id = re.search(r"WARC-Record-ID: <urn:uuid:([0-9a-f-]+)>", warc_text).group(1)
+    assert refers == resp_id
+    wet_id = re.search(r"WARC-Record-ID: <urn:uuid:([0-9a-f-]+)>", wet_text_raw).group(1)
+    assert wet_id != resp_id
+    assert "WARC-Type: conversion" in wet_text_raw
+    assert "Content-Type: text/plain" in wet_text_raw
