@@ -675,12 +675,35 @@ def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_parsed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared by q_parse_spans / q_media_caption: fixed five-span HTML
-    template over the documents table, parsed by the REAL engine surface
-    (parse.parse_documents → Arrow-batched span tokenizer)."""
-    from kermit_spark.parse import parse_documents
+#: Constructed five-span expectation for the fixed HTML template — shared
+#: verbatim by the parse_spans (live tokenizer) and warc_reparse (archive
+#: replay) oracles: one rule, both paths must land on it.
+_PARSE_SPANS_ORACLE = """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 1, 60), '\\s+', ' ', 'g')) AS t1,
+                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 61, 60), '\\s+', ' ', 'g')) AS t2
+                FROM documents WHERE n_chars >= 140
+            )
+            SELECT doc_id, "offset", kind, text, media_ref FROM (
+                SELECT doc_id, 0 AS "offset", 'text' AS kind, t1 AS text, NULL AS media_ref FROM d
+                UNION ALL
+                SELECT doc_id, 1, 'link', 'next ' || doc_id, '/n/' || (doc_id + 1) || '.html' FROM d
+                UNION ALL
+                SELECT doc_id, 2, 'media', NULL, '/img/' || (doc_id % 50) || '.png' FROM d
+                UNION ALL
+                SELECT doc_id, 3, 'resource', NULL, '/css/' || (doc_id % 7) || '.css' FROM d
+                UNION ALL
+                SELECT doc_id, 4, 'text', t2, NULL FROM d
+            ) ORDER BY doc_id, "offset"
+        """
 
+
+def _synth_fetched_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw fetched rows carrying the fixed five-span HTML template over the
+    documents table — shared by the direct-parse queries (via
+    _synth_parsed_documents) and the WARC replay query (which round-trips
+    the bodies through the archive before parsing)."""
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("n_chars") >= 140)
@@ -707,7 +730,16 @@ def _synth_parsed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/html").alias("content_type"),
         body.alias("body"),
     )
-    return parse_documents(fetched.drop("doc_id")).withColumn(
+    return fetched.drop("doc_id")
+
+
+def _synth_parsed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_parse_spans / q_media_caption: the template fetched rows
+    parsed by the REAL engine surface (parse.parse_documents →
+    Arrow-batched span tokenizer)."""
+    from kermit_spark.parse import parse_documents
+
+    return parse_documents(_synth_fetched_html(spark, sf_dir)).withColumn(
         "orig_id",
         F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long"),
     )
@@ -2154,6 +2186,89 @@ def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_warc_reparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive REPLAY re-extraction through the REAL surfaces end-to-end
+    (warc.write_warc → warc.documents_from_warc → parse.parse_documents):
+    the five-span HTML template bodies are archived as WARC/1.0 response
+    records, then parsed back into documents rows WITHOUT re-fetching —
+    the Common Crawl run-a-new-extractor-over-old-WARCs workflow. The
+    oracle is the same constructed five-span expectation as parse_spans,
+    so the hash certifies byte fidelity through the archive AND tokenizer
+    equivalence between the live and replay paths in one row."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import documents_from_warc, write_warc
+
+    fetched = _synth_fetched_html(spark, sf_dir).select(
+        "url", F.col("wave"), "status", "content_type", "body"
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_reparse_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_warc(fetched.repartition(4), tmp)
+        replayed = documents_from_warc(spark, tmp).withColumn(
+            "orig_id", F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+        )
+        return (
+            replayed.select("orig_id", F.explode("spans").alias("s"))
+            .select(
+                F.col("orig_id").alias("doc_id"),
+                F.col("s.offset").alias("offset"),
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+            )
+            .orderBy("doc_id", "offset")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata export ROUND TRIP through the REAL sink
+    (kermit_spark.warc.write_wat/read_wat): the shared interleaved
+    synthesis becomes WARC-Type: metadata records whose canonical-JSON
+    payload carries the fetch facts + ordered outlink refs (what
+    link-graph consumers read instead of bodies), parsed back by
+    Content-Length. The oracle re-derives the outlink sequence (media
+    refs + the trailing link target, span order) from the synthesis
+    CTE."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import read_wat, write_wat
+
+    docs = _synth_interleaved_docs(spark, sf_dir).select(
+        F.concat(F.lit("http://w.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("wave"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("spans"),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_wat_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_wat(docs.repartition(4), tmp)
+        return (
+            read_wat(spark, tmp)
+            .select(
+                "url",
+                "status",
+                "content_type",
+                F.size("outlinks").cast("long").alias("n_out"),
+                F.md5(F.array_join("outlinks", "\n")).alias("links_md5"),
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot read (Iceberg incremental-scan / CDC analog)
     through the REAL catalog (SnapshotCatalog.read_incremental): snapshot 0
@@ -3347,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_tokens": q_export_tokens,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_wet": q_warc_wet,
+        "warc_wat": q_warc_wat,
+        "warc_reparse": q_warc_reparse,
         "text_tfidf": q_text_tfidf,
         "text_unigram_lm": q_text_unigram_lm,
         "text_bigram_lm": q_text_bigram_lm,
@@ -4234,25 +4351,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
             FROM first_seen WHERE depth <= 6 GROUP BY depth ORDER BY depth
         """,
-        "parse_spans": """
-            WITH d AS (
-                SELECT doc_id,
-                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 1, 60), '\\s+', ' ', 'g')) AS t1,
-                       trim(regexp_replace(substring(regexp_replace(text, '[<>"'']', ' ', 'g'), 61, 60), '\\s+', ' ', 'g')) AS t2
-                FROM documents WHERE n_chars >= 140
-            )
-            SELECT doc_id, "offset", kind, text, media_ref FROM (
-                SELECT doc_id, 0 AS "offset", 'text' AS kind, t1 AS text, NULL AS media_ref FROM d
-                UNION ALL
-                SELECT doc_id, 1, 'link', 'next ' || doc_id, '/n/' || (doc_id + 1) || '.html' FROM d
-                UNION ALL
-                SELECT doc_id, 2, 'media', NULL, '/img/' || (doc_id % 50) || '.png' FROM d
-                UNION ALL
-                SELECT doc_id, 3, 'resource', NULL, '/css/' || (doc_id % 7) || '.css' FROM d
-                UNION ALL
-                SELECT doc_id, 4, 'text', t2, NULL FROM d
-            ) ORDER BY doc_id, "offset"
-        """,
+        "parse_spans": _PARSE_SPANS_ORACLE,
+        # archive replay: byte fidelity through WARC + live/replay tokenizer
+        # equivalence — certified against the SAME constructed expectation
+        "warc_reparse": _PARSE_SPANS_ORACLE,
         # full 2-wave crawl: expected closure CONSTRUCTED from the site
         # template (seed 0 links to (7·0+1)%N=1 and (13·0+3)%N=3; both new
         # at any N>4), host = d{doc%8}.test, template page = 1 prose span +
@@ -5416,6 +5518,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'http://w.test/d/' || doc_id AS url, md5(text) AS text_md5
             FROM txt ORDER BY url
+        """,
+        # WAT metadata export: ordered outlink refs (media refs + trailing
+        # link target) re-derived from the shared synthesis
+        "warc_wat": f"""
+            WITH {_INTERLEAVED_BASE_SQL},
+            refs AS (
+                SELECT doc_id, off, ref FROM mspans
+                UNION ALL
+                SELECT doc_id, (nc*2)::INT AS off, '/n/' || (doc_id + 1) AS ref FROM d
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_out,
+                       md5(string_agg(ref, chr(10) ORDER BY off)) AS links_md5
+                FROM refs GROUP BY doc_id
+            )
+            SELECT 'http://w.test/d/' || doc_id AS url,
+                   200 AS status,
+                   'text/html' AS content_type,
+                   n_out, links_md5
+            FROM agg ORDER BY url
         """,
         # shard-export round trip: the text_pack recurrence aggregated per
         # (source, bin) — what the manifest rebuilt from disk must equal

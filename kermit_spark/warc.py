@@ -472,3 +472,169 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["url", "wave", "text"])
 
     return files.mapInPandas(parse, WET_READ_SCHEMA)
+
+
+def documents_from_warc(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 32,
+    **parse_kwargs,
+) -> DataFrame:
+    """Re-extraction REPLAY: parse an archived crawl's raw bodies back into
+    documents rows without a single re-fetch — the Common Crawl workflow of
+    running a new/improved extractor over old WARCs. Key columns
+    (url_hash, host, p) are re-derived from the archived URL exactly as the
+    live fetch path derives them, so replayed rows are drop-in rows of the
+    same documents table (wave comes from the archive record; rank/depth
+    are not archived and replay as 0; a NULL body archives as zero bytes,
+    so it replays as "" — an empty spans array where the live parse of a
+    null-body HTML row yields null). ``parse_kwargs`` pass through to
+    parse_documents (html_meta/sniff_content), which is the point: replay
+    with better extraction settings than the original crawl had."""
+    from .functions.urls import host_of, url_hash
+    from .parse import parse_documents
+
+    raw = read_warc(spark, path)
+    host = host_of(F.col("url"))
+    fetched = raw.select(
+        url_hash(F.col("url")).alias("url_hash"),
+        F.col("url"),
+        host.alias("host"),
+        F.pmod(F.xxhash64(host), F.lit(num_partitions)).cast("int").alias("p"),
+        F.col("wave"),
+        F.lit(0).alias("rank"),
+        F.lit(0).alias("depth"),
+        F.col("status"),
+        F.col("content_type"),
+        F.col("body"),
+    )
+    return parse_documents(fetched, **parse_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# WAT — the metadata sibling (Common Crawl's third archive face): one
+# WARC-Type: metadata record per fetch whose payload is canonical JSON
+# (sorted keys, no whitespace — byte-deterministic) carrying the fetch
+# facts and the ordered outlink list. Consumers build link graphs from WAT
+# without touching bodies.
+# ---------------------------------------------------------------------------
+
+WAT_READ_SCHEMA = (
+    "url string, wave int, status int, content_type string, outlinks array<string>"
+)
+
+
+def wat_outlinks(spans) -> "F.Column":
+    """Ordered raw outlink refs of a document (link/resource/media span
+    targets, document order) — pure JVM expression."""
+    return F.transform(
+        F.filter(
+            spans, lambda s: s["kind"].isin("link", "resource", "media")
+        ),
+        lambda s: s["media_ref"],
+    )
+
+
+def _render_wat_record(url, wave, status, content_type, outlinks, date: str) -> str:
+    import hashlib
+    import json
+
+    body = json.dumps(
+        {
+            "content_type": content_type,
+            "outlinks": [x for x in outlinks],
+            "status": int(status),
+            "url": url,
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+    n = len(body.encode("utf-8"))
+
+    def uuid_of(key: str) -> str:
+        rid = hashlib.md5(key.encode()).hexdigest()
+        return f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
+
+    return (
+        f"{_WARC_VERSION}\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uuid_of(url + chr(0) + str(wave) + chr(0) + 'wat')}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{uuid_of(url + chr(0) + str(wave))}>\r\n"
+        f"WARC-Kermit-Wave: {wave}\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {n}\r\n"
+        "\r\n"
+        f"{body}\r\n"
+    )
+
+
+def write_wat(
+    documents: DataFrame,
+    path: str,
+    date: str = "2000-01-01T00:00:00Z",
+    order_cols: tuple[str, ...] = ("url",),
+) -> None:
+    """documents rows (url, wave, status, content_type, spans) → ``path``
+    as parallel .wat part files. Outlink derivation runs JVM-side."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        _render_wat_record(u, w, s, ct, ol, date)
+                        for u, w, s, ct, ol in zip(
+                            pdf["url"], pdf["wave"], pdf["status"],
+                            pdf["content_type"], pdf["outlinks"],
+                        )
+                    ]
+                }
+            )
+
+    (
+        documents.select(
+            "url", "wave", "status", "content_type",
+            wat_outlinks(F.col("spans")).alias("outlinks"),
+        )
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(render, "value string")
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n")
+        .text(path)
+    )
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Parse .wat files back to (url, wave, status, content_type,
+    outlinks) — one task per file, JSON payloads length-framed like every
+    other record family here."""
+    import json
+
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf["value"]:
+                for url, wave, body in _parse_wet_file(text):
+                    doc = json.loads(body)
+                    rows.append(
+                        (
+                            doc["url"],
+                            wave,
+                            doc["status"],
+                            doc["content_type"],
+                            doc["outlinks"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "wave", "status", "content_type", "outlinks"],
+                )
+
+    return files.mapInPandas(parse, WAT_READ_SCHEMA)

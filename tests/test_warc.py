@@ -275,3 +275,78 @@ def test_wet_refers_to_matches_response_record_id(spark, tmp_path):
     assert wet_id != resp_id
     assert "WARC-Type: conversion" in wet_text_raw
     assert "Content-Type: text/plain" in wet_text_raw
+
+
+def test_documents_from_warc_replay_matches_live_parse(spark, tmp_path):
+    """Archive replay: write_warc → documents_from_warc re-derives key
+    columns (url_hash/host/p) like the live path and produces the SAME
+    spans the live parse does — re-extraction without re-fetch."""
+    from kermit_spark.functions.urls import host_of, url_hash
+    from kermit_spark.parse import parse_documents
+    from kermit_spark.warc import documents_from_warc, write_warc
+
+    resp = spark.createDataFrame(
+        [
+            ("http://a.test/p.html", 2, 200, "text/html",
+             "<p>hi</p><a href='/n.html'>n</a><img src=/i.png>"),
+            # note: a NULL body archives as zero bytes (nullness is not a
+            # byte property), so replay parity is defined over "" bodies
+            ("http://B.test:8080/x", 0, 404, "text/html", ""),
+        ],
+        "url string, wave int, status int, content_type string, body string",
+    )
+    path = str(tmp_path / "warc")
+    write_warc(resp, path)
+    replayed = documents_from_warc(spark, path, num_partitions=8)
+    live = parse_documents(
+        resp.select(
+            url_hash(F.col("url")).alias("url_hash"), "url",
+            host_of(F.col("url")).alias("host"),
+            F.pmod(F.xxhash64(host_of(F.col("url"))), F.lit(8)).cast("int").alias("p"),
+            "wave", F.lit(0).alias("rank"), F.lit(0).alias("depth"),
+            "status", "content_type", "body",
+        )
+    )
+    got = {r["url"]: r for r in replayed.collect()}
+    want = {r["url"]: r for r in live.collect()}
+    assert set(got) == set(want)
+    for url in want:
+        for col in ("doc_id", "url_hash", "host", "p", "wave", "spans"):
+            assert got[url][col] == want[url][col], (url, col)
+    # host is lower-cased with port kept, like the live path
+    assert got["http://B.test:8080/x"]["host"] == "b.test:8080"
+    # the 404 replays as an empty spans array, not null
+    assert got["http://B.test:8080/x"]["spans"] == []
+
+
+def test_wat_round_trip_outlinks_and_refers_to(spark, tmp_path):
+    """WAT metadata records: canonical-JSON payload round-trips the fetch
+    facts + ordered outlinks; text spans contribute nothing."""
+    import re
+
+    from kermit_spark.warc import read_wat, write_wat
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a.test/1", 0, 200, "text/html",
+             [("text", "t", None, 0), ("link", "n", "/n/2", 1),
+              ("media", None, "/img/a.png", 2), ("resource", None, "/s.css", 3)]),
+            ("http://a.test/2", 1, 404, "text/html", []),
+        ],
+        "url string, wave int, status int, content_type string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    path = str(tmp_path / "wat")
+    write_wat(docs, path)
+    back = {r["url"]: r for r in read_wat(spark, path).collect()}
+    assert list(back["http://a.test/1"]["outlinks"]) == ["/n/2", "/img/a.png", "/s.css"]
+    assert back["http://a.test/1"]["status"] == 200
+    assert back["http://a.test/2"]["outlinks"] == []
+    assert back["http://a.test/2"]["status"] == 404
+
+    import pathlib
+
+    raw = "".join(p.read_text() for p in sorted(pathlib.Path(path).glob("part-*")))
+    assert "WARC-Type: metadata" in raw
+    assert "Content-Type: application/json" in raw
+    assert re.search(r"WARC-Refers-To: <urn:uuid:[0-9a-f-]+>", raw)
