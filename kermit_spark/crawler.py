@@ -387,6 +387,10 @@ class Crawler:
         # host -> fetched_wave of its robots row (age answers staleness
         # driver-side in the common case; value unused when expiry is off)
         self._robots_hosts: dict[str, int] = {}
+        # host → (p, fetched_wave) of hosts whose last robots probe was a
+        # 5xx outage; None = not yet rebuilt from the table (resume)
+        self._outage_hosts: dict[str, tuple[int, int]] | None = None
+        self._last_requeued = 0  # rows requeued by the latest outage recovery
         # host -> cumulative dequeued count (max_pages_per_host scoping);
         # None = not yet loaded (lazy resume rebuild, see _page_cap_budgets)
         self._host_attempted: dict[str, int] | None = None
@@ -461,6 +465,32 @@ class Crawler:
         def _fresh(fw: int) -> bool:
             return max_age <= 0 or wave - fw < max_age
 
+        if max_age > 0:
+            # outage ledger (host → (p, fetched_wave) of 5xx-probed hosts):
+            # an all-blocked outage host has no scheduled rows, so it never
+            # re-enters a dequeue batch on its own — the ledger forces its
+            # expiry re-probe anyway. Lazily rebuilt on resume from the
+            # stored server_error column; empty (and cost-free) whenever
+            # expiry is off.
+            if self._outage_hosts is None:
+                self._outage_hosts = {}
+                if self.catalog.exists(ROBOTS_TABLE):
+                    stored0 = self.catalog.read(ROBOTS_TABLE)
+                    if "server_error" in stored0.columns:
+                        self._outage_hosts = {
+                            r["host"]: (r["p"], r["fetched_wave"])
+                            for r in stored0.filter(
+                                F.coalesce(F.col("server_error"), F.lit(False))
+                            )
+                            .select("p", "host", "fetched_wave")
+                            .collect()
+                        }
+            in_batch = {h for _, h in hosts}
+            hosts = list(hosts) + [
+                (p, h)
+                for h, (p, fw) in self._outage_hosts.items()
+                if not _fresh(fw) and h not in in_batch
+            ]
         unknown = [
             (p, h)
             for p, h in hosts
@@ -468,18 +498,32 @@ class Crawler:
         ]
         missing = unknown
         stale_hosts: set[str] = set()
+        outage_stale: set[str] = set()
         if unknown and self.catalog.exists(ROBOTS_TABLE):
             probe = self.spark.createDataFrame(unknown, "p int, host string")
-            have = self.catalog.read(ROBOTS_TABLE).select("host", "fetched_wave")
-            got = {
-                r["host"]: r["fetched_wave"]
-                for r in probe.join(have, "host", "inner").collect()
-            }
+            stored = self.catalog.read(ROBOTS_TABLE)
+            err_col = (
+                F.col("server_error")
+                if "server_error" in stored.columns
+                else F.lit(False)
+            )
+            have = stored.select(
+                "host", "fetched_wave", F.coalesce(err_col, F.lit(False)).alias("server_error")
+            )
+            got, outage_hosts = {}, set()
+            for r in probe.join(have, "host", "inner").collect():
+                got[r["host"]] = r["fetched_wave"]
+                if r["server_error"]:
+                    outage_hosts.add(r["host"])
             missing = [
                 (p, h) for p, h in unknown if h not in got or not _fresh(got[h])
             ]
             stale_hosts = {h for h, fw in got.items() if not _fresh(fw)}
             covered = {h: fw for h, fw in got.items() if _fresh(fw)}
+            # stale hosts whose LAST probe was a 5xx outage: if the re-probe
+            # below succeeds, their robots_blocked rows flip back to
+            # scheduled (RFC 9309 §2.3.1.4 — disallow only WHILE unreachable)
+            outage_stale = stale_hosts & outage_hosts
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
                 self._robots_hosts.update(covered)
         if missing:
@@ -520,8 +564,12 @@ class Crawler:
                 stale_df = self.spark.createDataFrame(
                     [(h,) for h in sorted(stale_hosts)], "host string"
                 )
+                surv_src = self.catalog.read(ROBOTS_TABLE)
+                if "server_error" not in surv_src.columns:
+                    # tables written before the outage marker existed
+                    surv_src = surv_src.withColumn("server_error", F.lit(False))
                 survivors = (
-                    self.catalog.read(ROBOTS_TABLE)
+                    surv_src
                     .filter(F.col("p").isin(stale_parts))
                     .join(stale_df, "host", "left_anti")
                     .select(*new_rules.columns)
@@ -531,6 +579,58 @@ class Crawler:
                     survivors.unionByName(new_rules),
                     replace_parts=stale_parts,
                 )
+            if max_age > 0:
+                # outage bookkeeping + recovery (one partition-pruned
+                # batch-sized read, only on waves that fetched robots AND
+                # only with expiry on — the default path pays nothing).
+                just_fetched = sorted({h for _, h in missing})
+                flags = {
+                    r["host"]: bool(r["server_error"])
+                    for r in self.catalog.read(ROBOTS_TABLE)
+                    .filter(F.col("host").isin(just_fetched))
+                    .select(
+                        "host",
+                        F.coalesce(F.col("server_error"), F.lit(False)).alias(
+                            "server_error"
+                        ),
+                    )
+                    .collect()
+                }
+                p_of = {h: p for p, h in missing}
+                for h, err in flags.items():
+                    if err:
+                        self._outage_hosts[h] = (p_of[h], wave)
+                    else:
+                        self._outage_hosts.pop(h, None)
+                # hosts whose previous probe was 5xx and whose re-probe now
+                # yields a REAL verdict get their robots_blocked rows
+                # requeued — they were blocked by unreachability, not by
+                # declared policy; the next dequeue re-gates them under the
+                # fresh rules. A re-probe that is 5xx again leaves the rows
+                # blocked (one recovery attempt per expiry period, no spin).
+                recovered = sorted(
+                    h for h in outage_stale if not flags.get(h, True)
+                )
+                if recovered:
+                    host_parts = sorted({p_of[h] for h in recovered})
+                    requeue = (
+                        self.frontier.read()
+                        .filter(
+                            F.col("p").isin(host_parts)
+                            & F.col("host").isin(recovered)
+                            & (F.col("status") == ROBOTS_BLOCKED)
+                        )
+                        .select(
+                            "p", "url_hash", "url",
+                            F.lit(SCHEDULED).alias("new_status"),
+                        )
+                        .persist()
+                    )
+                    n_requeued = requeue.count()
+                    if n_requeued:
+                        self.frontier.update_status(requeue)
+                    self._last_requeued = n_requeued
+                    requeue.unpersist()
             if len(self._robots_hosts) < self._ROBOTS_CACHE_MAX:
                 self._robots_hosts.update({h: wave for _, h in missing})
             # newly fetched hosts may declare Crawl-delay — re-probe lazily
@@ -1278,6 +1378,32 @@ class Crawler:
                         # each idle tick consumes cap, keeping the loop
                         # bounded.
                         continue
+                    if (
+                        self.config.obey_robots
+                        and self.config.robots_max_age_waves > 0
+                    ):
+                        # robots-outage wait: hosts whose robots probe was a
+                        # 5xx may have had ALL their URLs blocked, leaving
+                        # nothing scheduled — an empty wave then idles the
+                        # virtual clock forward and re-probes them at expiry
+                        # (outage ledger inside _ensure_robots). Each tick
+                        # consumes cap, so the loop stays bounded even if
+                        # the server never recovers.
+                        idle += 1
+                        self._last_requeued = 0
+                        _, sm = self._ensure_robots(
+                            [], wave=self.last_wave + 1 + idle
+                        )
+                        if sm is not None:
+                            # a recovered host's refreshed Sitemap seeds like
+                            # any other robots fetch — no wave commit here,
+                            # so push through the schedule entry directly
+                            self.frontier.schedule(
+                                sm.filter(self.config.admit_expr(F.col("url"))),
+                                wave=self.last_wave + 1,
+                            )
+                        if self._last_requeued or self._outage_hosts:
+                            continue
                     break
                 stats.append(s)
                 if s.stop_requested:
@@ -1468,7 +1594,10 @@ class Crawler:
         edge-set-sized shuffle for no ordering benefit)."""
         edges = None
         if self.catalog.exists(DOCUMENTS_TABLE):
-            links = discover_links(self.documents())
+            # same discovery policy as the crawl: the outlink budget caps
+            # the edge extraction too, or a 10^5-anchor spam page floods
+            # the PageRank shuffle the cap exists to prevent
+            links = discover_links(self.documents(), max_outlinks=self.config.max_outlinks)
             edges = links.select(
                 F.xxhash64(F.col("referer")).alias("src"),
                 F.xxhash64(F.col("url")).alias("dst"),

@@ -256,11 +256,16 @@ def robots_rules_from_fetch(
         else allow_all
     )
     parsed = F.when(F.col("status") == 200, parse(F.col("body"))).otherwise(failed)
+    is_5xx = (F.col("status") >= 500) & (F.col("status") <= 599)
     return fetched.select(
         F.col("p"),
         F.col("host"),
         F.lit(True).alias("fetched"),
         parsed.alias("_parsed"),
+        # marker consumed by the expiry re-probe: a host blocked by OUTAGE
+        # (not by declared policy) has its robots_blocked frontier rows
+        # flipped back to scheduled when a later probe succeeds
+        (F.lit(bool(server_error_disallow)) & is_5xx).alias("server_error"),
     ).select(
         "p",
         "host",
@@ -269,6 +274,7 @@ def robots_rules_from_fetch(
         F.col("_parsed.crawl_delay").alias("crawl_delay"),
         F.col("_parsed.sitemaps").alias("sitemaps"),
         F.lit(wave).alias("fetched_wave"),
+        "server_error",
     )
 
 

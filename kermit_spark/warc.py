@@ -33,23 +33,30 @@ WARC_READ_SCHEMA = (
 )
 
 
-def _render_record(url, wave, status, content_type, body, date: str) -> str:
+def _record_uuid(url, wave, kind: str | None = None) -> str:
+    """Deterministic record id from (url, wave[, kind]). ONE derivation for
+    all three record families — the WET/WAT ``WARC-Refers-To`` linkage is
+    exactly this function with kind=None, so the chain cannot drift."""
     import hashlib
 
+    key = str(url) + chr(0) + str(wave) + ((chr(0) + kind) if kind else "")
+    rid = hashlib.md5(key.encode()).hexdigest()
+    return f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
+
+
+def _render_record(url, wave, status, content_type, body, date: str) -> str:
     payload = (
         f"HTTP/1.1 {status}\r\n"
         f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
         "\r\n" + (body or "")
     )
     n = len(payload.encode("utf-8"))
-    rid = hashlib.md5(f"{url}\x00{wave}".encode()).hexdigest()
-    uuid = f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
     return (
         f"{_WARC_VERSION}\r\n"
         "WARC-Type: response\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Record-ID: <urn:uuid:{uuid}>\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_record_uuid(url, wave)}>\r\n"
         f"WARC-Kermit-Wave: {wave}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {n}\r\n"
@@ -76,25 +83,36 @@ def write_warc(
     reproducible without a global sort.
     """
 
+    _write_records(
+        documents.select("url", "wave", "status", "content_type", "body"),
+        lambda u, w, s, ct, b: _render_record(u, w, s, ct, b, date),
+        path,
+        order_cols,
+    )
+
+
+def _write_records(prepared: DataFrame, render_row, path: str,
+                   order_cols: tuple[str, ...]) -> None:
+    """Shared record sink for all three archive families: rows sorted by
+    ``order_cols`` WITHIN each partition (reproducible file order, no
+    global sort), each row rendered to one complete record string in an
+    Arrow batch, every partition written as one part file. The
+    ``lineSep="\\r\\n"`` row terminator supplies each record's second
+    trailing CRLF — the framing contract _iter_records' ``+4`` advance
+    depends on, kept in exactly one place."""
+
+    cols = prepared.columns
+
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             yield pd.DataFrame(
-                {
-                    "value": [
-                        _render_record(u, w, s, ct, b, date)
-                        for u, w, s, ct, b in zip(
-                            pdf["url"], pdf["wave"], pdf["status"],
-                            pdf["content_type"], pdf["body"],
-                        )
-                    ]
-                }
+                {"value": [render_row(*vals) for vals in zip(*(pdf[c] for c in cols))]}
             )
 
     (
-        documents.select("url", "wave", "status", "content_type", "body")
-        .sortWithinPartitions(*order_cols)
+        prepared.sortWithinPartitions(*order_cols)
         .mapInPandas(render, "value string")
         .write.mode("overwrite")
         .option("lineSep", "\r\n")
@@ -102,30 +120,51 @@ def write_warc(
     )
 
 
-def _parse_file(text: str) -> list[tuple]:
-    """Sequential Content-Length-driven parse of one .warc file."""
-    out: list[tuple] = []
+def _iter_records(text: str):
+    """Walk one WARC-family file sequentially in BYTE space, yielding
+    (headers, payload, byte_offset, byte_length) per record. The buffer is
+    encoded ONCE and each payload is sliced by Content-Length — O(file)
+    total, where per-record ``remaining.encode()[:n]`` would be O(file²).
+    The single walker serves the response (.warc), conversion (.wet) and
+    metadata (.wat) readers AND the CDX indexer, so the framing contract
+    (two trailing CRLFs per record) lives in exactly one place. Stops at
+    the first non-record byte (trailing garbage — records are a prefix)."""
+    data = text.encode("utf-8")
+    version = _WARC_VERSION.encode()
     pos = 0
-    while pos < len(text):
-        if not text.startswith(_WARC_VERSION, pos):
-            break  # trailing garbage / padding — stop, records are prefix
-        head_end = text.index("\r\n\r\n", pos)
+    while pos < len(data):
+        if not data.startswith(version, pos):
+            break
+        head_end = data.index(b"\r\n\r\n", pos)
         headers = {}
-        for line in text[pos:head_end].split("\r\n")[1:]:
+        for line in data[pos:head_end].decode("utf-8").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
         n = int(headers["content-length"])
         body_start = head_end + 4
-        payload = text[body_start:]
-        # content-length counts BYTES; slice by encoded length
-        raw = payload.encode("utf-8")[:n].decode("utf-8")
-        http_head, _, body = raw.partition("\r\n\r\n")
-        status = int(http_head.split("\r\n")[0].split(" ", 1)[1])
-        ctype = None
-        for line in http_head.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            if k.strip().lower() == "content-type":
-                ctype = v.strip()
+        payload = data[body_start:body_start + n].decode("utf-8")
+        end = body_start + n + 4  # payload + its two trailing CRLFs
+        yield headers, payload, pos, end - pos
+        pos = end
+
+
+def _parse_http_payload(raw: str) -> tuple[int, str | None, str]:
+    """One response record's payload → (status, content_type, body)."""
+    http_head, _, body = raw.partition("\r\n\r\n")
+    status = int(http_head.split("\r\n")[0].split(" ", 1)[1])
+    ctype = None
+    for line in http_head.split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, body
+
+
+def _parse_file(text: str) -> list[tuple]:
+    """Sequential Content-Length-driven parse of one .warc file."""
+    out: list[tuple] = []
+    for headers, raw, _, _ in _iter_records(text):
+        status, ctype, body = _parse_http_payload(raw)
         out.append(
             (
                 headers["warc-target-uri"],
@@ -135,7 +174,6 @@ def _parse_file(text: str) -> list[tuple]:
                 body,
             )
         )
-        pos = body_start + len(raw) + 4  # record + its two trailing CRLFs
     return out
 
 
@@ -187,30 +225,11 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple] = []
             for fname, text in zip(pdf["filename"], pdf["value"]):
-                pos = 0  # char position (parse) ; byte_pos tracked alongside
-                byte_pos = 0
-                while pos < len(text):
-                    if not text.startswith(_WARC_VERSION, pos):
-                        break
-                    head_end = text.index("\r\n\r\n", pos)
-                    head = text[pos:head_end]
-                    headers = {}
-                    for line in head.split("\r\n")[1:]:
-                        k, _, v = line.partition(":")
-                        headers[k.strip().lower()] = v.strip()
-                    n = int(headers["content-length"])
-                    body_start = head_end + 4
-                    raw = text[body_start:].encode("utf-8")[:n].decode("utf-8")
-                    http_head, _, body = raw.partition("\r\n\r\n")
-                    status = int(http_head.split("\r\n")[0].split(" ", 1)[1])
-                    ctype = None
-                    for line in http_head.split("\r\n")[1:]:
-                        k, _, v = line.partition(":")
-                        if k.strip().lower() == "content-type":
-                            ctype = v.strip()
-                    # WARC headers are ASCII (len == byte len); the payload's
-                    # byte length is n by definition; +4 per CRLFCRLF pair
-                    rec_bytes = len(head.encode("utf-8")) + 4 + n + 4
+                # _iter_records walks in byte space, so its offsets/lengths
+                # ARE the ranged-read coordinates — byte-exact by
+                # construction
+                for headers, raw, byte_pos, rec_bytes in _iter_records(text):
+                    status, ctype, body = _parse_http_payload(raw)
                     rows.append(
                         (
                             headers["warc-target-uri"],
@@ -223,8 +242,6 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
                             rec_bytes,
                         )
                     )
-                    pos = body_start + len(raw) + 4
-                    byte_pos += rec_bytes
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -375,22 +392,15 @@ def wet_text(spans) -> "F.Column":
 
 
 def _render_wet_record(url, wave, text, date: str) -> str:
-    import hashlib
-
     body = text or ""
     n = len(body.encode("utf-8"))
-
-    def uuid_of(key: str) -> str:
-        rid = hashlib.md5(key.encode()).hexdigest()
-        return f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
-
     return (
         f"{_WARC_VERSION}\r\n"
         "WARC-Type: conversion\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Record-ID: <urn:uuid:{uuid_of(url + chr(0) + str(wave) + chr(0) + 'wet')}>\r\n"
-        f"WARC-Refers-To: <urn:uuid:{uuid_of(url + chr(0) + str(wave))}>\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_record_uuid(url, wave, 'wet')}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{_record_uuid(url, wave)}>\r\n"
         f"WARC-Kermit-Wave: {wave}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {n}\r\n"
@@ -408,55 +418,26 @@ def write_wet(
     """documents rows (url, wave, spans) → ``path`` as parallel .wet part
     files of WARC/1.0 conversion records. Text derivation (wet_text) runs
     JVM-side; only the record assembly is an Arrow batch."""
-
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    "value": [
-                        _render_wet_record(u, w, t, date)
-                        for u, w, t in zip(pdf["url"], pdf["wave"], pdf["text"])
-                    ]
-                }
-            )
-
-    (
-        documents.select("url", "wave", wet_text(F.col("spans")).alias("text"))
-        .sortWithinPartitions(*order_cols)
-        .mapInPandas(render, "value string")
-        .write.mode("overwrite")
-        .option("lineSep", "\r\n")
-        .text(path)
+    _write_records(
+        documents.select("url", "wave", wet_text(F.col("spans")).alias("text")),
+        lambda u, w, t: _render_wet_record(u, w, t, date),
+        path,
+        order_cols,
     )
 
 
 def _parse_wet_file(text: str) -> list[tuple]:
-    """Sequential Content-Length-driven parse of one .wet file (conversion
-    records carry the plain-text payload directly — no HTTP head)."""
-    out: list[tuple] = []
-    pos = 0
-    while pos < len(text):
-        if not text.startswith(_WARC_VERSION, pos):
-            break
-        head_end = text.index("\r\n\r\n", pos)
-        headers = {}
-        for line in text[pos:head_end].split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        n = int(headers["content-length"])
-        body_start = head_end + 4
-        body = text[body_start:].encode("utf-8")[:n].decode("utf-8")
-        out.append(
-            (
-                headers["warc-target-uri"],
-                int(headers.get("warc-kermit-wave", 0)),
-                body,
-            )
+    """Sequential Content-Length-driven parse of one .wet/.wat file
+    (conversion/metadata records carry their payload directly — no HTTP
+    head)."""
+    return [
+        (
+            headers["warc-target-uri"],
+            int(headers.get("warc-kermit-wave", 0)),
+            raw,
         )
-        pos = body_start + len(body) + 4
-    return out
+        for headers, raw, _, _ in _iter_records(text)
+    ]
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -491,7 +472,7 @@ def documents_from_warc(
     null-body HTML row yields null). ``parse_kwargs`` pass through to
     parse_documents (html_meta/sniff_content), which is the point: replay
     with better extraction settings than the original crawl had."""
-    from .functions.urls import host_of, url_hash
+    from .functions.urls import host_of, host_salt, url_hash
     from .parse import parse_documents
 
     raw = read_warc(spark, path)
@@ -500,7 +481,10 @@ def documents_from_warc(
         url_hash(F.col("url")).alias("url_hash"),
         F.col("url"),
         host.alias("host"),
-        F.pmod(F.xxhash64(host), F.lit(num_partitions)).cast("int").alias("p"),
+        # host_salt IS the live partitioning recipe (frontier.partition_of
+        # delegates to the same hash) — reuse keeps replay/live equivalence
+        # structural rather than copy-paste
+        host_salt(host, num_partitions).alias("p"),
         F.col("wave"),
         F.lit(0).alias("rank"),
         F.lit(0).alias("depth"),
@@ -536,13 +520,13 @@ def wat_outlinks(spans) -> "F.Column":
 
 
 def _render_wat_record(url, wave, status, content_type, outlinks, date: str) -> str:
-    import hashlib
     import json
 
     body = json.dumps(
         {
             "content_type": content_type,
-            "outlinks": [x for x in outlinks],
+            # null spans (e.g. a null-body HTML row) carry no outlinks
+            "outlinks": [] if outlinks is None else [x for x in outlinks],
             "status": int(status),
             "url": url,
         },
@@ -550,18 +534,13 @@ def _render_wat_record(url, wave, status, content_type, outlinks, date: str) -> 
         separators=(",", ":"),
     )
     n = len(body.encode("utf-8"))
-
-    def uuid_of(key: str) -> str:
-        rid = hashlib.md5(key.encode()).hexdigest()
-        return f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}"
-
     return (
         f"{_WARC_VERSION}\r\n"
         "WARC-Type: metadata\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Record-ID: <urn:uuid:{uuid_of(url + chr(0) + str(wave) + chr(0) + 'wat')}>\r\n"
-        f"WARC-Refers-To: <urn:uuid:{uuid_of(url + chr(0) + str(wave))}>\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_record_uuid(url, wave, 'wat')}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{_record_uuid(url, wave)}>\r\n"
         f"WARC-Kermit-Wave: {wave}\r\n"
         "Content-Type: application/json\r\n"
         f"Content-Length: {n}\r\n"
@@ -577,34 +556,19 @@ def write_wat(
     order_cols: tuple[str, ...] = ("url",),
 ) -> None:
     """documents rows (url, wave, status, content_type, spans) → ``path``
-    as parallel .wat part files. Outlink derivation runs JVM-side."""
-
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    "value": [
-                        _render_wat_record(u, w, s, ct, ol, date)
-                        for u, w, s, ct, ol in zip(
-                            pdf["url"], pdf["wave"], pdf["status"],
-                            pdf["content_type"], pdf["outlinks"],
-                        )
-                    ]
-                }
-            )
-
-    (
+    as parallel .wat part files. Outlink derivation runs JVM-side; null
+    spans columns (a null-body HTML row parses to null spans) coalesce to
+    an empty outlink list instead of failing the task."""
+    _write_records(
         documents.select(
             "url", "wave", "status", "content_type",
-            wat_outlinks(F.col("spans")).alias("outlinks"),
-        )
-        .sortWithinPartitions(*order_cols)
-        .mapInPandas(render, "value string")
-        .write.mode("overwrite")
-        .option("lineSep", "\r\n")
-        .text(path)
+            F.coalesce(
+                wat_outlinks(F.col("spans")), F.array().cast("array<string>")
+            ).alias("outlinks"),
+        ),
+        lambda u, w, s, ct, ol: _render_wat_record(u, w, s, ct, ol, date),
+        path,
+        order_cols,
     )
 
 

@@ -359,6 +359,68 @@ def test_robots_expiry_refetches_and_honors_new_rules(spark, tmp_path):
     assert st.get("http://a.test/fresh.html") == "visited"
 
 
+def test_robots_5xx_outage_blocks_then_recovers_on_reprobe(spark, tmp_path):
+    """RFC 9309 §2.3.1.4 end-to-end: a 5xx robots probe blocks the whole
+    host (outage wave URLs -> robots_blocked); after expiry the host is
+    re-probed EVEN THOUGH it has no scheduled rows left (outage ledger),
+    and a successful re-probe requeues the blocked rows — the crawl then
+    visits them under the real rules."""
+    from kermit_spark.fetch import CorpusFetcher
+
+    down = [
+        ("http://a.test/robots.txt", "a.test", 503, "text/plain", None),
+        ("http://a.test/1.html", "a.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a></body></html>'),
+        ("http://a.test/2.html", "a.test", 200, "text/html", "<html>two</html>"),
+    ]
+    up = [
+        ("http://a.test/robots.txt", "a.test", 200, "text/plain", "User-agent: *\n"),
+        *down[1:],
+    ]
+    ddl = "url string, host string, status int, content_type string, body string"
+    c = _aging_crawler(
+        spark, tmp_path, spark.createDataFrame(down, ddl), max_age=1
+    )
+    c.seed(["http://a.test/1.html"])
+    c.crawl(1)  # wave 0: robots 503 -> /1 blocked; nothing scheduled remains
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st["http://a.test/1.html"] == "robots_blocked"
+
+    # server recovers; the next crawl's wave must re-probe via the outage
+    # ledger (the host has NO scheduled rows to put it in a batch)
+    c.fetcher = CorpusFetcher(spark.createDataFrame(up, ddl))
+    c.crawl(3)
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st["http://a.test/1.html"] == "visited"
+    assert st["http://a.test/2.html"] == "visited"
+
+
+def test_robots_5xx_fetch_once_stays_blocked(spark, tmp_path):
+    """With expiry off (reference-parity fetch-once), an outage host stays
+    conservatively blocked — no ledger, no re-probe, no extra jobs."""
+    from kermit_spark.fetch import CorpusFetcher
+
+    down = [
+        ("http://a.test/robots.txt", "a.test", 500, "text/plain", None),
+        ("http://a.test/1.html", "a.test", 200, "text/html", "<html>x</html>"),
+    ]
+    ddl = "url string, host string, status int, content_type string, body string"
+    c = _aging_crawler(
+        spark, tmp_path, spark.createDataFrame(down, ddl), max_age=0
+    )
+    c.seed(["http://a.test/1.html"])
+    c.crawl(1)
+    c.fetcher = CorpusFetcher(
+        spark.createDataFrame(
+            [("http://a.test/robots.txt", "a.test", 200, "text/plain",
+              "User-agent: *\n"), down[1]], ddl
+        )
+    )
+    c.crawl(2)
+    st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
+    assert st["http://a.test/1.html"] == "robots_blocked"
+
+
 def test_robots_no_expiry_keeps_first_rules_forever(spark, tmp_path):
     """Reference parity (max_age=0): the wave-0 allow-all rules stay cached;
     the same corpus swap must NOT block /p/3."""

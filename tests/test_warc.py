@@ -350,3 +350,20 @@ def test_wat_round_trip_outlinks_and_refers_to(spark, tmp_path):
     assert "WARC-Type: metadata" in raw
     assert "Content-Type: application/json" in raw
     assert re.search(r"WARC-Refers-To: <urn:uuid:[0-9a-f-]+>", raw)
+
+
+def test_wat_and_wet_tolerate_null_spans(spark, tmp_path):
+    """A null-body HTML row parses to null spans; both conversion sinks
+    must archive it as an empty payload instead of failing the task."""
+    from kermit_spark.warc import read_wat, read_wet, write_wat, write_wet
+
+    docs = spark.createDataFrame(
+        [("http://a.test/null", 0, 200, "text/html", None)],
+        "url string, wave int, status int, content_type string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    wat_dir, wet_dir = str(tmp_path / "wat"), str(tmp_path / "wet")
+    write_wat(docs, wat_dir)
+    write_wet(docs, wet_dir)
+    assert read_wat(spark, wat_dir).collect()[0]["outlinks"] == []
+    assert read_wet(spark, wet_dir).collect()[0]["text"] == ""
