@@ -1244,6 +1244,47 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(100)
 
 
+def q_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl policy ranking through TWO composed library ops
+    (ops.graph.host_graph → ops.graph.pagerank(weight_col=...)): page links
+    synthesized over the customer table (host = key%37; edge A to the
+    (7k+1)%M page — near-uniform host mixing; edge B to the k%97 hub page —
+    weighted host-hub skew) roll up to (src_host, dst_host, n_links) via
+    the engine's own host_of, intra-host edges dropped, then INTEGER
+    weighted PageRank ranks the hosts (contrib = (rank*w) div sum_w, every
+    op BIGINT — bit-reproducible). The oracle replays the rollup in SQL
+    and unrolls the same weighted recurrence as chained CTEs."""
+    from kermit_spark.ops.graph import host_graph, pagerank
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = cust.count()
+    k = F.col("c_custkey").cast("long")
+
+    def page_url(key):
+        return F.concat(
+            F.lit("http://h"), F.pmod(key, F.lit(37)).cast("string"),
+            F.lit(".test/p/"), key.cast("string"),
+        )
+
+    links = cust.select(
+        page_url(k).alias("referer"),
+        F.explode(
+            F.array(page_url(F.pmod(k * 7 + 1, F.lit(m))), page_url(F.pmod(k, F.lit(97))))
+        ).alias("url"),
+    )
+    hedges = host_graph(links)
+    ranks = pagerank(
+        hedges,
+        num_iters=3,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+    )
+    return ranks.select(F.col("node").alias("host"), "rank_fp").orderBy(
+        F.col("rank_fp").desc(), F.col("host").asc()
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup
 # ---------------------------------------------------------------------------
@@ -3393,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_bfs": q_wave_bfs,
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
+        "link_hostgraph": q_link_hostgraph,
         "link_opic": q_link_opic,
         "link_components": q_link_components,
         "link_trustrank": q_link_trustrank,
@@ -3518,6 +3560,25 @@ def _hits_half_cte(prev: str, cur: str, edge_from: str, edge_to: str, prev_col: 
                              THEN (raw * 1000000) // (SELECT SUM(raw) FROM {raw})
                              ELSE 0 END)::BIGINT AS {cur_col}
                 FROM {raw}
+            )"""
+
+
+def _wpr_iter_cte(prev: str, cur: str) -> str:
+    """One unrolled WEIGHTED fixed-point PageRank iteration — the exact
+    integer recurrence of ops.graph.pagerank(weight_col=...): contrib is
+    floored PER EDGE as (rank*w)//sum_w, d=0.85."""
+    return f"""{cur} AS (
+                SELECT n.node,
+                       ((SELECT base FROM hg_params)
+                        + (85 * COALESCE(i.s, 0)) // 100)::BIGINT AS rank
+                FROM hg_nodes n LEFT JOIN (
+                    SELECT e.dst_host AS node,
+                           (SUM((r.rank * e.w) // o.d))::BIGINT AS s
+                    FROM hg_edges e
+                    JOIN {prev} r ON r.node = e.src_host
+                    JOIN hg_outdeg o ON o.src_host = e.src_host
+                    GROUP BY e.dst_host
+                ) i ON i.node = n.node
             )"""
 
 
@@ -4633,6 +4694,44 @@ def oracle_sql() -> dict[str, str]:
             {_pagerank_iter_cte('r2', 'r3')}
             SELECT node, rank AS rank_fp FROM r3
             ORDER BY rank_fp DESC, node ASC LIMIT 100
+        """,
+        # host-graph rollup + WEIGHTED integer PageRank over hosts
+        "link_hostgraph": f"""
+            WITH
+            hg_m AS (SELECT count(*) AS n FROM customer),
+            hg_links AS (
+                SELECT 'h' || (c_custkey % 37) || '.test' AS src_host,
+                       'h' || (((c_custkey * 7 + 1) % (SELECT n FROM hg_m)) % 37) || '.test' AS dst_host
+                FROM customer
+                UNION ALL
+                SELECT 'h' || (c_custkey % 37) || '.test',
+                       'h' || ((c_custkey % 97) % 37) || '.test'
+                FROM customer
+            ),
+            hg_edges AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS w
+                FROM hg_links WHERE src_host <> dst_host
+                GROUP BY src_host, dst_host
+            ),
+            hg_nodes AS (
+                SELECT src_host AS node FROM hg_edges
+                UNION
+                SELECT dst_host FROM hg_edges
+            ),
+            hg_params AS (
+                SELECT (1000000000000 // count(*))::BIGINT AS init,
+                       ((15 * (1000000000000 // count(*))) // 100)::BIGINT AS base
+                FROM hg_nodes
+            ),
+            hg_outdeg AS (
+                SELECT src_host, sum(w)::BIGINT AS d FROM hg_edges GROUP BY src_host
+            ),
+            hg_r0 AS (SELECT node, (SELECT init FROM hg_params) AS rank FROM hg_nodes),
+            {_wpr_iter_cte('hg_r0', 'hg_r1')},
+            {_wpr_iter_cte('hg_r1', 'hg_r2')},
+            {_wpr_iter_cte('hg_r2', 'hg_r3')}
+            SELECT node AS host, rank AS rank_fp FROM hg_r3
+            ORDER BY rank_fp DESC, host ASC
         """,
         "link_hits": f"""
             WITH

@@ -231,6 +231,7 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Link-importance scores for crawl prioritization — PageRank in
     **integer fixed-point** arithmetic.
@@ -255,6 +256,11 @@ def pagerank(
       rank'[n]   = ((100-d) * init) div 100
                    + (d * sum(contrib over in-edges)) div 100
 
+    With ``weight_col`` (host-graph rollups carry link multiplicities):
+    outdeg[src] = sum of weights and contrib(e) = (rank[src] * w) div
+    outdeg[src] — the same all-integer floor discipline, so weighted
+    results stay bit-reproducible too.
+
     Dangling-node mass is dropped (rank leaks ≤ init per dangler per
     round) — irrelevant for *ordering* top hosts, and identical on both
     sides. Scale shape: per iteration ONE join keyed on src + ONE groupBy
@@ -263,7 +269,15 @@ def pagerank(
     (same discipline as bfs_depths). Total rank mass ≤ scale = 10^12, so
     BIGINT sums cannot overflow at any graph size.
     """
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    sel = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        # weighted variant (host-graph rollups carry link multiplicities):
+        # contrib(e) = (rank[src] * w) div sum_w[src] — still all-integer.
+        # Overflow bound: rank ≤ scale, so w must stay < 2^63/scale
+        # (~9.2·10^6 at the default 10^12 scale) — far above any real
+        # host-edge multiplicity; document rather than check per row.
+        sel.append(F.col(weight_col).cast("long").alias("w"))
+    edges = edges.select(*sel).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -273,16 +287,20 @@ def pagerank(
     n = nodes.count()
     init = scale // n
     base = ((100 - damping_pct) * init) // 100
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wsum = F.sum("w") if weight_col is not None else F.count(F.lit(1))
+    outdeg = edges.groupBy("src").agg(wsum.alias("outdeg"))
     # out-edges annotated with the sender's degree, reused every round
     fanout = edges.join(outdeg, "src").persist()
+    contrib_expr = (
+        "(rank * w) div outdeg" if weight_col is not None else "rank div outdeg"
+    )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank")).localCheckpoint()
     for _ in range(num_iters):
         incoming = (
             ranks.join(fanout, ranks.node == fanout.src)
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("contrib"),
+                F.expr(contrib_expr).alias("contrib"),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("incoming"))
@@ -700,3 +718,38 @@ def trustrank(
     seed_nodes.unpersist()
     fanout.unpersist()
     return ranks.select("node", F.col("rank").alias("trust_fp"))
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "referer",
+    dst_col: str = "url",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Domain-level rollup of a page link table: (src_host, dst_host,
+    n_links) weighted edges, intra-host edges dropped by default.
+
+    The host graph is what production crawl POLICY actually ranks — domain
+    authority for budget allocation, spam demotion, seed selection — and
+    it is the scale lever: 10^10 page edges roll up to ~10^7 host edges
+    (one groupBy, shuffle keyed on the host pair), making EXACT weighted
+    PageRank affordable where the page graph would need sampling. Feed the
+    result to ``pagerank(host_edges, src_col='src_host',
+    dst_col='dst_host', weight_col='n_links')`` for the domain ranking, or
+    join it back to per-host politeness budgets.
+
+    Hosts are derived with the engine's own ``host_of`` (lower-cased
+    authority, port kept) so the rollup groups exactly like politeness
+    does."""
+    from ..functions.urls import host_of
+
+    e = links.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    ).filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    e = e.filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

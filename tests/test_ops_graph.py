@@ -443,3 +443,65 @@ def test_canonicalize_star_algorithm_equals_label(spark):
     assert label == star
     with pytest.raises(ValueError):
         canonicalize_near_dups(docs, pairs, algorithm="bogus")
+
+
+def _weighted_pr_python(edges, num_iters, scale=10**12, d=85):
+    """Python mirror of the weighted integer recurrence."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    init = scale // len(nodes)
+    base = ((100 - d) * init) // 100
+    sum_w = {}
+    for u, _, w in edges:
+        sum_w[u] = sum_w.get(u, 0) + w
+    rank = {n: init for n in nodes}
+    for _ in range(num_iters):
+        incoming = {n: 0 for n in nodes}
+        for u, v, w in edges:
+            incoming[v] += (rank[u] * w) // sum_w[u]
+        rank = {n: base + (d * incoming[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_weighted_matches_python_reference(spark):
+    from kermit_spark.ops.graph import pagerank
+
+    edges = [(1, 2, 5), (1, 3, 1), (2, 3, 2), (3, 1, 4), (3, 2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, num_iters=4, weight_col="w").collect()
+    }
+    assert got == _weighted_pr_python(edges, num_iters=4)
+    # weight sensitivity: node 2 receives 5/6 of node 1's mass, node 3 only
+    # 1/6 + 2/... — an UNWEIGHTED run must produce a different profile
+    unw = {
+        r["node"]: r["rank_fp"] for r in pagerank(df, num_iters=4).collect()
+    }
+    assert got != unw
+
+
+def test_host_graph_rollup(spark):
+    from kermit_spark.ops.graph import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.test/1", "http://b.test/x"),
+            ("http://a.test/2", "http://b.test/y"),   # same host pair -> weight 2
+            ("http://a.test/1", "http://A.TEST/self"),  # intra-host (case-folded)
+            ("http://b.test:8080/p", "http://b.test/q"),  # port kept: distinct hosts
+            ("http://a.test/3", "http://c.test/z"),
+        ],
+        "referer string, url string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(links).collect()
+    }
+    assert got == {
+        ("a.test", "b.test"): 2,
+        ("b.test:8080", "b.test"): 1,
+        ("a.test", "c.test"): 1,
+    }
+    # keep_self variant retains the intra-host edge
+    with_self = host_graph(links, drop_self=False).count()
+    assert with_self == 4
