@@ -395,6 +395,40 @@ def test_robots_5xx_outage_blocks_then_recovers_on_reprobe(spark, tmp_path):
     assert st["http://a.test/2.html"] == "visited"
 
 
+def test_robots_5xx_recovery_survives_resume(spark, tmp_path):
+    """The outage ledger is driver state — a RESUMED crawl (fresh Crawler
+    over the same catalog) must rebuild it from the stored server_error
+    column and still recover the blocked host."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler
+    from kermit_spark.fetch import CorpusFetcher
+
+    ddl = "url string, host string, status int, content_type string, body string"
+    down = [
+        ("http://a.test/robots.txt", "a.test", 503, "text/plain", None),
+        ("http://a.test/1.html", "a.test", 200, "text/html", "<html>x</html>"),
+    ]
+    c = _aging_crawler(
+        spark, tmp_path, spark.createDataFrame(down, ddl), max_age=1
+    )
+    c.seed(["http://a.test/1.html"])
+    c.crawl(1)
+    assert {
+        r["url"]: r["status"] for r in c.frontier.read().collect()
+    }["http://a.test/1.html"] == "robots_blocked"
+
+    # resume: NEW crawler object, same catalog, healthy server
+    up = [("http://a.test/robots.txt", "a.test", 200, "text/plain",
+           "User-agent: *\n"), down[1]]
+    c2 = Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path / "cat")),
+        CorpusFetcher(spark.createDataFrame(up, ddl)), c.config,
+    )
+    c2.crawl(3)
+    st = {r["url"]: r["status"] for r in c2.frontier.read().collect()}
+    assert st["http://a.test/1.html"] == "visited"
+
+
 def test_robots_5xx_fetch_once_stays_blocked(spark, tmp_path):
     """With expiry off (reference-parity fetch-once), an outage host stays
     conservatively blocked — no ledger, no re-probe, no extra jobs."""
