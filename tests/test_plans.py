@@ -350,3 +350,53 @@ def test_opic_round_plan_hash_aggregates_only(spark):
     seeds = spark.createDataFrame([(0,), (1,)], "node long")
     p2 = _plan(trustrank(edges, seeds, num_iters=1))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
+
+
+def test_discover_links_outlink_cap_adds_no_shuffle(spark):
+    """max_outlinks is an array slice BEFORE the explode — capping must add
+    zero Exchange nodes over the uncapped plan (a window over page_url
+    would shuffle the whole batch)."""
+    from kermit_spark.parse import discover_links
+
+    docs = spark.createDataFrame(
+        [("http://a.test/p", 0, [("link", "x", "/x.html", 0)])],
+        "url string, depth int, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    plain = _plan(discover_links(docs))
+    capped = _plan(discover_links(docs, max_outlinks=3))
+    assert plain.count("Exchange") == capped.count("Exchange")
+    assert "Window" not in capped
+
+
+def test_wet_wat_derivations_are_jvm_side(spark):
+    """The WET text and WAT outlink derivations must compile to pure JVM
+    expressions — the only Python node in either sink plan is the final
+    record-assembly mapInPandas."""
+    from kermit_spark.warc import wat_outlinks, wet_text
+
+    docs = spark.createDataFrame(
+        [("http://a.test/p", 0, [("text", "x", None, 0)])],
+        "url string, wave int, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    for expr in (wet_text(F.col("spans")), wat_outlinks(F.col("spans"))):
+        plan = _plan(docs.select(expr.alias("v")))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, plan
+
+
+def test_host_graph_single_exchange(spark):
+    """The host rollup is ONE shuffle keyed on the host pair (partial
+    aggregation map-side); host extraction itself is JVM regexp, no
+    Python nodes anywhere."""
+    from kermit_spark.ops.graph import host_graph
+
+    links = spark.createDataFrame(
+        [("http://a.test/1", "http://b.test/2")], "referer string, url string"
+    )
+    plan = _plan(host_graph(links))
+    assert plan.count("Exchange") == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+    assert "HashAggregate" in plan
