@@ -642,6 +642,7 @@ def trustrank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) in integer
     fixed-point — PageRank with the teleport restricted to a TRUSTED seed
@@ -669,7 +670,13 @@ def trustrank(
     """
     if num_iters < 1:
         raise ValueError("trustrank() needs num_iters >= 1")
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    sel = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        # weighted trust flow over host-graph rollups (TrustRank's paper
+        # setting IS the site graph): contrib = (rank*w) div sum_w, same
+        # BIGINT overflow bound as pagerank (w < 2^63/scale)
+        sel.append(F.col(weight_col).cast("long").alias("w"))
+    edges = edges.select(*sel).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -687,8 +694,12 @@ def trustrank(
         .select("node", F.coalesce(F.col("_t"), F.lit(0)).alias("_t"))
         .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wsum = F.sum("w") if weight_col is not None else F.count(F.lit(1))
+    outdeg = edges.groupBy("src").agg(wsum.alias("outdeg"))
     fanout = edges.join(outdeg, "src").persist()
+    contrib_expr = (
+        "(rank * w) div outdeg" if weight_col is not None else "rank div outdeg"
+    )
     ranks = is_seed.select(
         "node", (F.col("_t") * init).cast("long").alias("rank")
     ).localCheckpoint()
@@ -697,7 +708,7 @@ def trustrank(
             ranks.join(fanout, ranks.node == fanout.src)
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("contrib"),
+                F.expr(contrib_expr).alias("contrib"),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("incoming"))

@@ -505,3 +505,36 @@ def test_host_graph_rollup(spark):
     # keep_self variant retains the intra-host edge
     with_self = host_graph(links, drop_self=False).count()
     assert with_self == 4
+
+
+def test_trustrank_weighted_matches_python_reference(spark):
+    """Weighted trust flow (the host-graph setting of the TrustRank
+    paper): contrib floored per edge as (rank*w)//sum_w; unreachable
+    nodes still score exactly 0."""
+    from kermit_spark.ops.graph import trustrank
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 4, 2), (5, 6, 7)]  # 5,6 unreachable from seed 1
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["trust_fp"]
+        for r in trustrank(df, seeds, num_iters=3, weight_col="w").collect()
+    }
+
+    scale, d = 10**12, 85
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    init = scale // 1
+    tele = (((100 - d) * scale) // 100) // 1
+    sum_w = {}
+    for u, _, w in edges:
+        sum_w[u] = sum_w.get(u, 0) + w
+    rank = {n: (init if n == 1 else 0) for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for u, v, w in edges:
+            inc[v] += (rank[u] * w) // sum_w[u]
+        rank = {n: (tele if n == 1 else 0) + (d * inc[n]) // 100 for n in nodes}
+    assert got == rank
+    assert got[5] == 0 and got[6] == 0
+    # weight sensitivity: 2 gets 3/4 of the seed's flow, 3 only 1/4
+    assert got[2] > got[3]
