@@ -3563,43 +3563,41 @@ def _hits_half_cte(prev: str, cur: str, edge_from: str, edge_to: str, prev_col: 
             )"""
 
 
-def _wpr_iter_cte(prev: str, cur: str) -> str:
-    """One unrolled WEIGHTED fixed-point PageRank iteration — the exact
-    integer recurrence of ops.graph.pagerank(weight_col=...): contrib is
-    floored PER EDGE as (rank*w)//sum_w, d=0.85."""
-    return f"""{cur} AS (
-                SELECT n.node,
-                       ((SELECT base FROM hg_params)
-                        + (85 * COALESCE(i.s, 0)) // 100)::BIGINT AS rank
-                FROM hg_nodes n LEFT JOIN (
-                    SELECT e.dst_host AS node,
-                           (SUM((r.rank * e.w) // o.d))::BIGINT AS s
-                    FROM hg_edges e
-                    JOIN {prev} r ON r.node = e.src_host
-                    JOIN hg_outdeg o ON o.src_host = e.src_host
-                    GROUP BY e.dst_host
-                ) i ON i.node = n.node
-            )"""
-
-
-def _pagerank_iter_cte(prev: str, cur: str) -> str:
+def _pagerank_iter_cte(
+    prev: str,
+    cur: str,
+    prefix: str = "pr",
+    src: str = "src",
+    dst: str = "dst",
+    contrib: str = "r.rank // o.d",
+) -> str:
     """One unrolled fixed-point PageRank iteration for the DuckDB oracle —
     the exact integer recurrence of ops.graph.pagerank (d=0.85): every op is
     BIGINT floor-div/multiply/sum, so the result is bit-identical to Spark's
     regardless of reduction order. SUMs cast ::BIGINT (DuckDB widens to
-    HUGEINT)."""
+    HUGEINT). ONE template serves the unweighted (default ``contrib``) and
+    weighted (``contrib='(r.rank * e.w) // o.d'``) recurrences — the
+    damping constant and recurrence shape cannot drift between them."""
     return f"""{cur} AS (
                 SELECT n.node,
-                       ((SELECT base FROM pr_params)
+                       ((SELECT base FROM {prefix}_params)
                         + (85 * COALESCE(i.s, 0)) // 100)::BIGINT AS rank
-                FROM pr_nodes n LEFT JOIN (
-                    SELECT e.dst AS node, (SUM(r.rank // o.d))::BIGINT AS s
-                    FROM pr_edges e
-                    JOIN {prev} r ON r.node = e.src
-                    JOIN pr_outdeg o ON o.src = e.src
-                    GROUP BY e.dst
+                FROM {prefix}_nodes n LEFT JOIN (
+                    SELECT e.{dst} AS node, (SUM({contrib}))::BIGINT AS s
+                    FROM {prefix}_edges e
+                    JOIN {prev} r ON r.node = e.{src}
+                    JOIN {prefix}_outdeg o ON o.{src} = e.{src}
+                    GROUP BY e.{dst}
                 ) i ON i.node = n.node
             )"""
+
+
+def _wpr_iter_cte(prev: str, cur: str) -> str:
+    """Weighted host-graph instantiation of the shared template."""
+    return _pagerank_iter_cte(
+        prev, cur, prefix="hg", src="src_host", dst="dst_host",
+        contrib="(r.rank * e.w) // o.d",
+    )
 
 
 def _shingle_duck(k: int) -> str:

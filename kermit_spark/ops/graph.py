@@ -224,6 +224,28 @@ def connected_components_star(
     )
 
 
+def _weighted_edges(edges, src_col, dst_col, weight_col, fn_name):
+    """Shared scaffolding for the weighted ranker variants: normalize the
+    edge projection and return (edges, outdeg_agg, contrib_sql). With a
+    weight column, contrib(e) = (rank[src] * w) div sum_w[src] — still
+    all-integer, same floor discipline. Weights must be >= 1 (a src whose
+    weights sum to <= 0 raises at execution via the embedded guard — a
+    silent NULL contrib would vanish that node's whole outgoing mass);
+    overflow bound: rank <= scale, so w must stay < 2^63/scale
+    (~9.2e6 at the default 10^12 scale) — far above any real host-edge
+    multiplicity, documented rather than checked per row."""
+    sel = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is None:
+        return edges.select(*sel), F.count(F.lit(1)), "rank div outdeg"
+    sel.append(F.col(weight_col).cast("long").alias("w"))
+    contrib = (
+        "(rank * w) div (CASE WHEN outdeg <= 0 THEN "
+        f"raise_error('{fn_name}: weight_col sums per src must be >= 1') "
+        "ELSE outdeg END)"
+    )
+    return edges.select(*sel), F.sum("w"), contrib
+
+
 def pagerank(
     edges: DataFrame,
     num_iters: int = 3,
@@ -269,15 +291,10 @@ def pagerank(
     (same discipline as bfs_depths). Total rank mass ≤ scale = 10^12, so
     BIGINT sums cannot overflow at any graph size.
     """
-    sel = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
-    if weight_col is not None:
-        # weighted variant (host-graph rollups carry link multiplicities):
-        # contrib(e) = (rank[src] * w) div sum_w[src] — still all-integer.
-        # Overflow bound: rank ≤ scale, so w must stay < 2^63/scale
-        # (~9.2·10^6 at the default 10^12 scale) — far above any real
-        # host-edge multiplicity; document rather than check per row.
-        sel.append(F.col(weight_col).cast("long").alias("w"))
-    edges = edges.select(*sel).persist()
+    edges, wsum, contrib_expr = _weighted_edges(
+        edges, src_col, dst_col, weight_col, "pagerank"
+    )
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -287,13 +304,9 @@ def pagerank(
     n = nodes.count()
     init = scale // n
     base = ((100 - damping_pct) * init) // 100
-    wsum = F.sum("w") if weight_col is not None else F.count(F.lit(1))
     outdeg = edges.groupBy("src").agg(wsum.alias("outdeg"))
     # out-edges annotated with the sender's degree, reused every round
     fanout = edges.join(outdeg, "src").persist()
-    contrib_expr = (
-        "(rank * w) div outdeg" if weight_col is not None else "rank div outdeg"
-    )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank")).localCheckpoint()
     for _ in range(num_iters):
         incoming = (
@@ -662,6 +675,11 @@ def trustrank(
       rank'[n]  = (d * sum(contrib over in-edges)) div 100
                   + (tele if n in seeds else 0)
 
+    With ``weight_col`` (host-graph rollups — the TrustRank paper's own
+    setting is the site graph): outdeg[src] = sum of weights and
+    contrib(e) = (rank[src] * w) div outdeg[src], weights >= 1 — the same
+    all-integer floor discipline as the weighted pagerank.
+
     Scale shape identical to ``pagerank`` (one src-keyed join + one
     dst-keyed groupBy per round, plan truncated per round); the seed set
     joins broadcast (it is small by construction — that is the point of
@@ -670,13 +688,10 @@ def trustrank(
     """
     if num_iters < 1:
         raise ValueError("trustrank() needs num_iters >= 1")
-    sel = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
-    if weight_col is not None:
-        # weighted trust flow over host-graph rollups (TrustRank's paper
-        # setting IS the site graph): contrib = (rank*w) div sum_w, same
-        # BIGINT overflow bound as pagerank (w < 2^63/scale)
-        sel.append(F.col(weight_col).cast("long").alias("w"))
-    edges = edges.select(*sel).persist()
+    edges, wsum, contrib_expr = _weighted_edges(
+        edges, src_col, dst_col, weight_col, "trustrank"
+    )
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -694,12 +709,8 @@ def trustrank(
         .select("node", F.coalesce(F.col("_t"), F.lit(0)).alias("_t"))
         .localCheckpoint()
     )
-    wsum = F.sum("w") if weight_col is not None else F.count(F.lit(1))
     outdeg = edges.groupBy("src").agg(wsum.alias("outdeg"))
     fanout = edges.join(outdeg, "src").persist()
-    contrib_expr = (
-        "(rank * w) div outdeg" if weight_col is not None else "rank div outdeg"
-    )
     ranks = is_seed.select(
         "node", (F.col("_t") * init).cast("long").alias("rank")
     ).localCheckpoint()

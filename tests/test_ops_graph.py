@@ -538,3 +538,15 @@ def test_trustrank_weighted_matches_python_reference(spark):
     assert got[5] == 0 and got[6] == 0
     # weight sensitivity: 2 gets 3/4 of the seed's flow, 3 only 1/4
     assert got[2] > got[3]
+
+
+def test_weighted_ranker_rejects_zero_weight_sums(spark):
+    """A src whose weights sum to 0 must FAIL LOUDLY (raise_error guard),
+    not silently drop the node's outgoing mass via NULL division."""
+    import pytest
+
+    from kermit_spark.ops.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="weight_col sums"):
+        pagerank(df, num_iters=1, weight_col="w").collect()
