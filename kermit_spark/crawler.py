@@ -1577,6 +1577,23 @@ class Crawler:
             .select("_d.*")
         )
 
+    def export_wet(self, path: str, date: str = "2000-01-01T00:00:00Z") -> None:
+        """Export the crawl's extracted text as Common Crawl-style .wet
+        conversion records (one per newest contentful fetch of each URL —
+        re-crawl aware via latest_documents). Completes the archive triple:
+        warc_path captures raw responses live; this and export_wat derive
+        the conversion/metadata faces from the documents table post-hoc."""
+        from .warc import write_wet
+
+        write_wet(self.latest_documents(), path, date=date)
+
+    def export_wat(self, path: str, date: str = "2000-01-01T00:00:00Z") -> None:
+        """Export fetch metadata + ordered outlinks as .wat metadata
+        records (see export_wet)."""
+        from .warc import write_wat
+
+        write_wat(self.latest_documents(), path, date=date)
+
     def lineage(self) -> DataFrame:
         self.flush_lineage()
         return self.spark.read.parquet(self._lineage_path())

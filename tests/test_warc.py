@@ -367,3 +367,44 @@ def test_wat_and_wet_tolerate_null_spans(spark, tmp_path):
     write_wet(docs, wet_dir)
     assert read_wat(spark, wat_dir).collect()[0]["outlinks"] == []
     assert read_wet(spark, wet_dir).collect()[0]["text"] == ""
+
+
+def test_crawler_exports_wet_and_wat(spark, tmp_path):
+    """Crawler.export_wet/export_wat derive the conversion/metadata archive
+    faces from the documents table — visible text and outlinks of every
+    visited page, re-crawl aware."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+    from kermit_spark.warc import read_wat, read_wet
+
+    corpus = spark.createDataFrame(
+        [
+            ("http://a.test/1.html", "a.test", 200, "text/html",
+             '<html><body><p>intro</p><a href="/2.html">next page</a></body></html>'),
+            ("http://a.test/2.html", "a.test", 200, "text/html",
+             "<html><body><p>leaf two</p></body></html>"),
+        ],
+        "url string, host string, status int, content_type string, body string",
+    )
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 10),)),
+        obey_robots=False,
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, str(tmp_path / "c")),
+                CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/1.html"])
+    c.crawl(3)
+
+    wet_dir, wat_dir = str(tmp_path / "wet"), str(tmp_path / "wat")
+    c.export_wet(wet_dir)
+    c.export_wat(wat_dir)
+    wet = {r["url"]: r["text"] for r in read_wet(spark, wet_dir).collect()}
+    assert wet["http://a.test/1.html"] == "intro\nnext page"
+    assert wet["http://a.test/2.html"] == "leaf two"
+    wat = {r["url"]: r for r in read_wat(spark, wat_dir).collect()}
+    assert list(wat["http://a.test/1.html"]["outlinks"]) == ["/2.html"]
+    assert wat["http://a.test/2.html"]["outlinks"] == []
+    assert wat["http://a.test/1.html"]["status"] == 200
