@@ -78,3 +78,53 @@ def test_bloom_never_false_negative(keys):
     arr = np.array(keys, dtype=np.int64)
     _set_bits(bits, _probe_positions(arr, spec.m_bits, spec.k_hashes))
     assert _test_bits(bits, _probe_positions(arr, spec.m_bits, spec.k_hashes)).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            # URLs are whitespace-free post-canonicalization (uri.clean
+            # trims); WARC header values are whitespace-stripped on parse,
+            # so whitespace-carrying URLs are out of contract by design
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+                ),
+                min_size=1,
+                max_size=40,
+            ).map(lambda s: "http://h.test/" + s),
+            st.integers(min_value=0, max_value=9),
+            st.sampled_from([200, 404, 500]),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=200,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_framing_roundtrip_arbitrary_bodies(rows):
+    """Property: the concatenated record stream parses back to exactly the
+    rendered rows for ARBITRARY unicode bodies — including CRLFs, literal
+    'WARC/1.0' text, and multi-byte characters — and _iter_records' byte
+    offsets/lengths tile the stream exactly (the CDX byte-exactness
+    contract). Pure-python: exercises the framing without a session."""
+    from kermit_spark.warc import _iter_records, _parse_file, _render_record
+
+    stream = "".join(
+        # the text writer's lineSep supplies the second trailing CRLF
+        _render_record(u, w, s, "text/html", b, "2000-01-01T00:00:00Z") + "\r\n"
+        for u, w, s, b in rows
+    )
+    parsed = _parse_file(stream)
+    assert [(p[0], p[1], p[2], p[4]) for p in parsed] == [
+        (u, w, s, b) for u, w, s, b in rows
+    ]
+    data_len = len(stream.encode("utf-8"))
+    offs = [(off, ln) for _, _, off, ln in _iter_records(stream)]
+    assert offs[0][0] == 0
+    for (o1, l1), (o2, _) in zip(offs, offs[1:]):
+        assert o1 + l1 == o2
+    assert offs[-1][0] + offs[-1][1] == data_len
