@@ -19,6 +19,7 @@ LSH, stubbed media decode) are rows-only entries.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -27,6 +28,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# build-once index caches (bench steady-state discipline, r3 VERDICT #2)
+#
+# The three index-backed queries (dedup_incremental, dedup_minhash_stream,
+# ann_ivf_index) certify BOTH the build and the search path — but production
+# builds an index once and amortizes it over many increments, so a bench
+# that re-times the build on every run hides search-path regressions inside
+# build noise. Within one process the FIRST call builds (so a single
+# correctness run still exercises the build exactly as before); later calls
+# reuse the persisted index and time only the steady-state search.
+# bench.py runs these queries twice and reports cold (build+search) and
+# warm (search-only) phases separately.
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _cached_index_dir(kind: str, sf_dir: str, build) -> str:
+    """Return a tmpdir holding the persisted index for (kind, sf_dir),
+    building it via ``build(tmpdir)`` on first use. Dirs live for the
+    process (atexit-cleaned) — NOT across processes, so the driver's
+    correctness gate always exercises a fresh build."""
+    key = (kind, sf_dir)
+    if key not in _INDEX_CACHE:
+        tmp = tempfile.mkdtemp(
+            prefix=f"kermit_idx_{kind}_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+        )
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        build(tmp)
+        _INDEX_CACHE[key] = tmp
+    return _INDEX_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1381,29 +1415,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     query time. Oracle: DuckDB recomputes both sides' md5-min signatures,
     applies the same per-side bucket caps, joins new×index ∪ new×new, and
     verifies Jaccard — never reading the library's index."""
-    import tempfile
-
     from kermit_spark.catalog import SnapshotCatalog
-    from kermit_spark.ops.dedup import build_minhash_index, minhash_index_near_dups
+    from kermit_spark.ops.dedup import minhash_index_near_dups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    old = docs.select(F.col("doc_id").alias("id"), "text")
     new = docs.select(
         (F.col("doc_id") + 100000).alias("id"),
         F.substring(F.col("text"), 1, 160).alias("text"),
     ).filter(F.length("text") >= 40)
     params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
-    tmp = tempfile.mkdtemp(prefix="kermit_mhidx_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
-    try:
-        cat = SnapshotCatalog(spark, tmp)
-        build_minhash_index(cat, old, **params)
-        out = minhash_index_near_dups(cat, new, threshold=0.0, **params).orderBy(
-            "new_id", "match_id", "side"
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # build-once cache (VERDICT r3 #2): the search is read-only, so repeat
+    # calls within a process reuse the persisted index and time only the
+    # amortized steady-state probe
+    idx = _minhash_index_dir(spark, sf_dir, params)
+    out = minhash_index_near_dups(
+        SnapshotCatalog(spark, idx), new, threshold=0.0, **params
+    ).orderBy("new_id", "match_id", "side")
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _minhash_index_dir(spark: SparkSession, sf_dir: str, params: dict) -> str:
+    """Build-once persisted MinHash index over the documents table (shared
+    by dedup_incremental and, via a per-call copy, dedup_minhash_stream —
+    both use identical corpus + signature parameters)."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.ops.dedup import build_minhash_index
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = docs.select(F.col("doc_id").alias("id"), "text")
+        build_minhash_index(SnapshotCatalog(spark, tmp), old, **params)
+
+    return _cached_index_dir("minhash", sf_dir, build)
 
 
 def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,11 +1462,9 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from kermit_spark.catalog import SnapshotCatalog
-    from kermit_spark.ops.dedup import build_minhash_index
     from kermit_spark.streaming import stream_minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    old = docs.select(F.col("doc_id").alias("id"), "text")
     new = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring(F.col("text"), 1, 160).alias("text"),
@@ -1430,8 +1472,13 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
     tmp = tempfile.mkdtemp(prefix="kermit_smh_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
     try:
-        cat = SnapshotCatalog(spark, tmp)
-        build_minhash_index(cat, old, **params)
+        # the stream EXTENDS its index (survivor writeback), so each call
+        # works on a cheap file-level COPY of the build-once pristine index
+        # — the cached build is never mutated, results stay deterministic
+        idx = _minhash_index_dir(spark, sf_dir, params)
+        work = os.path.join(tmp, "idx")
+        shutil.copytree(idx, work)
+        cat = SnapshotCatalog(spark, work)
         feed = os.path.join(tmp, "feed")
         os.makedirs(feed)
         new.coalesce(1).write.mode("overwrite").json(feed)
@@ -1755,15 +1802,17 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), "embedding"
     )
     queries = emb.filter(F.col("id") < 8)
-    tmp = tempfile.mkdtemp(prefix="kermit_ivf_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
-    try:
-        cat = SnapshotCatalog(spark, tmp)
-        build_ivf_index(cat, emb, n_centroids=16)
-        out = ivf_index_topk(cat, queries, k=5, n_probe=4).orderBy("query_id", "rnk")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # build-once cache (VERDICT r3 #2): ivf_index_topk is a read-only
+    # partition-pruned probe, so repeat calls reuse the persisted index
+    def build(tmp: str) -> None:
+        build_ivf_index(SnapshotCatalog(spark, tmp), emb, n_centroids=16)
+
+    idx = _cached_index_dir("ivf", sf_dir, build)
+    out = ivf_index_topk(
+        SnapshotCatalog(spark, idx), queries, k=5, n_probe=4
+    ).orderBy("query_id", "rnk")
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,6 +428,15 @@ def bench_parse(spark, n_docs: int = 150_000) -> dict:
     }
 
 
+# Queries probing a PERSISTED index: their first call per process pays the
+# one-time index build (__spark_entry__._cached_index_dir); production
+# amortizes that build over many increments, so the steady-state number is
+# the WARM (search-only) run. bench reports both phases separately — an
+# operator regression in the probe path can no longer hide inside build
+# noise (r3 VERDICT #2).
+INDEX_BACKED_QUERIES = {"dedup_incremental", "dedup_minhash_stream", "ann_ivf_index"}
+
+
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
@@ -438,6 +447,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
             n = fn(spark, sf_dir).count()
             return {"sec": round(time.time() - t0, 3), "rows": n}
 
+        cold = None
+        if name in INDEX_BACKED_QUERIES:
+            cold = _timed_leg(run_once)  # pays the one-time index build
         res = _timed_leg(run_once)
         # Same contention defense as the crawl leg: a query slow enough to
         # matter (>1 s) measured in a stolen window gets one retry; both
@@ -456,8 +468,13 @@ def bench_queries(spark, sf_dir: str) -> dict:
             res["trials"] = [
                 {"sec": t["sec"], "steal_pct": t["steal_pct"]} for t in trials
             ]
+        if cold is not None:
+            # headline sec = warm steady-state search; build cost recorded
+            res["cold_sec"] = cold["sec"]
+            res["build_sec"] = round(max(cold["sec"] - res["sec"], 0.0), 3)
         out[name] = res
-        _log(f"query {name}: {res['sec']}s ({res['rows']} rows)")
+        _log(f"query {name}: {res['sec']}s ({res['rows']} rows)"
+             + (f" [cold {cold['sec']}s]" if cold is not None else ""))
     return out
 
 

@@ -182,11 +182,38 @@ class SnapshotCatalog:
         sid = meta.current_snapshot if snapshot is None else snapshot
         return meta.properties.get(str(sid), {})
 
+    def schema_stamp(self, table: str) -> str | None:
+        """The DDL schema string stamped at ``create`` (and refreshed by
+        ``refresh_schema_stamp``) — lets callers detect a table created by
+        an older code version BEFORE mixing new-schema files into it, with
+        zero file IO (manifest-only)."""
+        meta = self._load_meta(table)
+        return None if meta is None else meta.properties.get("_schema")
+
+    def refresh_schema_stamp(self, table: str) -> None:
+        """Re-stamp ``_schema`` from the table's current files — call after
+        a schema-evolution backfill so future sessions see the migrated
+        schema and skip re-probing."""
+        meta = self._load_meta(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} does not exist")
+        meta.properties["_schema"] = _schema_ddl(self.read(table))
+        self._store_meta(table, meta)
+
     # -- read --------------------------------------------------------------
 
-    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+    def read(
+        self, table: str, snapshot: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Read a snapshot (default: current). Returns an empty-schema error if
-        the table does not exist — callers create tables explicitly."""
+        the table does not exist — callers create tables explicitly.
+
+        ``merge_schema=True`` unions the schema across ALL files (parquet
+        ``mergeSchema``) instead of inferring from one footer — required when
+        a table may hold mixed-schema files from before a column existed
+        (rows from legacy files surface the new column as NULL). Costs a
+        footer read per file, so it is opt-in for migration probes, not the
+        steady-state path."""
         meta = self._load_meta(table)
         if meta is None:
             raise FileNotFoundError(f"table {table!r} does not exist in {self.root}")
@@ -204,7 +231,10 @@ class SnapshotCatalog:
             # empty table: replay schema from the schema stamp written at create
             schema_json = meta.properties.get("_schema")
             return self.spark.createDataFrame([], schema_json)
-        df = self.spark.read.option("basePath", base).parquet(*paths)
+        reader = self.spark.read.option("basePath", base)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         # the v{N} dir is not key=value so it is invisible to partition
         # discovery; only PARTITION_COL comes back as a partition column.
         return df

@@ -158,24 +158,29 @@ def _text_snippet(spec: CorpusSpec, tag: str) -> F.Column:
 
 
 def _quote_style_col(spec: CorpusSpec, slot) -> F.Column:
-    """Deterministic per-(host, page, slot) attribute-quoting style 0..3."""
+    """Deterministic per-(host, page, slot) attribute-quoting style 0..5."""
     return F.pmod(
         _mix(F.lit(spec.seed), F.col("host_id"), F.col("page_id"), F.lit(slot), F.lit("quot")),
-        F.lit(4),
+        F.lit(6),
     )
 
 
 def _attr_tag(tag_open: str, attr: str, value: F.Column, style: F.Column) -> F.Column:
-    """Render ``<tag attr=VALUE>`` in one of four real-web quoting styles:
+    """Render ``<tag attr=VALUE>`` in one of six real-web quoting styles:
     0 double-quoted, 1 single-quoted, 2 unquoted, 3 double-quoted with an
-    extra attribute before and whitespace around '=' — so the corpus
-    exercises every form the span tokenizer (and cheerio in the reference)
-    must parse, not just double quotes."""
+    extra attribute before and whitespace around '=', 4 double-quoted with a
+    PRECEDING attribute whose quoted value contains '>', 5 double-quoted
+    with a '?a>b' query appended to the value itself AND a following
+    attribute containing '>' — so the corpus exercises every form the span
+    tokenizer (and cheerio in the reference) must parse, including the
+    legal-HTML '>'-inside-quoted-value cases a naive regex truncates on."""
     return (
         F.when(style == 0, F.concat(F.lit(f'{tag_open} {attr}="'), value, F.lit('">')))
         .when(style == 1, F.concat(F.lit(f"{tag_open} {attr}='"), value, F.lit("'>")))
         .when(style == 2, F.concat(F.lit(f"{tag_open} {attr}="), value, F.lit(">")))
-        .otherwise(F.concat(F.lit(f'{tag_open} data-k=v {attr} = "'), value, F.lit('">')))
+        .when(style == 3, F.concat(F.lit(f'{tag_open} data-k=v {attr} = "'), value, F.lit('">')))
+        .when(style == 4, F.concat(F.lit(f'{tag_open} data-note="v>w" {attr}="'), value, F.lit('">')))
+        .otherwise(F.concat(F.lit(f'{tag_open} {attr}="'), value, F.lit('?a>b" title="x>y">')))
     )
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -294,20 +295,20 @@ class CrawlConfig:
     # URLs DEQUEUED per host across the whole crawl — a huge site cannot
     # monopolize the frontier however many waves run. Rides the same
     # host_budgets join as Crawl-delay/backoff (remaining = cap - attempted,
-    # 0 filters the host out of the dequeue entirely). Counts live in a
-    # driver dict fed by the per-wave per-host stats the wave already
-    # collects (zero extra jobs); a resumed crawl rebuilds them with one
-    # frontier aggregation (rows no longer 'scheduled' were dequeued once;
-    # attempts of error rows currently rescheduled for retry are missed by
-    # the recount — a slight post-resume under-count, bounded by max_tries,
-    # so a resumed crawl may admit that many extra retries per host).
-    # None = unlimited (reference behavior).
+    # 0 filters the host out of the dequeue entirely). Attempt counts are a
+    # frontier-side per-host aggregation joined into host_budgets — nothing
+    # is collected to the driver, so the cap scales to 10^8-host frontiers,
+    # and because frontier status+tries are the source of truth the count
+    # is exact across error retries AND crawler resumes (see
+    # _page_cap_budgets). None = unlimited (reference behavior).
     max_pages_per_host: int | None = None
     # per-PAGE discovery budget (Heritrix extractor max-outlinks analog):
-    # only the first n link-kind spans per page, in document order, become
-    # discovery candidates — a machine-generated page with 10^5 anchors
-    # cannot flood the dedup join. Applied as a shuffle-free array slice
-    # before the explode. None = unlimited (reference behavior).
+    # only the first n discovery-kind (link/resource/media) spans per page,
+    # in document order, become discovery candidates — resource/media refs
+    # consume the same budget as anchors, so a machine-generated page with
+    # 10^5 anchors or <img> tags cannot flood the dedup join. Applied as a
+    # shuffle-free array slice before the explode. None = unlimited
+    # (reference behavior).
     max_outlinks: int | None = None
     # magic-byte content sniffing (ops.media.sniff_mime) on fetched bodies:
     # routing and the documents table's content_type use the sniffed
@@ -331,6 +332,22 @@ class CrawlConfig:
     # server does; with fetch-once it stays conservatively blocked.
     # False = treat any non-200 as allow-all.
     robots_5xx_disallow: bool = True
+    # NotificationCenter analog (ext.notifications.coffee:6-18): a
+    # driver-side callable ``(event, payload)`` invoked on crawler
+    # lifecycle events — 'crawler:start' {wave}, 'crawler:stop' {wave,
+    # waves_run, reason}, and 'error' {wave, n_errors, urls} fired after
+    # any wave whose fetches failed, carrying the failing URLs (the
+    # reference notifies per item reaching its ERROR phase; here the wave
+    # IS the batch, so one event per wave carries the batch's failures).
+    # The urls list is bounded by notify_max_urls; n_errors is always the
+    # full count. None = off (zero extra jobs — the default path pays
+    # nothing). Exceptions from the callback propagate AFTER the wave's
+    # frontier commit, so a crashing handler never loses queue state.
+    on_event: Callable[[str, dict], None] | None = None
+    # cap on URLs carried by one 'error' event payload: the collect is
+    # bounded by the politeness budget already (docs is the dequeued
+    # batch), this bounds the driver list even for huge budgets
+    notify_max_urls: int = 1000
 
     def admit_expr(self, url) -> F.Column:
         """url_filter AND trap defense — the combined admission predicate."""
@@ -388,12 +405,15 @@ class Crawler:
         # driver-side in the common case; value unused when expiry is off)
         self._robots_hosts: dict[str, int] = {}
         # host → (p, fetched_wave) of hosts whose last robots probe was a
-        # 5xx outage; None = not yet rebuilt from the table (resume)
+        # 5xx outage; None = not yet rebuilt from the table (resume).
+        # Bounded by _OUTAGE_LEDGER_MAX; overflow spills to table scans
+        # (see _ensure_robots) — the robots table is the source of truth.
         self._outage_hosts: dict[str, tuple[int, int]] | None = None
+        self._outage_overflow = False
+        # True once this session has verified (or migrated) the robots
+        # table's schema — see _normalize_robots_schema
+        self._robots_schema_ok = False
         self._last_requeued = 0  # rows requeued by the latest outage recovery
-        # host -> cumulative dequeued count (max_pages_per_host scoping);
-        # None = not yet loaded (lazy resume rebuild, see _page_cap_budgets)
-        self._host_attempted: dict[str, int] | None = None
         # None = unknown (probe the robots table on next use); False skips
         # the Crawl-delay join entirely — the common case pays nothing
         self._has_crawl_delays: bool | None = None
@@ -441,6 +461,40 @@ class Crawler:
     # -- robots ------------------------------------------------------------
 
     _ROBOTS_CACHE_MAX = 2_000_000  # hosts; ~100 MB of driver strings at worst
+    # outage-ledger cap: hosts currently in 5xx outage (~60 MB worst case);
+    # past it the robots table drives re-probes directly (overflow spill)
+    _OUTAGE_LEDGER_MAX = 500_000
+
+    def _normalize_robots_schema(self) -> None:
+        """One-time schema-evolution guard before writing into an EXISTING
+        robots table: a table created before the ``server_error`` outage
+        column existed must be backfilled BEFORE new-schema rows are
+        fast-appended next to its legacy files — the plain catalog read
+        infers schema without mergeSchema, so a mixed-schema table can
+        silently drop the column depending on file order, losing the 5xx
+        outage markers a resumed crawl needs to re-probe all-blocked hosts.
+
+        Detection is manifest-only (the creation-time schema stamp), so
+        current-schema tables pay ZERO file IO here. Legacy tables pay one
+        mergeSchema read + full-table copy-on-write rewrite, then the
+        refreshed stamp makes every later session skip the probe. NULLs in
+        ``server_error`` (rows from legacy files mixed in by a pre-fix
+        session) normalize to False — unknown history is not an outage."""
+        if self._robots_schema_ok:
+            return
+        stamp = self.catalog.schema_stamp(ROBOTS_TABLE)
+        if stamp is not None and "server_error" not in stamp:
+            stored = self.catalog.read(ROBOTS_TABLE, merge_schema=True)
+            err = (
+                F.coalesce(F.col("server_error"), F.lit(False))
+                if "server_error" in stored.columns
+                else F.lit(False)
+            )
+            self.catalog.overwrite_partitions(
+                ROBOTS_TABLE, stored.withColumn("server_error", err)
+            )
+            self.catalog.refresh_schema_stamp(ROBOTS_TABLE)
+        self._robots_schema_ok = True
 
     def _ensure_robots(
         self, hosts: list[tuple[int, str]], wave: int = 0
@@ -472,20 +526,57 @@ class Crawler:
             # expiry re-probe anyway. Lazily rebuilt on resume from the
             # stored server_error column; empty (and cost-free) whenever
             # expiry is off.
+            #
+            # BOUND: hosts CURRENTLY in 5xx outage, not all hosts — normally
+            # a sliver of the frontier, but a hostile workload (crawling a
+            # million erroring hosts) could inflate it, so the dict is
+            # capped at _OUTAGE_LEDGER_MAX (~60 MB of driver strings worst
+            # case). SPILL: the robots table's server_error column is the
+            # source of truth; when the cap trips, re-probe candidates come
+            # from a bounded table scan each robots wave instead of the
+            # (incomplete) dict — same semantics, one extra bounded read,
+            # only in the overflow regime.
             if self._outage_hosts is None:
                 self._outage_hosts = {}
                 if self.catalog.exists(ROBOTS_TABLE):
                     stored0 = self.catalog.read(ROBOTS_TABLE)
                     if "server_error" in stored0.columns:
-                        self._outage_hosts = {
-                            r["host"]: (r["p"], r["fetched_wave"])
-                            for r in stored0.filter(
+                        rows0 = (
+                            stored0.filter(
                                 F.coalesce(F.col("server_error"), F.lit(False))
                             )
                             .select("p", "host", "fetched_wave")
+                            .limit(self._OUTAGE_LEDGER_MAX + 1)
                             .collect()
+                        )
+                        if len(rows0) > self._OUTAGE_LEDGER_MAX:
+                            self._outage_overflow = True
+                            rows0 = rows0[: self._OUTAGE_LEDGER_MAX]
+                        self._outage_hosts = {
+                            r["host"]: (r["p"], r["fetched_wave"]) for r in rows0
                         }
             in_batch = {h for _, h in hosts}
+            if self._outage_overflow and self.catalog.exists(ROBOTS_TABLE):
+                # overflow: the dict is a partial cache — pull this wave's
+                # stale-outage re-probe candidates from the table (bounded;
+                # re-probed hosts leave the set by flipping server_error or
+                # refreshing fetched_wave, so successive waves drain it)
+                stale_outage = (
+                    self.catalog.read(ROBOTS_TABLE)
+                    .filter(
+                        F.coalesce(F.col("server_error"), F.lit(False))
+                        & (F.col("fetched_wave") <= F.lit(wave - max_age))
+                    )
+                    .select("p", "host", "fetched_wave")
+                    .limit(self._OUTAGE_LEDGER_MAX)
+                    .collect()
+                )
+                for r in stale_outage:
+                    if len(self._outage_hosts) >= self._OUTAGE_LEDGER_MAX:
+                        break
+                    self._outage_hosts.setdefault(
+                        r["host"], (r["p"], r["fetched_wave"])
+                    )
             hosts = list(hosts) + [
                 (p, h)
                 for h, (p, fw) in self._outage_hosts.items()
@@ -546,30 +637,29 @@ class Crawler:
             )
             if not self.catalog.exists(ROBOTS_TABLE):
                 self.catalog.create(ROBOTS_TABLE, new_rules, self.config.num_partitions)
+                self._robots_schema_ok = True
             elif not stale_hosts:
                 # pure inserts (the probe above guarantees these hosts have
                 # no row yet) → fast-APPEND file sets: commit cost O(new
                 # hosts). A read+union+overwrite would rewrite every touched
                 # partition — O(all hosts stored there) per robots-fetch
                 # wave, a full-table rewrite at 10^8 hosts.
+                self._normalize_robots_schema()
                 self.catalog.merge_write(ROBOTS_TABLE, new_rules, replace_parts=())
             else:
                 # expiry refresh: stale hosts' rows must be REPLACED (host
                 # is unique in the table). Copy-on-write merge of just their
                 # partitions — surviving hosts carried forward, stale rows
                 # anti-joined out, refreshed + brand-new rows unioned in.
+                self._normalize_robots_schema()
                 stale_parts = sorted(
                     {p for p, h in missing if h in stale_hosts}
                 )
                 stale_df = self.spark.createDataFrame(
                     [(h,) for h in sorted(stale_hosts)], "host string"
                 )
-                surv_src = self.catalog.read(ROBOTS_TABLE)
-                if "server_error" not in surv_src.columns:
-                    # tables written before the outage marker existed
-                    surv_src = surv_src.withColumn("server_error", F.lit(False))
                 survivors = (
-                    surv_src
+                    self.catalog.read(ROBOTS_TABLE)
                     .filter(F.col("p").isin(stale_parts))
                     .join(stale_df, "host", "left_anti")
                     .select(*new_rules.columns)
@@ -599,7 +689,15 @@ class Crawler:
                 p_of = {h: p for p, h in missing}
                 for h, err in flags.items():
                     if err:
-                        self._outage_hosts[h] = (p_of[h], wave)
+                        if (
+                            h in self._outage_hosts
+                            or len(self._outage_hosts) < self._OUTAGE_LEDGER_MAX
+                        ):
+                            self._outage_hosts[h] = (p_of[h], wave)
+                        else:
+                            # cap: the table keeps the marker; overflow mode
+                            # re-probes straight from it
+                            self._outage_overflow = True
                     else:
                         self._outage_hosts.pop(h, None)
                 # hosts whose previous probe was 5xx and whose re-probe now
@@ -754,35 +852,43 @@ class Crawler:
             )
         return self._delay_caps
 
-    _PAGE_CAP_MAX_HOSTS = 5_000_000  # driver ints; beyond this the count
-    # moves to a frontier-side aggregate in production — documented bound
-
     def _page_cap_budgets(self) -> DataFrame | None:
         """(host, budget_cap) rows for max_pages_per_host: remaining quota
         per already-attempted host (0 filters an exhausted host out of the
         dequeue). Hosts never attempted carry no row — they keep the
-        configured budget. Counts load lazily: a resumed crawl rebuilds
-        them with ONE frontier aggregation (rows no longer scheduled were
-        dequeued exactly once), then per-wave updates are free (the wave's
-        per-host collect feeds the dict)."""
+        configured budget.
+
+        The counts stay ON the frontier as a per-host aggregation that
+        rides the host_budgets join — NOTHING is collected to the driver,
+        so a 10^7-10^8-host frontier costs a distributed agg, not a
+        multi-GB driver dict (Heritrix keeps the analogous queue budgets
+        on the queues themselves). Because frontier status is the source
+        of truth, a resumed crawl needs no rebuild and the count is EXACT
+        across retries: each row's cumulative dequeues =
+        ``tries`` (every errored/throttled dequeue bumped it) plus one if
+        the row currently holds a non-scheduled, non-error terminal state
+        (visited / robots_blocked / redirected — dequeued once beyond any
+        recorded failures; an 'error' row's dequeues are exactly its
+        tries)."""
         cap = self.config.max_pages_per_host
         if cap is None:
             return None
-        if self._host_attempted is None:
-            rows = (
-                self.frontier.read()
-                .filter(F.col("status") != SCHEDULED)
-                .groupBy("host")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+        attempts = F.col("tries") + F.when(
+            ~F.col("status").isin(SCHEDULED, ERROR), F.lit(1)
+        ).otherwise(F.lit(0))
+        return (
+            self.frontier.read()
+            .select("host", attempts.alias("attempts"))
+            .groupBy("host")
+            .agg(F.sum("attempts").alias("n"))
+            .filter(F.col("n") > 0)
+            .select(
+                "host",
+                F.greatest(F.lit(cap) - F.col("n"), F.lit(0))
+                .cast("int")
+                .alias("budget_cap"),
             )
-            self._host_attempted = {r["host"]: int(r["n"]) for r in rows}
-        if not self._host_attempted:
-            return None
-        remaining = [
-            (h, max(cap - n, 0)) for h, n in self._host_attempted.items()
-        ]
-        return self.spark.createDataFrame(remaining, "host string, budget_cap int")
+        )
 
     def _error_backoff_caps(self, wave: int) -> DataFrame | None:
         """(host, budget_cap) rows for hosts currently under error backoff;
@@ -1031,14 +1137,6 @@ class Crawler:
             per_host = selected.groupBy("p", "host").count().collect()
             n_selected = sum(r["count"] for r in per_host)
         batch_parts = sorted({r["p"] for r in per_host})
-        if cfg.max_pages_per_host is not None and self._host_attempted is not None:
-            # fold this wave's dequeues into the scoping counts — the
-            # per-host collect above is the data, no extra job
-            if len(self._host_attempted) < self._PAGE_CAP_MAX_HOSTS:
-                for r in per_host:
-                    self._host_attempted[r["host"]] = (
-                        self._host_attempted.get(r["host"], 0) + int(r["count"])
-                    )
         if n_selected == 0:
             selected.unpersist()
             return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)
@@ -1252,6 +1350,20 @@ class Crawler:
             self._update_adaptive_politeness(docs)
         if cfg.server_backoff is not None:
             self._update_server_backoff(wave, docs)
+        if cfg.on_event is not None and n_err:
+            # ext.notifications ERROR-phase analog: one event per wave with
+            # the failing URLs (docs is the still-cached, budget-bounded
+            # batch; the limit bounds the payload, n_errors stays exact)
+            err_urls = [
+                r["url"]
+                for r in docs.filter(~F.col("status").isin(200, 304))
+                .select("url")
+                .limit(cfg.notify_max_urls)
+                .collect()
+            ]
+            self._notify(
+                "error", {"wave": wave, "n_errors": n_err, "urls": err_urls}
+            )
         if cfg.lineage_per_partition:
             pp = (
                 docs.groupBy("p")
@@ -1310,6 +1422,12 @@ class Crawler:
             (wave, phases.SPOOLED, "discovered_new", None, n_new, wall),
         ]
 
+    def _notify(self, event: str, payload: dict) -> None:
+        """Fire the configured lifecycle callback (NotificationCenter
+        analog, ext.notifications.coffee:6-18). No-op when unconfigured."""
+        if self.config.on_event is not None:
+            self.config.on_event(event, payload)
+
     def flush_lineage(self) -> None:
         if not self._lineage_buffer:
             return
@@ -1346,6 +1464,8 @@ class Crawler:
         _ab_pin = _ab_orig in (None, "10000")
         if _ab_pin:
             self.spark.conf.set(_ab_key, "512")
+        self._notify("crawler:start", {"wave": self.last_wave + 1})
+        stop_reason = "exception"  # overwritten on every non-raising exit
         try:
             # Under a recrawl policy the crawl is perpetual: an empty wave is
             # an idle TICK (the virtual clock `last_wave + 1 + idle` keeps
@@ -1404,12 +1524,15 @@ class Crawler:
                             )
                         if self._last_requeued or self._outage_hosts:
                             continue
+                    stop_reason = "drained"
                     break
                 stats.append(s)
                 if s.stop_requested:
                     # F10: verification failure stops the crawler
+                    stop_reason = "verification_failed"
                     break
                 if remote is not None and remote.stop_requested:
+                    stop_reason = "remote_stop"
                     break
                 if self.config.compact_every and len(stats) % self.config.compact_every == 0:
                     self.compact()
@@ -1418,6 +1541,8 @@ class Crawler:
                     and len(stats) % self.config.reprioritize_every == 0
                 ):
                     self.reprioritize()
+            else:
+                stop_reason = "max_waves"
         finally:
             if _ab_pin:
                 if _ab_orig is None:
@@ -1428,6 +1553,14 @@ class Crawler:
             # commit any deferred driver-side url_seen blob maintenance so a
             # clean shutdown resumes without the O(frontier) rebuild
             self.frontier.flush_bloom()
+            self._notify(
+                "crawler:stop",
+                {
+                    "wave": self.last_wave,
+                    "waves_run": len(stats),
+                    "reason": stop_reason,
+                },
+            )
         return stats
 
     # -- outputs -----------------------------------------------------------
@@ -1593,6 +1726,25 @@ class Crawler:
         from .warc import write_wat
 
         write_wat(self.latest_documents(), path, date=date)
+
+    def replay_documents(self, path: str, **parse_kwargs) -> DataFrame:
+        """Re-extraction replay INTO THIS CRAWL: parse an archived .warc
+        tree back into rows of this crawl's documents table, with the
+        partition column ``p`` derived under THIS crawl's
+        ``config.num_partitions`` — the detail a caller of the free
+        function ``warc.documents_from_warc`` can silently get wrong (its
+        default of 32 disagrees with any other live partitioning and the
+        'drop-in rows of the same documents table' claim breaks).
+        ``parse_kwargs`` pass through to parse_documents (html_meta /
+        sniff_content) — replay with better extraction settings than the
+        original crawl had."""
+        from .warc import documents_from_warc
+
+        return documents_from_warc(
+            self.spark, path,
+            num_partitions=self.config.num_partitions,
+            **parse_kwargs,
+        )
 
     def lineage(self) -> DataFrame:
         self.flush_lineage()

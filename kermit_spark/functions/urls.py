@@ -274,7 +274,15 @@ def _normalize_one(url: str) -> str:
         path = "/"
     # re-encode spaces etc. consistently but keep readable chars
     path = quote(unquote(path), safe="/:@!$&'()*+,;=~%-._[]")
-    return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+    # query too (urijs normalizes query escaping on .normalize()): raw
+    # RFC 3986-illegal bytes a tokenizer legitimately hands us — '>' in
+    # <a href="x?a>b">, spaces, quotes — percent-encode instead of
+    # propagating into the frontier, where strict URL parsers (JVM
+    # parse_url in the robots gate, real fetch stacks) reject them
+    query = parts.query
+    if query:
+        query = quote(unquote(query), safe="/:@!$&'()*+,;=~%-._[]?")
+    return urlunsplit((scheme, netloc, path, query, parts.fragment))
 
 
 def _clean_one(base: str, url: str | None) -> str | None:

@@ -62,17 +62,24 @@ SPAN_TYPE = ArrayType(
 # '='. Unquoted values terminate at whitespace or '>' per the HTML5 tokenizer
 # — so a trailing '/' in <img src=a.png/> belongs to the VALUE ("a.png/"),
 # matching stdlib html.parser (the independent e2e oracle). The lookbehind
-# rejects attributes merely ENDING in href/src (data-href=...). Known
-# limitation vs a real parser: a '>' inside a quoted attribute value ends the
-# tag match early.
+# rejects attributes merely ENDING in href/src (data-href=...).
+#
+# The in-tag skips (_IN_TAG: the attribute soup before/after the href|src
+# match) are QUOTE-AWARE — a quoted string is consumed atomically, so a '>'
+# inside any quoted attribute value (legal HTML the reference's cheerio
+# parser handles, Extractor.coffee:11-18) no longer ends the tag match early:
+# <a title="x>y" href="u">t</a> parses as one link span, not truncated
+# garbage. Same for _TAG_RE (tag stripping inside text runs), matching
+# html.parser's tokenizer on e.g. <p class="x>y">.
+_IN_TAG = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
 _ATTR_VAL = r"\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*))"
 _TOKEN_RE = re.compile(
-    rf"<a\s[^>]*?(?<![-\w])href{_ATTR_VAL}[^>]*>(.*?)</a>"  # 1|2|3: href, 4: anchor text
-    rf"|<link\s[^>]*?(?<![-\w])href{_ATTR_VAL}[^>]*/?>"  # 5|6|7: resource href
-    rf"|<img\s[^>]*?(?<![-\w])src{_ATTR_VAL}[^>]*/?>",  # 8|9|10: media src
+    rf"<a\s{_IN_TAG}*?(?<![-\w])href{_ATTR_VAL}{_IN_TAG}*>(.*?)</a>"  # 1|2|3: href, 4: anchor text
+    rf"|<link\s{_IN_TAG}*?(?<![-\w])href{_ATTR_VAL}{_IN_TAG}*/?>"  # 5|6|7: resource href
+    rf"|<img\s{_IN_TAG}*?(?<![-\w])src{_ATTR_VAL}{_IN_TAG}*/?>",  # 8|9|10: media src
     re.DOTALL | re.IGNORECASE,
 )
-_TAG_RE = re.compile(r"<[^>]+>")
+_TAG_RE = re.compile(rf"<{_IN_TAG}+>")
 
 
 def _first_group(m: re.Match, *idxs: int) -> str | None:
@@ -324,12 +331,13 @@ def discover_links(
     link (honor_base gates it — it's part of the same compliance mode).
     All default off — reference parity.
 
-    ``max_outlinks`` keeps only the FIRST n link-kind spans per page in
-    document order (the Heritrix extractor link-budget analog): a
-    machine-generated page with 10^5 anchors contributes a bounded set of
-    discovery candidates instead of flooding the dedup join. Shuffle-free —
-    the cap is an array slice on the spans column BEFORE the explode, so
-    no (page_url) repartition ever happens.
+    ``max_outlinks`` keeps only the FIRST n discovery-kind
+    (link/resource/media) spans per page in document order (the Heritrix
+    extractor link-budget analog) — resource and media refs draw from the
+    SAME budget as anchors, since every kind feeds the dedup join a
+    machine-generated page could flood. Shuffle-free — the cap is an array
+    slice on the spans column BEFORE the explode, so no (page_url)
+    repartition ever happens.
     """
     if honor_nofollow and "robots_nofollow" in documents.columns:
         documents = documents.filter(~F.coalesce(F.col("robots_nofollow"), F.lit(False)))

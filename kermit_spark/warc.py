@@ -20,6 +20,7 @@ from md5(url, wave) — same crawl, same archive.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -120,6 +121,42 @@ def _write_records(prepared: DataFrame, render_row, path: str,
     )
 
 
+def _check_utf8_fidelity(fname: str, text: str) -> None:
+    """Fail LOUDLY when Spark's text read lossily decoded a non-UTF-8
+    archive: ``spark.read.text`` replaces undecodable byte sequences with
+    U+FFFD, which silently changes byte lengths — every offset/length the
+    CDX derives after the first bad byte would point at garbage, and
+    ``read_warc_at`` ranged reads would return it without error. Detection
+    is two-stage so the valid-UTF-8 common path pays one substring scan
+    and nothing else: only when the decoded text contains U+FFFD (the
+    replacement marker — rare but legal in genuine UTF-8) is the text
+    re-encoded and compared against the on-disk byte size; a mismatch
+    proves lossy decoding. Remote (non-file:) paths can't be stat'd from
+    the executor — for those the UTF-8-only contract is documented on
+    build_cdx and this check passes through."""
+    if "�" not in text:
+        return
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(fname)
+    if parsed.scheme not in ("file", ""):
+        return
+    local = unquote(parsed.path) or fname
+    try:
+        size = os.path.getsize(local)
+    except OSError:
+        return
+    if len(text.encode("utf-8")) != size:
+        raise ValueError(
+            f"WARC file {fname} is not valid UTF-8: the decoded text "
+            f"re-encodes to {len(text.encode('utf-8'))} bytes but the file "
+            f"holds {size} — byte offsets derived from this decode would be "
+            "shifted. kermit_spark archives are UTF-8 by construction; "
+            "foreign archives must be transcoded (or repaired) before "
+            "indexing."
+        )
+
+
 def _iter_records(text: str):
     """Walk one WARC-family file sequentially in BYTE space, yielding
     (headers, payload, byte_offset, byte_length) per record. The buffer is
@@ -128,7 +165,11 @@ def _iter_records(text: str):
     The single walker serves the response (.warc), conversion (.wet) and
     metadata (.wat) readers AND the CDX indexer, so the framing contract
     (two trailing CRLFs per record) lives in exactly one place. Stops at
-    the first non-record byte (trailing garbage — records are a prefix)."""
+    the first non-record byte (trailing garbage — records are a prefix).
+
+    BYTE-space fidelity presumes the ``text`` argument round-trips to the
+    original file bytes — true for every archive this module writes (UTF-8
+    throughout) and enforced for CDX indexing by _check_utf8_fidelity."""
     data = text.encode("utf-8")
     version = _WARC_VERSION.encode()
     pos = 0
@@ -214,7 +255,13 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
     Content-Length walk the reader uses, never re-derived by searching.
 
     Store the result sorted by surt_key and partitioned/bucketed on the
-    key prefix and lookups prune to one file set per domain."""
+    key prefix and lookups prune to one file set per domain.
+
+    UTF-8-only contract: offsets are derived from the text AFTER Spark's
+    UTF-8 decode, which round-trips byte-exactly only for valid UTF-8
+    archives (everything this module writes). A foreign non-UTF-8 archive
+    is rejected loudly by _check_utf8_fidelity rather than indexed with
+    silently shifted offsets — transcode it first."""
     import hashlib
 
     files = spark.read.text(path, wholetext=True).select(
@@ -225,6 +272,7 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple] = []
             for fname, text in zip(pdf["filename"], pdf["value"]):
+                _check_utf8_fidelity(fname, text)
                 # _iter_records walks in byte space, so its offsets/lengths
                 # ARE the ranged-read coordinates — byte-exact by
                 # construction
@@ -471,7 +519,13 @@ def documents_from_warc(
     so it replays as "" — an empty spans array where the live parse of a
     null-body HTML row yields null). ``parse_kwargs`` pass through to
     parse_documents (html_meta/sniff_content), which is the point: replay
-    with better extraction settings than the original crawl had."""
+    with better extraction settings than the original crawl had.
+
+    CAUTION: ``num_partitions`` must equal the target crawl's
+    ``config.num_partitions`` or the re-derived ``p`` column silently
+    disagrees with the live partitioning and the drop-in claim above
+    breaks — replaying into an existing crawl should go through
+    ``Crawler.replay_documents``, which passes its own config's value."""
     from .functions.urls import host_of, host_salt, url_hash
     from .parse import parse_documents
 

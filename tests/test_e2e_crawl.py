@@ -53,9 +53,14 @@ def corpus_map(corpus_df):
 
 @pytest.fixture(scope="module")
 def url_hashes(spark, corpus_df):
-    rows = corpus_df.select(
-        "url", F.xxhash64("url").alias("h")
-    ).collect()
+    # corpus URLs plus their '?a>b' discovery variants (corpus quoting
+    # style 5 appends the query inside the quoted attribute value; cleaning
+    # percent-encodes it) — the oracle needs a hash for every URL that can
+    # enter the frontier, fetched or not
+    urls = corpus_df.select("url").union(
+        corpus_df.select(F.concat(F.col("url"), F.lit("?a%3Eb")).alias("url"))
+    )
+    rows = urls.select("url", F.xxhash64("url").alias("h")).collect()
     return {r["url"]: r["h"] for r in rows}
 
 
@@ -976,3 +981,52 @@ def test_adaptive_recrawl_respects_cache_headers(spark, tmp_path):
     assert status3["http://ha.test/a.html"] == "visited", (n, status3)
     # and the cache-blind policy WOULD have rescheduled it from this state
     assert c3.adaptive_recrawl() >= 1
+
+
+def test_notification_events_fire_on_error_and_lifecycle(spark, tmp_path):
+    """NotificationCenter analog (ext.notifications.coffee:6-18): the
+    configured on_event callback observes crawler:start, per-wave 'error'
+    events carrying the failing URLs, and crawler:stop with the stop
+    reason — the reference notifies per item reaching ERROR and on
+    crawler start/stop."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    corpus = spark.createDataFrame(
+        [
+            ("http://a.test/1.html", "a.test", 200, "text/html",
+             '<html><body><a href="/gone.html">dead</a>'
+             '<a href="/2.html">ok</a></body></html>'),
+            ("http://a.test/2.html", "a.test", 200, "text/html",
+             "<html><body><p>leaf</p></body></html>"),
+            # /gone.html absent from the corpus -> fetch error in wave 2
+        ],
+        "url string, host string, status int, content_type string, body string",
+    )
+    events: list[tuple[str, dict]] = []
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 10),)),
+        obey_robots=False,
+        max_tries=1,
+        on_event=lambda ev, payload: events.append((ev, payload)),
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, str(tmp_path / "cat")),
+                CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/1.html"])
+    c.crawl(4)
+
+    names = [ev for ev, _ in events]
+    assert names[0] == "crawler:start"
+    assert names[-1] == "crawler:stop"
+    errs = [p for ev, p in events if ev == "error"]
+    assert len(errs) == 1                      # exactly the wave that failed
+    assert errs[0]["n_errors"] == 1
+    assert errs[0]["urls"] == ["http://a.test/gone.html"]
+    stop = events[-1][1]
+    assert stop["reason"] == "drained"
+    assert stop["waves_run"] == 2
+    # default config (no callback): zero events machinery — attribute is None
+    assert CrawlConfig().on_event is None

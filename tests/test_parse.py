@@ -341,3 +341,45 @@ def test_entity_decoding_matches_html_parser_semantics(spark):
         ("media", None, "/i.png", 2),
         ("resource", None, '/c".css', 3),
     ]
+
+
+def test_gt_inside_quoted_attribute_values_matches_html_parser():
+    """r3 VERDICT #4: '>' inside a QUOTED attribute value is legal HTML the
+    reference's cheerio parser handles (Extractor.coffee:11-18); the span
+    tokenizer must not end the tag match at it — before this fix
+    <a title="x>y" href=...> truncated to garbage spans. Engine and the
+    independent html.parser oracle must agree span-for-span."""
+    from kermit_spark.parse import extract_spans_one
+    from tests.oracle import extract_spans_oracle
+
+    cases = [
+        # '>' in an attribute BEFORE the href
+        '<html><body><p>hi</p><a data-note="v>w" href="/p/1.html">one</a>'
+        "<p>mid</p></body></html>",
+        # '>' in the href VALUE itself (?a>b query) AND in a following attr
+        '<html><body><a href="/p/2.html?a>b" title="x>y">two</a>'
+        '<img src="/i.png?a>b" title="x>y">'
+        '<link href="/c.css?a>b" title="x>y"></body></html>',
+        # '>' in a quoted attr of a NON-link tag inside a text run
+        '<html><body><p class="x>y">text run</p><a href=\'/u\'>t</a></body></html>',
+        # single-quoted variant, unquoted href after it
+        "<html><body><a title='x>y' href=/p/3.html>three</a>tail</body></html>",
+    ]
+    for body in cases:
+        assert extract_spans_one(body) == extract_spans_oracle(body), body
+
+
+def test_corpus_emits_gt_in_quoted_attr_styles(spark):
+    """The synthetic corpus must actually exercise the '>'-in-quoted-value
+    forms (styles 4 and 5) so the e2e closure tests cover them."""
+    from kermit_spark.corpus import CorpusSpec, build_corpus
+
+    bodies = (
+        build_corpus(spark, CorpusSpec(n_hosts=6, base_pages=40))
+        .filter(F.col("kind") == "page")
+        .select("body")
+        .collect()
+    )
+    text = "\n".join(r["body"] for r in bodies)
+    assert 'data-note="v>w"' in text           # style 4: '>' before href
+    assert '?a>b" title="x>y">' in text        # style 5: '>' in value + after

@@ -400,3 +400,34 @@ def test_host_graph_single_exchange(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, plan
     assert "HashAggregate" in plan
+
+
+def test_page_cap_budgets_are_a_frontier_side_aggregate(spark, tmp_path):
+    """max_pages_per_host accounting must ride a join fed by a DISTRIBUTED
+    frontier aggregation — never a driver dict (r3 VERDICT: a 10^7-host
+    frontier would make that a multi-GB driver structure rebuilt on
+    resume). The plan must show the parquet frontier scan feeding a hash
+    aggregate, not a LocalTableScan of collected rows; and the source must
+    contain no collect at all."""
+    import inspect
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+
+    corpus = spark.createDataFrame(
+        [], "url string, host string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(num_partitions=4, max_pages_per_host=3)
+    c = Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path / "cat")),
+        CorpusFetcher(corpus), cfg,
+    )
+    c.seed(["http://a.test/x.html", "http://b.test/y.html"])
+    budgets = c._page_cap_budgets()
+    plan = _plan(budgets)
+    assert "HashAggregate" in plan, plan
+    assert "LocalTableScan" not in plan, plan          # no driver-side list
+    assert "Scan parquet" in plan, plan                # counts come FROM the frontier
+    src = inspect.getsource(Crawler._page_cap_budgets)
+    assert ".collect()" not in src and "createDataFrame" not in src

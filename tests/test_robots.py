@@ -573,3 +573,99 @@ def test_sitemap_url_hints_parses_all_fields(spark):
     assert r3["changefreq"] == "fortnightly" and r3["interval_s"] is None
     plan = sitemap_url_hints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: legacy robots tables (pre-server_error) on resume
+# ---------------------------------------------------------------------------
+
+
+def _legacy_robots_table(spark, cat, hosts):
+    """Create a robots table the way pre-outage-column code did: same
+    columns as robots_rules_from_fetch MINUS server_error."""
+    rows = [(i % 2, h, True, [("^/blocked", False)], None, [], 0) for i, h in enumerate(hosts)]
+    legacy = spark.createDataFrame(
+        rows,
+        "p int, host string, fetched boolean, "
+        "rules array<struct<pattern string, allow boolean>>, "
+        "crawl_delay double, sitemaps array<string>, fetched_wave int",
+    )
+    cat.create("robots", legacy, num_partitions=2)
+    return legacy
+
+
+def test_legacy_robots_table_backfilled_before_append(spark, tmp_path):
+    """ADVICE r3 (medium): the fast-append path must NOT mix new-schema
+    files (with server_error) into a legacy table — plain reads infer
+    schema from one footer, so the column could silently vanish on a
+    resumed crawl. The crawler backfills ONCE (detected via the creation
+    -time schema stamp), refreshes the stamp, and only then appends."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    _legacy_robots_table(spark, cat, ["old.test"])
+    assert "server_error" not in cat.schema_stamp("robots")
+
+    corpus = spark.createDataFrame(
+        [("http://new.test/p/0.html", "new.test", 200, "text/html",
+          "<html><body><p>page</p></body></html>")],
+        "url string, host string, status int, content_type string, body string",
+    )
+    cfg = CrawlConfig(num_partitions=2, politeness=Politeness((Limit(".*", 5),)))
+    c = Crawler(spark, cat, CorpusFetcher(corpus), cfg)
+    c.seed(["http://new.test/p/0.html"])
+    c.crawl(1)
+
+    # plain read (NO mergeSchema): the column must exist and be non-null
+    # on every row, legacy and fresh alike
+    stored = {r["host"]: r for r in cat.read("robots").collect()}
+    assert stored["old.test"]["server_error"] is False
+    assert stored["new.test"]["server_error"] is False
+    # stamp refreshed -> later sessions skip the probe entirely
+    assert "server_error" in cat.schema_stamp("robots")
+    # legacy rules survived the backfill rewrite
+    assert stored["old.test"]["rules"][0]["pattern"] == "^/blocked"
+
+
+def test_mixed_schema_robots_table_normalizes_nulls(spark, tmp_path):
+    """Pre-fix damage: a legacy table that ALREADY had new-schema rows
+    fast-appended next to legacy files. Normalization reads with
+    mergeSchema (legacy rows surface server_error as NULL) and rewrites
+    NULL -> False, so outage bookkeeping never sees unknowns."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    _legacy_robots_table(spark, cat, ["old.test"])
+    # simulate the pre-fix append of a NEW-schema row (server_error=True:
+    # an outage marker that must survive normalization)
+    mixed = spark.createDataFrame(
+        [(0, "outage.test", True, [("^/", False)], None, [], 3, True)],
+        "p int, host string, fetched boolean, "
+        "rules array<struct<pattern string, allow boolean>>, "
+        "crawl_delay double, sitemaps array<string>, fetched_wave int, "
+        "server_error boolean",
+    )
+    cat.merge_write("robots", mixed, replace_parts=())
+
+    empty_corpus = spark.createDataFrame(
+        [], "url string, host string, status int, content_type string, body string"
+    )
+    cfg = CrawlConfig(num_partitions=2)
+    c = Crawler(spark, cat, CorpusFetcher(empty_corpus), cfg)
+    c._normalize_robots_schema()
+
+    stored = {r["host"]: r for r in cat.read("robots").collect()}
+    assert stored["old.test"]["server_error"] is False      # NULL -> False
+    assert stored["outage.test"]["server_error"] is True    # marker KEPT
+    assert "server_error" in cat.schema_stamp("robots")
+    # second call is a no-op (session flag), and a FRESH crawler skips the
+    # probe via the refreshed stamp
+    c._normalize_robots_schema()
+    c2 = Crawler(spark, cat, CorpusFetcher(empty_corpus), cfg)
+    c2._normalize_robots_schema()
+    assert stored["outage.test"]["fetched_wave"] == 3
