@@ -324,6 +324,171 @@ def bench_evict(spark, sizes=(2_000_000, 8_000_000), evict_hosts: int = 25) -> d
     return out
 
 
+def bench_big_frontier(
+    spark,
+    n: int = 10_000_000,
+    waves: int = 3,
+    batch: int = 1_000_000,
+    spread_hosts: int = 50_000,
+) -> dict:
+    """The big-frontier scale leg (`python bench.py --big-frontier`): a
+    10^7-row frontier with SKEWED hosts (~30% of every URL on one hot host,
+    the rest spread over 50k hosts) drives ``waves`` schedule merges of 1M
+    candidates each (50% already seen). This is the regime where every
+    scale mechanism actually engages, 10x past the Bloom activation
+    threshold (frontier.BLOOM_MIN_FRONTIER = 1M):
+
+      * the default BloomSpec (sized for ~100k keys/partition) SATURATES at
+        10M rows — the first flush epoch must detect est_fpp >
+        bloom_max_fpp and fire the auto-grow rebuild
+        (frontier._grow_and_rebuild), after which the prefilter is healthy
+        again: wave 1 pays the documented one-time rebuild, later waves
+        are the steady state the ≥100k-URLs/s target applies to;
+      * the dedup merge (Bloom prefilter + reverse-pruned anti-join +
+        partition-pruned commit) runs against a frontier 10x any prior
+        bench leg;
+      * plan_host_partitions is planned at a size where the hot host
+        (~3M URLs, all in ONE hash partition) would otherwise be a
+        straggler task — the leg reports the salt plan's balance;
+      * one politeness dequeue (two-level top-k, sub_salts=16) is timed
+        over the full skewed frontier.
+
+    Reported: init/blob-build walls (setup, untimed context), per-wave
+    {sec, new_scheduled, urls_per_sec, steal}, fill stats + spec before
+    and after auto-grow, salt-plan shape, dequeue wall.
+    """
+    from pyspark.sql import functions as F
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import (
+        Frontier, Limit, Politeness, dequeue, plan_host_partitions,
+    )
+
+    def urls(lo: int, hi: int):
+        host = F.when(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(10)) < 3, F.lit("hot.test")
+        ).otherwise(
+            F.concat(
+                F.lit("h"),
+                F.pmod(F.col("id"), F.lit(spread_hosts)).cast("string"),
+                F.lit(".test"),
+            )
+        )
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://"), host, F.lit("/p/"),
+                F.col("id").cast("string"), F.lit(".html"),
+            ).alias("url")
+        )
+
+    root = tempfile.mkdtemp(prefix="kermit_bigf_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
+    out: dict = {
+        "metric": "10^7-row skewed-frontier schedule waves + auto-grow + salt plan",
+        "frontier_rows": n,
+        "batch": batch,
+        "hot_host_pct": 30,
+        "spread_hosts": spread_hosts,
+    }
+    try:
+        fr = Frontier(SnapshotCatalog(spark, root), num_partitions=32)
+        t0 = time.time()
+        fr.init(urls(0, n))
+        out["init_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        fr._ensure_blobs_current()  # steady-state posture: blobs resident
+        out["blob_build_sec"] = round(time.time() - t0, 2)
+        pre = fr.seen_fill_stats()
+        out["bloom_before"] = {
+            "m_bits": fr.bloom_spec.m_bits,
+            "worst_fpp": round(max(s["est_fpp"] for s in pre.values()), 4),
+            "max_fill": round(max(s["fill_ratio"] for s in pre.values()), 4),
+        }
+        # warm wave (5k seen + 5k NEW keys — new keys dirty the blobs), then
+        # an explicit flush runs the saturation check → the auto-grow
+        # rebuild fires HERE, timed on its own (production pays it once per
+        # saturation event, every bloom_commit_every epochs — not per
+        # wave); the timed waves below then measure the healthy steady
+        # state
+        fr.schedule(urls(n - 5_000, n + 5_000), wave=0)
+        t0 = time.time()
+        fr.flush_bloom()
+        out["auto_grow_sec"] = round(time.time() - t0, 2)
+
+        half = batch // 2
+        wave_rows = []
+        for w in range(1, waves + 1):
+            lo = n + (w - 2) * half  # 50% overlap with the previous wave
+            cand = urls(lo, lo + batch)
+
+            def leg(cand=cand, w=w):
+                t0 = time.time()
+                n_new = fr.schedule(cand, wave=w)
+                sec = time.time() - t0
+                return {
+                    "sec": round(sec, 2),
+                    "new_scheduled": n_new,
+                    "urls_per_sec": round(batch / sec, 1) if sec > 0 else 0.0,
+                }
+
+            res = _timed_leg(leg)
+            res["m_bits_after"] = fr.bloom_spec.m_bits  # shows WHEN growth fired
+            wave_rows.append(res)
+            _log(f"big-frontier wave {w}: {res['sec']}s "
+                 f"({res['new_scheduled']} new, {res['urls_per_sec']} URLs/s, "
+                 f"m_bits={res['m_bits_after']})")
+        out["waves"] = wave_rows
+        steady = wave_rows[1:] or wave_rows
+        out["steady_urls_per_sec"] = round(
+            sum(r["urls_per_sec"] for r in steady) / len(steady), 1
+        )
+        post = fr.seen_fill_stats()
+        out["bloom_after"] = {
+            "m_bits": fr.bloom_spec.m_bits,
+            "worst_fpp": round(max(s["est_fpp"] for s in post.values()), 6),
+            "max_fill": round(max(s["fill_ratio"] for s in post.values()), 4),
+        }
+        out["auto_grow_fired"] = out["bloom_after"]["m_bits"] > out["bloom_before"]["m_bits"]
+
+        # salt-plan leg: split the hot host so no task owns >100k of it
+        def plan_leg():
+            t0 = time.time()
+            counts = fr.read().groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+            plan = plan_host_partitions(counts, 32, salt_threshold=100_000)
+            loads = (
+                plan.groupBy("partition")
+                .agg(F.sum("slot_weight").alias("w"))
+                .collect()
+            )
+            hot = plan.filter(F.col("host") == "hot.test").select("n_slots").first()
+            ws = [r["w"] for r in loads]
+            return {
+                "sec": round(time.time() - t0, 2),
+                "hot_host_slots": int(hot["n_slots"]) if hot else 0,
+                "partition_load_max_over_mean": round(
+                    max(ws) / (sum(ws) / len(ws)), 3
+                ),
+            }
+
+        out["salt_plan"] = _timed_leg(plan_leg)
+        _log(f"salt plan: {out['salt_plan']}")
+
+        # politeness dequeue over the full skewed frontier
+        def dq_leg():
+            t0 = time.time()
+            got = dequeue(
+                fr.read().filter(F.col("status") == "scheduled"),
+                Politeness((Limit(".*", 100),)),
+                sub_salts=16,
+            ).count()
+            return {"sec": round(time.time() - t0, 2), "selected": got}
+
+        out["dequeue"] = _timed_leg(dq_leg)
+        _log(f"dequeue: {out['dequeue']}")
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_dequeue_skew(spark, n: int = 4_000_000, budget: int = 100) -> dict:
     """Hot-domain skew probe: dequeue from a frontier where 90 % of all
     rows belong to ONE host, A/B-ing the two-level top-k (sub_salts=16)
@@ -645,6 +810,13 @@ if __name__ == "__main__":
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
                              shuffle_partitions=64)
         print(json.dumps(bench_dedup_vs_frontier_size(spark)))
+        spark.stop()
+    elif "--big-frontier" in sys.argv:
+        os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
+        os.environ.setdefault("KERMIT_DRIVER_MEM", "48g")
+        spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                             shuffle_partitions=64)
+        print(json.dumps(bench_big_frontier(spark)))
         spark.stop()
     elif "--evict" in sys.argv:
         os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")

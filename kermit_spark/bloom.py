@@ -67,7 +67,12 @@ class BloomSpec:
 
     @staticmethod
     def for_capacity(n_keys_per_partition: int, bits_per_key: int = 10) -> "BloomSpec":
-        m = max(1 << 10, int(n_keys_per_partition * bits_per_key))
+        # m is rounded UP to a byte multiple: blob buffers hold m >> 3
+        # bytes, so a non-multiple-of-8 m would let probe positions in the
+        # last partial byte index past the buffer (auto-grow computes
+        # ceil(peak × growth), which lands on odd values whenever the
+        # float cardinality estimate exceeds the exact count)
+        m = max(1 << 10, -(-int(n_keys_per_partition) * bits_per_key // 8) * 8)
         return BloomSpec(m_bits=m, k_hashes=7)
 
 
@@ -190,22 +195,36 @@ def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return probes.all(axis=1)
 
 
-def build_bloom(frontier: DataFrame, spec: BloomSpec) -> DataFrame:
+def build_bloom(
+    frontier: DataFrame,
+    spec: BloomSpec,
+    m_by_partition: dict[int, int] | None = None,
+) -> DataFrame:
     """Build one filter blob per partition from frontier (p, url_hash).
 
     One Arrow batch group per partition; the bitset is built vectorized and
     shipped back as a single binary cell.
+
+    ``m_by_partition`` sizes individual partitions' blobs (p → m_bits,
+    byte-aligned; others fall back to ``spec``): under host skew the
+    partition loads differ by 10-100x, and the saturation auto-grow uses
+    this to give each blob growth× ITS OWN key count instead of paying the
+    peak partition's size P times over. Every probe/merge path reads the
+    per-row (m_bits, k_hashes), so heterogeneous blob sets are native.
     """
-    m, k = spec.m_bits, spec.k_hashes
+    m_default, k = spec.m_bits, spec.k_hashes
+    sizes = {int(p): int(m) for p, m in (m_by_partition or {}).items()}
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["p"].iloc[0])
+        m = sizes.get(p, m_default)
         bits = np.zeros(m >> 3, dtype=np.uint8)
         h = pdf["url_hash"].to_numpy(dtype=np.int64)
         if len(h):
             _set_bits(bits, _probe_positions(h, m, k))
         return pd.DataFrame(
             {
-                "p": [int(pdf["p"].iloc[0])],
+                "p": [p],
                 "filter": [bits.tobytes()],
                 "n_items": [len(h)],
                 "m_bits": [m],
@@ -226,6 +245,13 @@ def merge_bloom(existing: DataFrame, new_rows: DataFrame, spec: BloomSpec) -> Da
 
     ``existing``: BLOOM_SCHEMA rows; ``new_rows``: (p, url_hash).
     Partitions present only on one side pass through / are created.
+
+    An existing blob's OWN (m_bits, k_hashes) govern the OR — never the
+    passed spec, which only sizes blobs for brand-new partitions. Using
+    the spec on an existing blob of a different size (a resumed Frontier
+    holds the DEFAULT spec even when the stored blobs were auto-grown)
+    would set positions modulo the wrong m — silent false NEGATIVES, i.e.
+    duplicate URLs re-admitted past the prefilter.
     """
     m, k = spec.m_bits, spec.k_hashes
 
@@ -233,19 +259,21 @@ def merge_bloom(existing: DataFrame, new_rows: DataFrame, spec: BloomSpec) -> Da
         if len(left):
             bits = np.frombuffer(left["filter"].iloc[0], dtype=np.uint8).copy()
             n = int(left["n_items"].iloc[0])
+            m_p, k_p = int(left["m_bits"].iloc[0]), int(left["k_hashes"].iloc[0])
         else:
             bits = np.zeros(m >> 3, dtype=np.uint8)
             n = 0
+            m_p, k_p = m, k
         h = right["url_hash"].to_numpy(dtype=np.int64) if len(right) else np.empty(0, np.int64)
         if len(h):
-            _set_bits(bits, _probe_positions(h, m, k))
+            _set_bits(bits, _probe_positions(h, m_p, k_p))
         return pd.DataFrame(
             {
                 "p": [int(key[0])],
                 "filter": [bits.tobytes()],
                 "n_items": [n + len(h)],
-                "m_bits": [m],
-                "k_hashes": [k],
+                "m_bits": [m_p],
+                "k_hashes": [k_p],
             }
         )
 

@@ -532,22 +532,41 @@ class Frontier:
         self._dirty_parts = set()
 
     def _grow_and_rebuild(self, stats: dict[int, dict]) -> None:
-        """Saturation response: grow the Bloom spec to ``bloom_growth``× the
-        observed per-partition key peak (10 bits/key → fpp back to ≈0.8%)
-        and rebuild the WHOLE blob set from the frontier table — membership
-        truth, so the rebuild can never lose a key. Committed at the current
-        blob epoch; the driver copy reloads lazily on next use."""
+        """Saturation response: grow each partition's blob to
+        ``bloom_growth``× ITS OWN observed key count (10 bits/key → fpp
+        back to ≈0.8%) and rebuild the WHOLE blob set from the frontier
+        table — membership truth, so the rebuild can never lose a key.
+        Committed at the current blob epoch; the driver copy reloads
+        lazily on next use.
+
+        Sizing is PER PARTITION, not a uniform peak-sized spec: frontier
+        partitions are host-salted, so a hot domain skews key counts
+        10-100x — a uniform spec at growth×peak would cost
+        peak-sized-blob × P driver/broadcast bytes (measured 540 MB at the
+        10^7-row skewed leg vs ~70 MB per-partition). ``self.bloom_spec``
+        keeps the grown PEAK as the fallback for partitions that appear
+        later; every probe/merge path reads per-row (m, k), so the
+        heterogeneous set is native (bloom.build_bloom m_by_partition)."""
         import math
 
-        peak = max(
-            max(
+        def cap_of(s: dict) -> float:
+            return max(
                 s["n_items"],
                 s["est_keys"] if math.isfinite(s["est_keys"]) else 0.0,
             )
-            for s in stats.values()
-        )
+
+        peak = max(cap_of(s) for s in stats.values())
         self.bloom_spec = BloomSpec.for_capacity(int(math.ceil(peak * self.bloom_growth)))
-        bloom = self._build_seen(self.read().select("p", "url_hash"))
+        sizes = {
+            int(p): BloomSpec.for_capacity(
+                int(math.ceil(cap_of(s) * self.bloom_growth))
+            ).m_bits
+            for p, s in stats.items()
+        }
+        bloom = build_bloom(
+            self.read().select("p", "url_hash"), self.bloom_spec,
+            m_by_partition=sizes,
+        )
         self.catalog.overwrite_partitions(
             URL_SEEN_TABLE,
             bloom,
@@ -647,7 +666,17 @@ class Frontier:
         # Iceberg bucket partitioning + storage-partitioned joins remove the
         # remaining shuffle of the pruned side entirely.)
         frontier_keys = self.read().select("p", "url_hash", "url")
-        cand_bloom = build_bloom(maybe.select("p", "url_hash"), self.bloom_spec)
+        # the candidate-side Bloom is sized for the BATCH (budget-bounded,
+        # ~10^5-10^6 keys/wave), NOT self.bloom_spec: after a saturation
+        # auto-grow the frontier spec is sized for the frontier's PEAK
+        # partition — 10-100x any batch — and building + collecting +
+        # broadcasting blobs that large per wave costs more than the prune
+        # saves (measured on the 10^7-row leg: 135M-bit grown spec made
+        # every wave build/broadcast ~540 MB of near-empty candidate blobs,
+        # 3-4x the whole merge's steady-state wall). A batch-sized default
+        # spec keeps the prune exact-enough (false positives only feed the
+        # anti-join a few extra frontier rows) at ~4 MB total.
+        cand_bloom = build_bloom(maybe.select("p", "url_hash"), BloomSpec())
         pruned = bloom_prefilter_broadcast(frontier_keys, cand_bloom)
         if pruned is not None:
             frontier_keys = pruned.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -131,3 +131,72 @@ def test_fill_stats_empty_and_cuckoo_rows(spark):
     occupied = int(np.count_nonzero(cf.table))
     assert stats[1]["fill_ratio"] == occupied / cf.table.size
     assert stats[1]["est_keys"] == float(occupied)
+
+
+def test_for_capacity_is_byte_aligned():
+    """Blob buffers hold m>>3 bytes, so m MUST be a byte multiple — the
+    auto-grow path computes ceil(peak*growth) which lands on odd values
+    whenever the float cardinality estimate wins; an unaligned m would let
+    probe positions in the last partial byte index past the buffer."""
+    from kermit_spark.bloom import BloomSpec
+
+    for n in (1, 7, 1001, 3_387_458, 13_549_829):
+        spec = BloomSpec.for_capacity(n)
+        assert spec.m_bits % 8 == 0, (n, spec.m_bits)
+        assert spec.m_bits >= min(n * 10, 1 << 10)
+
+
+def test_merge_bloom_respects_existing_blob_size(spark):
+    """A resumed Frontier holds the DEFAULT spec even when the stored blobs
+    were auto-grown: merge_bloom must OR under each existing blob's OWN
+    (m, k) — using the passed spec's m would set positions modulo the
+    wrong size and produce false NEGATIVES (duplicate URLs re-admitted)."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.bloom import (
+        BloomSpec, bloom_prefilter_broadcast, build_bloom, merge_bloom,
+    )
+
+    rows = spark.range(0, 2000).select(
+        F.lit(0).alias("p"), F.xxhash64("id").alias("url_hash")
+    )
+    grown = BloomSpec.for_capacity(500_000)       # auto-grown size
+    blobs = build_bloom(rows, grown)
+    extra = spark.range(2000, 4000).select(
+        F.lit(0).alias("p"), F.xxhash64("id").alias("url_hash")
+    )
+    # merge with the DEFAULT spec (what a resumed Frontier would pass)
+    merged = merge_bloom(blobs, extra, BloomSpec())
+    row = merged.collect()[0]
+    assert row["m_bits"] == grown.m_bits          # size preserved
+    # no false negatives: every key (old and new) must probe maybe_seen
+    all_keys = spark.range(0, 4000).select(
+        F.lit(0).alias("p"), F.xxhash64("id").alias("url_hash")
+    )
+    tagged = bloom_prefilter_broadcast(all_keys, merged)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_build_bloom_per_partition_sizing(spark):
+    """Auto-grow sizes each partition's blob for ITS OWN key count (host
+    skew makes loads differ 10-100x); the heterogeneous set must carry
+    per-row m and probe without false negatives."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.bloom import (
+        BloomSpec, bloom_prefilter_broadcast, build_bloom,
+    )
+
+    # partition 0: 10k keys (hot), partition 1: 100 keys
+    rows = spark.range(0, 10_100).select(
+        F.when(F.col("id") < 10_000, 0).otherwise(1).alias("p"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    sizes = {0: BloomSpec.for_capacity(40_000).m_bits,
+             1: BloomSpec.for_capacity(400).m_bits}
+    blobs = build_bloom(rows, BloomSpec(), m_by_partition=sizes)
+    got = {r["p"]: r["m_bits"] for r in blobs.collect()}
+    assert got[0] == sizes[0] and got[1] == sizes[1]
+    assert got[0] > got[1]                        # skew-proportional
+    tagged = bloom_prefilter_broadcast(rows, blobs)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
