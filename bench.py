@@ -699,6 +699,13 @@ def run_default() -> dict:
             "query_retries": {
                 k: v["trials"] for k, v in queries.items() if "trials" in v
             },
+            # index-backed queries: cold (one-time build + search) vs the
+            # warm steady-state search the headline sec reports
+            "index_phases": {
+                k: {"cold_sec": v["cold_sec"], "build_sec": v["build_sec"],
+                    "search_sec": v["sec"]}
+                for k, v in queries.items() if "cold_sec" in v
+            },
         },
     }
     spark.stop()
