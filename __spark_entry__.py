@@ -46,13 +46,43 @@ from pyspark.sql.window import Window
 
 _INDEX_CACHE: dict[tuple, str] = {}
 
+#: shared index parameters — single source for the query functions AND the
+#: cache keys, so a parameter tweak can never silently reuse an index built
+#: under different settings
+_MINHASH_PARAMS = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
+_IVF_PARAMS = dict(n_centroids=16)
 
-def _cached_index_dir(kind: str, sf_dir: str, build) -> str:
-    """Return a tmpdir holding the persisted index for (kind, sf_dir),
-    building it via ``build(tmpdir)`` on first use. Dirs live for the
-    process (atexit-cleaned) — NOT across processes, so the driver's
-    correctness gate always exercises a fresh build."""
-    key = (kind, sf_dir)
+#: which persisted index each index-backed query probes (kind, params) —
+#: bench.py uses this via index_is_cached to label cold vs warm runs
+_QUERY_INDEX = {
+    "dedup_incremental": ("minhash", _MINHASH_PARAMS),
+    "dedup_minhash_stream": ("minhash", _MINHASH_PARAMS),
+    "ann_ivf_index": ("ivf", _IVF_PARAMS),
+}
+
+
+def _index_key(kind: str, sf_dir: str, params: dict | None) -> tuple:
+    return (kind, sf_dir, tuple(sorted((params or {}).items())))
+
+
+def index_is_cached(name: str, sf_dir: str) -> bool:
+    """True when the persisted index the named query probes is already
+    built in this process — a run timed now measures search only, not the
+    one-time build (dedup_incremental and dedup_minhash_stream share the
+    minhash index, so whichever runs second is warm from the start)."""
+    kind, params = _QUERY_INDEX[name]
+    return _index_key(kind, sf_dir, params) in _INDEX_CACHE
+
+
+def _cached_index_dir(kind: str, sf_dir: str, build, params: dict | None = None) -> str:
+    """Return a tmpdir holding the persisted index for (kind, sf_dir,
+    params), building it via ``build(tmpdir)`` on first use. The build
+    PARAMETERS are part of the key — two callers with different signature
+    settings must never share an index (searches against signatures built
+    under the wrong k/num_hashes would return wrong results, silently).
+    Dirs live for the process (atexit-cleaned) — NOT across processes, so
+    the driver's correctness gate always exercises a fresh build."""
+    key = _index_key(kind, sf_dir, params)
     if key not in _INDEX_CACHE:
         tmp = tempfile.mkdtemp(
             prefix=f"kermit_idx_{kind}_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
@@ -1423,7 +1453,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("id"),
         F.substring(F.col("text"), 1, 160).alias("text"),
     ).filter(F.length("text") >= 40)
-    params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
+    params = _MINHASH_PARAMS
     # build-once cache (VERDICT r3 #2): the search is read-only, so repeat
     # calls within a process reuse the persisted index and time only the
     # amortized steady-state probe
@@ -1447,7 +1477,7 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str, params: dict) -> str:
         old = docs.select(F.col("doc_id").alias("id"), "text")
         build_minhash_index(SnapshotCatalog(spark, tmp), old, **params)
 
-    return _cached_index_dir("minhash", sf_dir, build)
+    return _cached_index_dir("minhash", sf_dir, build, params=params)
 
 
 def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,7 +1499,7 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring(F.col("text"), 1, 160).alias("text"),
     ).filter(F.length("text") >= 40)
-    params = dict(k=5, num_hashes=8, num_bands=2, stride=4, max_bucket=50)
+    params = _MINHASH_PARAMS
     tmp = tempfile.mkdtemp(prefix="kermit_smh_", dir=os.environ.get("KERMIT_BENCH_TMPDIR"))
     try:
         # the stream EXTENDS its index (survivor writeback), so each call
@@ -1805,9 +1835,9 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build-once cache (VERDICT r3 #2): ivf_index_topk is a read-only
     # partition-pruned probe, so repeat calls reuse the persisted index
     def build(tmp: str) -> None:
-        build_ivf_index(SnapshotCatalog(spark, tmp), emb, n_centroids=16)
+        build_ivf_index(SnapshotCatalog(spark, tmp), emb, **_IVF_PARAMS)
 
-    idx = _cached_index_dir("ivf", sf_dir, build)
+    idx = _cached_index_dir("ivf", sf_dir, build, params=_IVF_PARAMS)
     out = ivf_index_topk(
         SnapshotCatalog(spark, idx), queries, k=5, n_probe=4
     ).orderBy("query_id", "rnk")

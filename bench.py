@@ -593,12 +593,16 @@ def bench_parse(spark, n_docs: int = 150_000) -> dict:
     }
 
 
-# Queries probing a PERSISTED index: their first call per process pays the
-# one-time index build (__spark_entry__._cached_index_dir); production
+# Queries probing a PERSISTED index: the first call per process per index
+# pays the one-time build (__spark_entry__._cached_index_dir); production
 # amortizes that build over many increments, so the steady-state number is
 # the WARM (search-only) run. bench reports both phases separately — an
 # operator regression in the probe path can no longer hide inside build
-# noise (r3 VERDICT #2).
+# noise (r3 VERDICT #2). A cold leg runs ONLY when the index is genuinely
+# uncached (entrymod.index_is_cached): dedup_incremental and
+# dedup_minhash_stream share one minhash index, so whichever runs second
+# is warm from its first call and recording a "cold" phase for it would
+# label a warm run as a build.
 INDEX_BACKED_QUERIES = {"dedup_incremental", "dedup_minhash_stream", "ann_ivf_index"}
 
 
@@ -613,7 +617,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
             return {"sec": round(time.time() - t0, 3), "rows": n}
 
         cold = None
-        if name in INDEX_BACKED_QUERIES:
+        if name in INDEX_BACKED_QUERIES and not entrymod.index_is_cached(name, sf_dir):
             cold = _timed_leg(run_once)  # pays the one-time index build
         res = _timed_leg(run_once)
         # Same contention defense as the crawl leg: a query slow enough to

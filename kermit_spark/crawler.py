@@ -556,32 +556,49 @@ class Crawler:
                             r["host"]: (r["p"], r["fetched_wave"]) for r in rows0
                         }
             in_batch = {h for _, h in hosts}
+            extra_outage: list[tuple[int, str]] = []
             if self._outage_overflow and self.catalog.exists(ROBOTS_TABLE):
-                # overflow: the dict is a partial cache — pull this wave's
-                # stale-outage re-probe candidates from the table (bounded;
-                # re-probed hosts leave the set by flipping server_error or
-                # refreshing fetched_wave, so successive waves drain it)
-                stale_outage = (
+                # overflow: the dict is a PARTIAL cache, so re-probe
+                # candidates come straight from the table — never routed
+                # through the (full) dict, which would starve table-only
+                # hosts of re-probes forever. Oldest fetched_wave first
+                # (TakeOrdered, bounded): re-probed hosts get a fresh
+                # fetched_wave and rotate to the back, so every outage
+                # host is eventually reached even when >cap hosts error
+                # persistently. When the storm has drained to <=cap the
+                # whole set is absorbed back into the dict and overflow
+                # mode ENDS — the extra bounded scan is paid only while
+                # the population is actually over the cap.
+                rows_of = (
                     self.catalog.read(ROBOTS_TABLE)
-                    .filter(
-                        F.coalesce(F.col("server_error"), F.lit(False))
-                        & (F.col("fetched_wave") <= F.lit(wave - max_age))
-                    )
+                    .filter(F.coalesce(F.col("server_error"), F.lit(False)))
                     .select("p", "host", "fetched_wave")
-                    .limit(self._OUTAGE_LEDGER_MAX)
+                    .orderBy("fetched_wave")
+                    .limit(self._OUTAGE_LEDGER_MAX + 1)
                     .collect()
                 )
-                for r in stale_outage:
-                    if len(self._outage_hosts) >= self._OUTAGE_LEDGER_MAX:
-                        break
-                    self._outage_hosts.setdefault(
-                        r["host"], (r["p"], r["fetched_wave"])
-                    )
-            hosts = list(hosts) + [
-                (p, h)
-                for h, (p, fw) in self._outage_hosts.items()
-                if not _fresh(fw) and h not in in_batch
-            ]
+                if len(rows_of) <= self._OUTAGE_LEDGER_MAX:
+                    self._outage_hosts = {
+                        r["host"]: (r["p"], r["fetched_wave"]) for r in rows_of
+                    }
+                    self._outage_overflow = False
+                else:
+                    extra_outage = [
+                        (r["p"], r["host"])
+                        for r in rows_of
+                        if not _fresh(r["fetched_wave"])
+                        and r["host"] not in in_batch
+                        and r["host"] not in self._outage_hosts
+                    ]
+            hosts = (
+                list(hosts)
+                + [
+                    (p, h)
+                    for h, (p, fw) in self._outage_hosts.items()
+                    if not _fresh(fw) and h not in in_batch
+                ]
+                + extra_outage
+            )
         unknown = [
             (p, h)
             for p, h in hosts
@@ -1464,9 +1481,11 @@ class Crawler:
         _ab_pin = _ab_orig in (None, "10000")
         if _ab_pin:
             self.spark.conf.set(_ab_key, "512")
-        self._notify("crawler:start", {"wave": self.last_wave + 1})
         stop_reason = "exception"  # overwritten on every non-raising exit
         try:
+            # inside the try: a raising start-callback must still restore
+            # the pinned Arrow conf, flush lineage/blobs, and fire stop
+            self._notify("crawler:start", {"wave": self.last_wave + 1})
             # Under a recrawl policy the crawl is perpetual: an empty wave is
             # an idle TICK (the virtual clock `last_wave + 1 + idle` keeps
             # advancing so visited rows still age while the frontier is
@@ -1553,14 +1572,26 @@ class Crawler:
             # commit any deferred driver-side url_seen blob maintenance so a
             # clean shutdown resumes without the O(frontier) rebuild
             self.frontier.flush_bloom()
-            self._notify(
-                "crawler:stop",
-                {
-                    "wave": self.last_wave,
-                    "waves_run": len(stats),
-                    "reason": stop_reason,
-                },
-            )
+            import sys
+
+            # evaluated BEFORE the nested try: inside a finally running
+            # because of an exception, exc_info is that in-flight exception
+            _unwinding = sys.exc_info()[1] is not None
+            try:
+                self._notify(
+                    "crawler:stop",
+                    {
+                        "wave": self.last_wave,
+                        "waves_run": len(stats),
+                        "reason": stop_reason,
+                    },
+                )
+            except Exception:
+                # raising here would REPLACE an in-flight crawl exception
+                # with the callback's — swallow only while one is already
+                # propagating, else surface the callback bug
+                if not _unwinding:
+                    raise
         return stats
 
     # -- outputs -----------------------------------------------------------

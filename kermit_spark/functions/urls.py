@@ -116,6 +116,12 @@ _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES), re.IGNORECASE
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
+# bytes illegal RAW in an RFC 3986 query (space/control, angle brackets,
+# quotes, braces, backslash, caret, backtick, non-ASCII) — everything else,
+# including existing %-escapes and reserved sub-delims, passes through
+# untouched (see _normalize_one's query handling)
+_QUERY_ILLEGAL_RE = re.compile(r'[ <>"{}|\\^`\x00-\x1f\x7f]|[^\x00-\x7f]')
+
 # Second-level public suffixes so domain/tld splitting matches urijs on the
 # golden cases (example.co.uk -> tld 'co.uk').
 # Multi-label public suffixes — a curated high-traffic subset of the public
@@ -274,14 +280,18 @@ def _normalize_one(url: str) -> str:
         path = "/"
     # re-encode spaces etc. consistently but keep readable chars
     path = quote(unquote(path), safe="/:@!$&'()*+,;=~%-._[]")
-    # query too (urijs normalizes query escaping on .normalize()): raw
-    # RFC 3986-illegal bytes a tokenizer legitimately hands us — '>' in
-    # <a href="x?a>b">, spaces, quotes — percent-encode instead of
-    # propagating into the frontier, where strict URL parsers (JVM
-    # parse_url in the robots gate, real fetch stacks) reject them
+    # query: percent-encode ONLY raw RFC 3986-illegal bytes a tokenizer
+    # legitimately hands us — '>' in <a href="x?a>b">, spaces, quotes —
+    # so they survive strict URL parsers (JVM parse_url in the robots
+    # gate, real fetch stacks). Existing %-escapes are PRESERVED, never
+    # decoded: an unquote/quote round trip with reserved chars in the
+    # safe set would conflate ?q=a%26b (literal '&' in a value) with
+    # ?q=a&b (two parameters) — distinct URLs collapsing to one frontier
+    # row and a semantically different fetch. urijs (the parity target)
+    # likewise keeps reserved-character escaping intact.
     query = parts.query
     if query:
-        query = quote(unquote(query), safe="/:@!$&'()*+,;=~%-._[]?")
+        query = _QUERY_ILLEGAL_RE.sub(lambda m: quote(m.group(), safe=""), query)
     return urlunsplit((scheme, netloc, path, query, parts.fragment))
 
 

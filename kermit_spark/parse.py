@@ -65,13 +65,20 @@ SPAN_TYPE = ArrayType(
 # rejects attributes merely ENDING in href/src (data-href=...).
 #
 # The in-tag skips (_IN_TAG: the attribute soup before/after the href|src
-# match) are QUOTE-AWARE — a quoted string is consumed atomically, so a '>'
+# match) are QUOTE-AWARE — a quoted VALUE is consumed atomically, so a '>'
 # inside any quoted attribute value (legal HTML the reference's cheerio
 # parser handles, Extractor.coffee:11-18) no longer ends the tag match early:
 # <a title="x>y" href="u">t</a> parses as one link span, not truncated
 # garbage. Same for _TAG_RE (tag stripping inside text runs), matching
 # html.parser's tokenizer on e.g. <p class="x>y">.
-_IN_TAG = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
+#
+# A quote opens a quoted value ONLY directly after '=' (+ optional
+# whitespace) — exactly where html.parser's attribute tokenizer treats it
+# as one. A STRAY quote anywhere else (<a class=foo" href="/u">, malformed
+# -but-common real HTML) is consumed as a single ordinary character, so the
+# following href is still found; a bare-quote alternative here would
+# swallow '" href="' as one quoted string and silently drop the link.
+_IN_TAG = "(?:=\\s*\"[^\"]*\"|=\\s*'[^']*'|[^>])"
 _ATTR_VAL = r"\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*))"
 _TOKEN_RE = re.compile(
     rf"<a\s{_IN_TAG}*?(?<![-\w])href{_ATTR_VAL}{_IN_TAG}*>(.*?)</a>"  # 1|2|3: href, 4: anchor text

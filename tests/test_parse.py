@@ -383,3 +383,21 @@ def test_corpus_emits_gt_in_quoted_attr_styles(spark):
     text = "\n".join(r["body"] for r in bodies)
     assert 'data-note="v>w"' in text           # style 4: '>' before href
     assert '?a>b" title="x>y">' in text        # style 5: '>' in value + after
+
+
+def test_stray_quote_in_unquoted_attr_value_matches_html_parser():
+    """Malformed-but-common real-web HTML: a stray quote inside an
+    UNQUOTED attribute value (<a class=foo" href="/u">) must not open a
+    quoted-string consumption that swallows the rest of the tag — the
+    quote-aware skip treats a quote as a value delimiter only directly
+    after '='. html.parser keeps the link; so must the engine."""
+    from kermit_spark.parse import extract_spans_one
+    from tests.oracle import extract_spans_oracle
+
+    cases = [
+        '<a class=foo" href="/u">x</a>',
+        '<a data-x=y\' href="/v">w</a>tail',
+        '<p class=a"b>text</p><a href=/z>z</a>',
+    ]
+    for body in cases:
+        assert extract_spans_one(body) == extract_spans_oracle(body), body

@@ -199,3 +199,22 @@ def test_idn_invalid_host_kept_verbatim():
     bad = "ex..ämple.com"  # empty label — idna codec rejects
     assert _idna_host(bad) == bad
     assert _idna_host("plain.example.com") == "plain.example.com"
+
+
+def test_query_escaping_preserves_existing_percent_escapes():
+    """Raw RFC 3986-illegal query bytes are percent-encoded, but existing
+    %-escapes must pass through UNDECODED: an unquote/quote round trip
+    would conflate ?q=a%26b (literal '&' in one value) with ?q=a&b (two
+    parameters) — two distinct URLs collapsing to one frontier row and a
+    semantically different fetch."""
+    from kermit_spark.functions.urls import _normalize_one
+
+    esc = _normalize_one("http://a.test/s?q=a%26b")
+    raw = _normalize_one("http://a.test/s?q=a&b")
+    assert esc == "http://a.test/s?q=a%26b"
+    assert raw == "http://a.test/s?q=a&b"
+    assert esc != raw
+    assert _normalize_one("http://a.test/s?q=a%3Db") == "http://a.test/s?q=a%3Db"
+    # illegal raw bytes DO get encoded ('>' space quote), others untouched
+    assert _normalize_one('http://a.test/s?a>b c"d') == "http://a.test/s?a%3Eb%20c%22d"
+    assert _normalize_one("http://a.test/s?x=1&y=2") == "http://a.test/s?x=1&y=2"
