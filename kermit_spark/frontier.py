@@ -351,6 +351,7 @@ class Frontier:
         bloom_growth: float = 4.0,
         seen_filter: str = "bloom",
         cuckoo_spec: CuckooSpec | None = None,
+        driver_blob_max_bytes: int = 512 << 20,
     ):
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
@@ -387,6 +388,12 @@ class Frontier:
         # rebuild — amortized: capacity quadruples each time). None = off.
         self.bloom_max_fpp = bloom_max_fpp
         self.bloom_growth = bloom_growth
+        # driver-held blob budget: above this total the URL-seen set stays
+        # table-resident and every probe/merge runs distributed (cogroup) —
+        # at 10^10 keys × 10 bits the set is ~12.5 GB, far past any driver;
+        # the explicit knob lets deployments size it to their driver heap
+        # (and tests force the cogroup path at toy scale)
+        self.driver_blob_max_bytes = driver_blob_max_bytes
         self._blobs: dict | None = None  # p -> (bits ndarray, m, k)
         self._blob_counts: dict[int, int] = {}
         self._blobs_epoch = -1
@@ -478,7 +485,9 @@ class Frontier:
                 URL_SEEN_TABLE, bloom, range(self.num_partitions),
                 properties={"synced_epoch": epoch},
             )
-        state = collect_blobs(self.catalog.read(URL_SEEN_TABLE))
+        state = collect_blobs(
+            self.catalog.read(URL_SEEN_TABLE), self.driver_blob_max_bytes
+        )
         if state is None:
             self._blobs = None
             return None
@@ -573,8 +582,20 @@ class Frontier:
             range(self.num_partitions),
             properties={"synced_epoch": self._blobs_epoch},
         )
-        self._blobs = None
-        self._blobs_epoch = -1
+        # keep the freshly rebuilt blobs driver-resident when they fit the
+        # budget — the epoch they were committed under is current, so the
+        # next wave probes immediately instead of paying a reload (the
+        # big-frontier leg measured that reload as most of the first
+        # post-grow wave's overhead); beyond the budget the cogroup path
+        # takes over as usual
+        state = collect_blobs(
+            self.catalog.read(URL_SEEN_TABLE), self.driver_blob_max_bytes
+        )
+        if state is None:
+            self._blobs = None
+            self._blobs_epoch = -1
+        else:
+            self._blobs, self._blob_counts = state
         self._dirty_parts = set()
 
     def seen_fill_stats(self) -> dict[int, dict]:

@@ -1114,3 +1114,42 @@ def test_priority_aging_prevents_starvation(spark):
         dequeue(elig, pol, aging_rate=0, current_wave=10).first()["url"]
         == "http://a.test/new"
     )
+
+
+def test_bloom_cogroup_fallback_beyond_driver_cap(spark, tmp_path):
+    """The 10^10-scale regime: a URL-seen blob set past the driver budget
+    (driver_blob_max_bytes) must stay table-resident — schedule probes via
+    the distributed cogroup path, commit merges via the distributed
+    incremental merge — and produce EXACTLY the dedup result the
+    driver-held path produces."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import Frontier
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://h"), F.pmod(F.col("id"), F.lit(7)).cast("string"),
+                F.lit(".test/p/"), F.col("id").cast("string"), F.lit(".html"),
+            ).alias("url")
+        )
+
+    results = {}
+    for mode, cap in (("driver", 512 << 20), ("cogroup", 1)):
+        fr = Frontier(
+            SnapshotCatalog(spark, str(tmp_path / mode)), num_partitions=4,
+            bloom_min_frontier=0,          # bloom active at toy scale
+            driver_blob_max_bytes=cap,
+        )
+        fr.init(urls(0, 2000))
+        n1 = fr.schedule(urls(1000, 3000), wave=1)   # 50% overlap
+        n2 = fr.schedule(urls(2500, 3500), wave=2)   # overlaps wave 1's new rows
+        if mode == "cogroup":
+            assert fr._blobs is None                  # never driver-held
+        results[mode] = (
+            n1, n2,
+            sorted(r["url"] for r in fr.read().filter(F.col("wave") > 0).collect()),
+        )
+    assert results["cogroup"] == results["driver"]
+    assert results["driver"][0] == 1000 and results["driver"][1] == 500
