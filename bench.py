@@ -827,7 +827,11 @@ if __name__ == "__main__":
         os.environ.setdefault("KERMIT_DRIVER_MEM", "48g")
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
                              shuffle_partitions=64)
-        print(json.dumps(bench_big_frontier(spark)))
+        # KERMIT_BIGF_N scales the frontier (default 10^7); candidate batch
+        # stays 1M so wave throughput is comparable across sizes
+        print(json.dumps(bench_big_frontier(
+            spark, n=int(os.environ.get("KERMIT_BIGF_N", 10_000_000))
+        )))
         spark.stop()
     elif "--evict" in sys.argv:
         os.environ.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
