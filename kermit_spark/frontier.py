@@ -49,7 +49,6 @@ from .bloom import (
     bloom_fill_stats,
     bloom_prefilter,
     bloom_prefilter_blobs,
-    bloom_prefilter_broadcast,
     build_bloom,
     collect_blobs,
     merge_bloom,
@@ -679,30 +678,30 @@ class Frontier:
         self._pending_cache = tagged
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        # reverse prefilter: a Bloom set of THIS batch's maybe-seen keys
-        # prunes the frontier side of the anti-join map-side. At 10^10
-        # frontier scale this is the decisive cut — the exact anti-join only
-        # needs frontier rows that could match the (budget-bounded) batch,
-        # ~batch-sized instead of frontier-sized. (Production variant:
-        # Iceberg bucket partitioning + storage-partitioned joins remove the
-        # remaining shuffle of the pruned side entirely.)
+        # reverse prefilter: prune the frontier side of the anti-join down
+        # to rows that could match THIS batch — the exact anti-join then
+        # compares ~batch-sized sides instead of frontier-sized ones. The
+        # prune is an EXACT broadcast LEFT SEMI join on the batch's
+        # (p, url_hash) keys, fully JVM/whole-stage-codegen: the batch is
+        # budget-bounded (politeness caps fetches, max_outlinks caps
+        # discovery), so its key set broadcasts at ~16 B/key — 8 MB per
+        # 10^6 keys — while the frontier side streams through a hash-probe
+        # with no shuffle and NO Python. (An earlier variant probed a
+        # candidate-side Bloom via an Arrow-batched pandas UDF — that
+        # shipped every frontier url_hash through Python per wave and
+        # dominated the 10^7/5x10^7-row legs' wave wall; a Bloom's false
+        # positives also fed the anti-join extra rows where the semi join
+        # feeds exactly the matches. Production variant at 10^10: Iceberg
+        # bucket partitioning + storage-partitioned joins remove the
+        # remaining pruned-side shuffle entirely.)
         frontier_keys = self.read().select("p", "url_hash", "url")
-        # the candidate-side Bloom is sized for the BATCH (budget-bounded,
-        # ~10^5-10^6 keys/wave), NOT self.bloom_spec: after a saturation
-        # auto-grow the frontier spec is sized for the frontier's PEAK
-        # partition — 10-100x any batch — and building + collecting +
-        # broadcasting blobs that large per wave costs more than the prune
-        # saves (measured on the 10^7-row leg: 135M-bit grown spec made
-        # every wave build/broadcast ~540 MB of near-empty candidate blobs,
-        # 3-4x the whole merge's steady-state wall). A batch-sized default
-        # spec keeps the prune exact-enough (false positives only feed the
-        # anti-join a few extra frontier rows) at ~4 MB total.
-        cand_bloom = build_bloom(maybe.select("p", "url_hash"), BloomSpec())
-        pruned = bloom_prefilter_broadcast(frontier_keys, cand_bloom)
-        if pruned is not None:
-            frontier_keys = pruned.filter(F.col("maybe_seen")).drop("maybe_seen")
+        pruned = frontier_keys.join(
+            F.broadcast(maybe.select("p", "url_hash")),
+            on=["p", "url_hash"],
+            how="left_semi",
+        )
         survivors = maybe.join(
-            frontier_keys,
+            pruned,
             on=["p", "url_hash", "url"],
             how="left_anti",
         )

@@ -431,3 +431,65 @@ def test_page_cap_budgets_are_a_frontier_side_aggregate(spark, tmp_path):
     assert "Scan parquet" in plan, plan                # counts come FROM the frontier
     src = inspect.getsource(Crawler._page_cap_budgets)
     assert ".collect()" not in src and "createDataFrame" not in src
+
+
+def test_lsh_candidates_band_equi_join_plan(spark):
+    """The transient MinHash LSH path (q_dedup_minhash_lsh's candidate
+    generation) must plan the band self-join as an EQUI-join on
+    (band, band_sig) — never a cartesian or nested-loop — with the
+    band/bucket cap applied before pairing (r3 VERDICT #5: pin the shape so
+    a regression can't hide behind window noise)."""
+    from kermit_spark.ops.dedup import add_minhash, lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"some shingled text body number {i % 7} with words") for i in range(40)],
+        "id long, text string",
+    )
+    sigs = add_minhash(docs, "text", k=5, num_hashes=8, stride=1)
+    pairs = lsh_candidates(sigs, "id", num_bands=2, rows_per_band=4, max_bucket=10)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_sig" in plan, plan        # the join key is the band bucket
+    for marker in ("BatchEvalPython", "PythonUDF"):  # JVM-side signatures
+        assert marker not in plan, plan
+
+
+def test_schedule_dedup_prune_is_jvm_broadcast_semi_join(spark, tmp_path):
+    """The reverse prune feeding the URL-seen anti-join must keep the
+    FRONTIER side in whole-stage codegen: a broadcast LEFT SEMI join on the
+    batch keys, with no Python eval node anywhere on the frontier scan
+    path (the earlier Arrow-batched bloom probe shipped every frontier
+    url_hash through Python per wave and dominated the 10^7-row leg's
+    wave wall)."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.frontier import Frontier
+
+    def urls(lo, hi):
+        return spark.createDataFrame(
+            [(f"http://h{i % 3}.test/p/{i}.html",) for i in range(lo, hi)],
+            "url string",
+        )
+
+    fr = Frontier(
+        SnapshotCatalog(spark, str(tmp_path / "cat")), num_partitions=4,
+        bloom_min_frontier=0,
+    )
+    fr.init(urls(0, 60))
+    plan = _plan(fr._dedup_candidates(urls(30, 90), wave=1))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the frontier is scanned exactly once, on the LEFT (streamed) side of
+    # the semi join — the subtree printed between the LeftSemi line and
+    # its broadcast (right) child must hold the parquet scan and no
+    # Python eval node (the candidate-batch probe is the only Arrow
+    # stage, and it lives on the broadcast side's lineage, batch-sized)
+    assert plan.count("Scan parquet") == 1, plan
+    semi_at = plan.index("LeftSemi")
+    left_subtree = plan[semi_at: plan.index("BroadcastExchange", semi_at)]
+    assert "Scan parquet" in left_subtree, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert marker not in left_subtree, plan
