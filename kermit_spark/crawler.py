@@ -1563,21 +1563,28 @@ class Crawler:
             else:
                 stop_reason = "max_waves"
         finally:
+            # conf restore is unconditional and first — nothing below may
+            # leave the caller's session pinned
             if _ab_pin:
                 if _ab_orig is None:
                     self.spark.conf.unset(_ab_key)
                 else:
                     self.spark.conf.set(_ab_key, _ab_orig)
-            self.flush_lineage()
-            # commit any deferred driver-side url_seen blob maintenance so a
-            # clean shutdown resumes without the O(frontier) rebuild
-            self.frontier.flush_bloom()
-            import sys
-
-            # evaluated BEFORE the nested try: inside a finally running
-            # because of an exception, exc_info is that in-flight exception
-            _unwinding = sys.exc_info()[1] is not None
+            # stop_reason is "exception" EXACTLY when the try body raised
+            # (every non-raising exit overwrites it) — more reliable than
+            # sys.exc_info(), which is also non-None when crawl() itself
+            # runs inside a caller's except handler. While the original
+            # crawl exception is propagating, a secondary failure from the
+            # cleanup below (flushes run Spark jobs that will often fail
+            # against the same broken session, and the stop callback is
+            # user code) must not REPLACE it; on a clean exit any cleanup
+            # failure surfaces normally.
             try:
+                self.flush_lineage()
+                # commit any deferred driver-side url_seen blob maintenance
+                # so a clean shutdown resumes without the O(frontier)
+                # rebuild
+                self.frontier.flush_bloom()
                 self._notify(
                     "crawler:stop",
                     {
@@ -1587,10 +1594,7 @@ class Crawler:
                     },
                 )
             except Exception:
-                # raising here would REPLACE an in-flight crawl exception
-                # with the callback's — swallow only while one is already
-                # propagating, else surface the callback bug
-                if not _unwinding:
+                if stop_reason != "exception":
                     raise
         return stats
 

@@ -393,6 +393,11 @@ class Frontier:
         # the explicit knob lets deployments size it to their driver heap
         # (and tests force the cogroup path at toy scale)
         self.driver_blob_max_bytes = driver_blob_max_bytes
+        # batch-size ceiling for the broadcast semi-join reverse prune
+        # (~16 B/key → 1.6 GB at the default); a larger injected batch
+        # falls back to the unpruned anti-join rather than OOMing the
+        # driver (see _dedup_candidates)
+        self.broadcast_prune_max_rows = 100_000_000
         self._blobs: dict | None = None  # p -> (bits ndarray, m, k)
         self._blob_counts: dict[int, int] = {}
         self._blobs_epoch = -1
@@ -544,8 +549,9 @@ class Frontier:
         ``bloom_growth``× ITS OWN observed key count (10 bits/key → fpp
         back to ≈0.8%) and rebuild the WHOLE blob set from the frontier
         table — membership truth, so the rebuild can never lose a key.
-        Committed at the current blob epoch; the driver copy reloads
-        lazily on next use.
+        Committed at the current blob epoch; the rebuilt blobs stay
+        driver-resident when they fit the budget (see below), so the next
+        wave probes immediately.
 
         Sizing is PER PARTITION, not a uniform peak-sized spec: frontier
         partitions are host-salted, so a hot domain skews key counts
@@ -672,7 +678,7 @@ class Frontier:
             # blob set beyond the driver cap: cogroup probe, blob shipped
             # once per partition
             tagged = self._probe_seen_cogroup(rows, self.catalog.read(URL_SEEN_TABLE))
-        # persisted: materialized once for the candidate-bloom build, reused
+        # persisted: materialized once by the prune-guard count, reused
         # for the final union (commit_wave unpersists after the commit)
         tagged = tagged.persist()
         self._pending_cache = tagged
@@ -694,14 +700,24 @@ class Frontier:
         # feeds exactly the matches. Production variant at 10^10: Iceberg
         # bucket partitioning + storage-partitioned joins remove the
         # remaining pruned-side shuffle entirely.)
+        #
+        # SIZE GUARD: schedule() is public API (RemoteControl injections,
+        # sitemap seeding), so the batch is counted before the hint —
+        # the count materializes the persisted `tagged` cache every later
+        # job in this wave reuses, so it advances shared work rather than
+        # adding a pass. A batch past `broadcast_prune_max_rows` falls
+        # back to the unpruned anti-join (both ~frontier-sized sides, the
+        # pre-r2 behavior) instead of force-broadcasting gigabytes into
+        # the driver and every executor.
         frontier_keys = self.read().select("p", "url_hash", "url")
-        pruned = frontier_keys.join(
-            F.broadcast(maybe.select("p", "url_hash")),
-            on=["p", "url_hash"],
-            how="left_semi",
-        )
+        if maybe.count() <= self.broadcast_prune_max_rows:
+            frontier_keys = frontier_keys.join(
+                F.broadcast(maybe.select("p", "url_hash")),
+                on=["p", "url_hash"],
+                how="left_semi",
+            )
         survivors = maybe.join(
-            pruned,
+            frontier_keys,
             on=["p", "url_hash", "url"],
             how="left_anti",
         )

@@ -78,7 +78,16 @@ SPAN_TYPE = ArrayType(
 # -but-common real HTML) is consumed as a single ordinary character, so the
 # following href is still found; a bare-quote alternative here would
 # swallow '" href="' as one quoted string and silently drop the link.
-_IN_TAG = "(?:=\\s*\"[^\"]*\"|=\\s*'[^']*'|[^>])"
+#
+# The group is ATOMIC ((?>...), 3.11+): at a '=' the engine COMMITS to
+# consuming the whole value (quoted or unquoted) and may never re-segment
+# it char-by-char on backtracking — otherwise a failed overall match
+# retries with loop boundaries INSIDE quoted values and extracts phantom
+# links from attribute text (<a onclick="...href='/js/x';">click</a> must
+# be a text-only tag, exactly as html.parser reads it). The unquoted-value
+# alternative stops before quotes so the stray-quote case above still
+# works one char at a time.
+_IN_TAG = "(?>=\\s*\"[^\"]*\"|=\\s*'[^']*'|=[^\\s>\"']*|[^>])"
 _ATTR_VAL = r"\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*))"
 _TOKEN_RE = re.compile(
     rf"<a\s{_IN_TAG}*?(?<![-\w])href{_ATTR_VAL}{_IN_TAG}*>(.*?)</a>"  # 1|2|3: href, 4: anchor text

@@ -385,6 +385,27 @@ def test_corpus_emits_gt_in_quoted_attr_styles(spark):
     assert '?a>b" title="x>y">' in text        # style 5: '>' in value + after
 
 
+def test_no_phantom_links_from_inside_quoted_attribute_values():
+    """Backtracking must never re-segment a quoted attribute value and
+    extract an href/src that only exists INSIDE it (the in-tag skip
+    commits atomically at '='): an onclick handler or alt text that
+    spells href= is attribute DATA, not a link — html.parser agrees."""
+    from kermit_spark.parse import extract_spans_one
+    from tests.oracle import extract_spans_oracle
+
+    cases = [
+        '<a onclick="window.location.href=\'/js/page\';">click</a>',
+        '<img alt="src=/fake.png">',
+        '<a onclick="x href=\'/p\'">t</a>',
+        '<link title="href=\'/css/fake\'" href="/css/real.css">',
+    ]
+    for body in cases:
+        got = extract_spans_one(body)
+        assert got == extract_spans_oracle(body), (body, got)
+        refs = [s[2] for s in got if s[2] is not None]
+        assert "/js/page" not in refs and "/fake.png" not in refs
+
+
 def test_stray_quote_in_unquoted_attr_value_matches_html_parser():
     """Malformed-but-common real-web HTML: a stray quote inside an
     UNQUOTED attribute value (<a class=foo" href="/u">) must not open a

@@ -144,8 +144,17 @@ _text_run = st.lists(
     st.one_of(_word, st.sampled_from(["&amp;", "&lt;x&gt;", "&#65;"])),
     min_size=1, max_size=4,
 ).map(" ".join)
-_attr_value = st.text(
-    alphabet="abc012/.?=>~ ", min_size=0, max_size=12
+_attr_value = st.one_of(
+    st.text(alphabet="abc012/.?=>~ ", min_size=0, max_size=12),
+    # decoy VALUES that spell out href/src with their own quoting — a
+    # backtracking bug in the in-tag skip extracts phantom links from
+    # these (caught in review; the plain alphabet above cannot spell it)
+    st.sampled_from([
+        "window.location.href='/js/x';",
+        'src=/fake.png',
+        "x href='/p'",
+        'href="/q" y',
+    ]),
 )
 
 
