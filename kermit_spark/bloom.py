@@ -290,11 +290,19 @@ def collect_blobs(
     """Collect per-partition blobs to the driver as ``(p -> (bits, m, k),
     p -> n_items)``. Returns None when the set exceeds ``max_bytes`` (very
     large P × m deployments) — callers fall back to the distributed cogroup
-    path."""
-    rows = bloom.select("p", "filter", "n_items", "m_bits", "k_hashes").collect()
-    total = sum(len(r["filter"]) for r in rows if r["filter"] is not None)
+    path.
+
+    The budget is enforced with a distributed aggregate BEFORE any
+    ``.collect()``: at the multi-GB scales the budget exists for, collecting
+    first and summing on the driver would OOM the driver heap before the
+    check ever ran."""
+    total_row = bloom.agg(
+        F.sum(F.length(F.col("filter"))).alias("total_bytes")
+    ).first()
+    total = int(total_row["total_bytes"] or 0)
     if total > max_bytes:
         return None
+    rows = bloom.select("p", "filter", "n_items", "m_bits", "k_hashes").collect()
     blobs = {
         int(r["p"]): (
             np.frombuffer(r["filter"], dtype=np.uint8),

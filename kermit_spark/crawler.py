@@ -339,6 +339,14 @@ class CrawlConfig:
     # any wave whose fetches failed, carrying the failing URLs (the
     # reference notifies per item reaching its ERROR phase; here the wave
     # IS the batch, so one event per wave carries the batch's failures).
+    # Only rows whose RESOLVED disposition is ERROR count — followed
+    # redirects (VISITED) and 429/503 throttle retries (THROTTLED_RETRY)
+    # are not failures and fire no event, matching the reference's
+    # ERROR-phase-only semantics. (A throttle whose retry budget exhausts
+    # settles to terminal 'error' inside commit_wave's distributed
+    # resolution; that last attempt is still a throttle response at event
+    # time and fires no event — the terminal state is queryable in the
+    # frontier.)
     # The urls list is bounded by notify_max_urls; n_errors is always the
     # full count. None = off (zero extra jobs — the default path pays
     # nothing). Exceptions from the callback propagate AFTER the wave's
@@ -433,6 +441,12 @@ class Crawler:
         self._server_backoff: dict[str, int] = {}
         # AIMD delay state: host -> delay_ms (AdaptivePoliteness). Bounded.
         self._adaptive_delay: dict[str, int] = {}
+        # Tri-state "has any URL ever been attempted" flag gating the
+        # max_pages_per_host frontier aggregation: False = provably fresh
+        # (seed() just ran — the agg would be an empty result, skip the
+        # per-wave frontier-sized job), None = unknown (resume — one cheap
+        # limit(1) probe resolves it), True = attempts exist.
+        self._any_attempts: bool | None = None
 
     # -- setup -------------------------------------------------------------
 
@@ -448,6 +462,9 @@ class Crawler:
 
             filtered = strip_params(filtered, self.config.strip_query_params)
         self.frontier.init(filtered, wave=0)
+        # a freshly-seeded frontier is all SCHEDULED/tries=0: the page-cap
+        # aggregation has nothing to count until the first wave runs
+        self._any_attempts = False
 
     @property
     def last_wave(self) -> int:
@@ -890,6 +907,23 @@ class Crawler:
         cap = self.config.max_pages_per_host
         if cap is None:
             return None
+        # Fresh-crawl short-circuit: until some URL has been attempted the
+        # aggregation below is provably empty, so a seeded-this-session
+        # crawl skips the per-wave frontier-sized job entirely. On resume
+        # the flag is unknown — ONE limit(1) probe (metadata-cheap vs the
+        # groupBy) resolves it for the rest of the session; run_wave flips
+        # it to True after the first non-empty dequeue.
+        if self._any_attempts is False:
+            return None
+        if self._any_attempts is None:
+            attempted = (F.col("tries") > 0) | (
+                ~F.col("status").isin(SCHEDULED, ERROR)
+            )
+            self._any_attempts = bool(
+                self.frontier.read().filter(attempted).limit(1).count()
+            )
+            if not self._any_attempts:
+                return None
         attempts = F.col("tries") + F.when(
             ~F.col("status").isin(SCHEDULED, ERROR), F.lit(1)
         ).otherwise(F.lit(0))
@@ -1157,6 +1191,8 @@ class Crawler:
         if n_selected == 0:
             selected.unpersist()
             return WaveStats(wave, 0, 0, 0, 0, 0, time.time() - t0)
+        # this wave dequeues ≥1 URL → page-cap attempts exist from now on
+        self._any_attempts = True
 
         # robots gate (Q12) on the dequeued batch. No count action here:
         # n_blocked falls out of the fetch-side observed counts below
@@ -1370,17 +1406,33 @@ class Crawler:
         if cfg.on_event is not None and n_err:
             # ext.notifications ERROR-phase analog: one event per wave with
             # the failing URLs (docs is the still-cached, budget-bounded
-            # batch; the limit bounds the payload, n_errors stays exact)
-            err_urls = [
-                r["url"]
-                for r in docs.filter(~F.col("status").isin(200, 304))
-                .select("url")
-                .limit(cfg.notify_max_urls)
-                .collect()
-            ]
-            self._notify(
-                "error", {"wave": wave, "n_errors": n_err, "urls": err_urls}
-            )
+            # batch; the limit bounds the payload, n_errors stays exact).
+            # The reference NotificationCenter fires only for items that
+            # actually reach the ERROR phase — so followed redirects (a
+            # resolved VISITED) and 429/503 throttle outcomes (scheduled
+            # THROTTLED_RETRY, not failures) are excluded, mirroring the
+            # disposition expression committed above. n_err (> 0 gate) is a
+            # superset pre-check; the exact event count recomputes here.
+            true_error = ~F.col("status").isin(200, 304)
+            if redirect_followed is not None:
+                true_error = true_error & ~F.coalesce(
+                    redirect_followed, F.lit(False)
+                )
+            if cfg.server_backoff is not None:
+                true_error = true_error & ~F.col("status").isin(
+                    *cfg.server_backoff.statuses
+                )
+            err_rows = docs.filter(true_error).select("url")
+            n_true_err = err_rows.count()
+            if n_true_err:
+                err_urls = [
+                    r["url"]
+                    for r in err_rows.limit(cfg.notify_max_urls).collect()
+                ]
+                self._notify(
+                    "error",
+                    {"wave": wave, "n_errors": n_true_err, "urls": err_urls},
+                )
         if cfg.lineage_per_partition:
             pp = (
                 docs.groupBy("p")

@@ -149,3 +149,53 @@ def test_outage_ledger_caps_and_spills_to_table(spark, tmp_path):
     c.crawl(6)
     st = {r["url"]: r["status"] for r in c.frontier.read().collect()}
     assert all(st[f"http://{h}/1.html"] == "visited" for h in hosts), st
+
+
+def test_page_cap_agg_short_circuits_until_first_attempt(spark, tmp_path):
+    """With max_pages_per_host set, a FRESH crawl must not pay the per-wave
+    frontier-sized groupBy while nothing has ever been attempted (the agg is
+    provably empty). A resumed crawler starts unknowing, resolves once with
+    a cheap limit(1) probe, and then sticks with the answer."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Limit, Politeness
+
+    corpus = spark.createDataFrame(
+        [
+            ("http://a.test/1.html", "a.test", 200, "text/html",
+             '<html><body><a href="/2.html">x</a></body></html>'),
+            ("http://a.test/2.html", "a.test", 200, "text/html",
+             "<html><body>leaf</body></html>"),
+        ],
+        "url string, host string, status int, content_type string, body string",
+    )
+    root = str(tmp_path / "cat")
+    cfg = CrawlConfig(
+        num_partitions=2,
+        politeness=Politeness((Limit(".*", 5),)),
+        obey_robots=False,
+        max_pages_per_host=10,
+    )
+    c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    c.seed(["http://a.test/1.html"])
+    assert c._any_attempts is False          # seed() proves freshness
+    assert c._page_cap_budgets() is None     # short-circuit: no frontier agg
+    c.crawl(1)
+    assert c._any_attempts is True           # wave dequeued something
+    assert c._page_cap_budgets() is not None
+
+    # resume: flag starts unknown, the probe resolves it from the frontier
+    c2 = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+    assert c2._any_attempts is None
+    assert c2._page_cap_budgets() is not None
+    assert c2._any_attempts is True          # cached — no more probes
+
+    # resume of a NEVER-crawled catalog: probe answers False and caches it
+    root2 = str(tmp_path / "cat2")
+    c3 = Crawler(spark, SnapshotCatalog(spark, root2), CorpusFetcher(corpus), cfg)
+    c3.seed(["http://a.test/1.html"])
+    c4 = Crawler(spark, SnapshotCatalog(spark, root2), CorpusFetcher(corpus), cfg)
+    assert c4._any_attempts is None
+    assert c4._page_cap_budgets() is None
+    assert c4._any_attempts is False

@@ -424,6 +424,11 @@ def test_page_cap_budgets_are_a_frontier_side_aggregate(spark, tmp_path):
         CorpusFetcher(corpus), cfg,
     )
     c.seed(["http://a.test/x.html", "http://b.test/y.html"])
+    # freshly seeded -> provably no attempts -> the agg short-circuits to
+    # None (no per-wave frontier job until something is dequeued)
+    assert c._page_cap_budgets() is None
+    # force the attempted state to inspect the real plan shape
+    c._any_attempts = True
     budgets = c._page_cap_budgets()
     plan = _plan(budgets)
     assert "HashAggregate" in plan, plan

@@ -64,3 +64,27 @@ def test_redirects_off_is_reference_parity(spark, tmp_path):
     front = {r["url"]: r["status"] for r in crawler.frontier.read().collect()}
     assert front["http://r.test/old"] == ERROR
     assert "http://r.test/new" not in front
+
+
+def test_followed_redirects_fire_no_error_event(spark, tmp_path):
+    """ext.notifications parity: the reference NotificationCenter fires only
+    for items reaching the ERROR phase. A followed 3xx resolves VISITED, so
+    with follow_redirects on, the 301 row must NOT appear in (or trigger) an
+    'error' event — previously any status outside (200, 304) did."""
+    events: list[tuple[str, dict]] = []
+    cfg = CrawlConfig(
+        num_partitions=4, sub_salts=2, follow_redirects=True, max_waves=6,
+        on_event=lambda ev, payload: events.append((ev, payload)),
+    )
+    crawler = Crawler(
+        spark, SnapshotCatalog(spark, str(tmp_path)), CorpusFetcher(_corpus(spark)), cfg
+    )
+    crawler.seed(["http://r.test/start"])
+    crawler.crawl()
+    front = {r["url"]: r["status"] for r in crawler.frontier.read().collect()}
+    assert front["http://r.test/old"] == VISITED  # crawl behaved as before
+    errs = [p for ev, p in events if ev == "error"]
+    assert errs == [], errs
+    # lifecycle events still fire
+    assert [ev for ev, _ in events][0] == "crawler:start"
+    assert [ev for ev, _ in events][-1] == "crawler:stop"
