@@ -1,9 +1,20 @@
 """Local emulation of the driver's correctness gate: run every
 __spark_entry__ query AND its DuckDB oracle at sf0.01, sort columns by name,
-value-compare. Usage:  python scripts/check_correctness.py [name ...]"""
+value-compare.
+
+Usage:  python scripts/check_correctness.py [--out FILE.json] [name ...]
+
+``--out`` writes a committed artifact in the driver's CORRECTNESS_r{N}.json
+per-query schema ({rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}) — the driver samples only a 50-query prefix, so the
+committed full sweep is what certifies the remaining queries each round
+(r4 VERDICT #4). Queries without an oracle record the driver's weaker
+rows-only check (schema/hash fields null, err "rows-only").
+"""
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -18,7 +29,13 @@ def main() -> int:
     from kermit_spark.session import build_session
 
     sf_dir = "/root/testdata/sf0.01"
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = build_session(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -28,6 +45,16 @@ def main() -> int:
 
     oracles = entry.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in entry.queries().items():
         if only and name not in only:
             continue
@@ -37,27 +64,35 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {exc}")
             failures.append(name)
+            record(name, err=f"spark: {exc}")
             continue
         if name not in oracles:
             print(f"{name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            record(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf),
+                   err="rows-only")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {exc}")
             failures.append(name)
+            record(name, spark_rows=len(sdf), err=f"oracle: {exc}")
             continue
         cols = sorted(sdf.columns)
         ocols = sorted(odf.columns)
         if cols != ocols:
             print(f"{name}: SCHEMA MISMATCH spark={cols} oracle={ocols}")
             failures.append(name)
+            record(name, rows_match=len(sdf) == len(odf), schema_match=False,
+                   hash_match=False, spark_rows=len(sdf), oracle_rows=len(odf))
             continue
         s = sdf[cols].sort_values(cols).reset_index(drop=True)
         o = odf[cols].sort_values(cols).reset_index(drop=True)
         if len(s) != len(o):
             print(f"{name}: ROWS MISMATCH spark={len(s)} oracle={len(o)}")
             failures.append(name)
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(s), oracle_rows=len(o))
             continue
         # driver-faithful compare: values as Python objects (int32/int64 both
         # become int; int-vs-float DOES differ, as the r1 sessionize row showed)
@@ -72,9 +107,18 @@ def main() -> int:
             dt_s, dt_o = dict(s.dtypes.astype(str)), dict(o.dtypes.astype(str))
             print(f"{name}: VALUE MISMATCH cols={bad_cols}; dtypes s={dt_s} o={dt_o}")
             failures.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(s), oracle_rows=len(o),
+                   err=f"value mismatch: {bad_cols}")
             continue
         print(f"{name}: OK ({len(s)} rows, {time.time()-t0:.1f}s)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(s), oracle_rows=len(o))
     spark.stop()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} ({len(results)} queries)")
     if failures:
         print("FAILURES:", failures)
         return 1
