@@ -2271,6 +2271,56 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_warc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN/BINARY archive ingestion (r5): a per-record-gzip .warc.gz
+    corpus with NON-UTF-8 bodies — 16 raw md5 bytes plus a latin-1 'café'
+    tail per document, i.e. bytes the UTF-8 text path must reject — is
+    written through the REAL Common-Crawl-framed sink (write_warc_gz: one
+    gzip MEMBER per record), indexed with build_cdx_binary (offset/length
+    = the member's COMPRESSED coordinates) and every record fetched back
+    via read_warc_at_binary: one seek+read + one-member gunzip per record,
+    the Range-GET access pattern of the .warc.gz ecosystem. The query
+    returns hex(body) of the RANGED re-read, so the oracle (hex restated
+    from doc_id) certifies bit-exact binary fidelity through compression,
+    framing, indexing and the ranged read."""
+    import shutil
+    import tempfile
+
+    from kermit_spark.warc import (
+        build_cdx_binary,
+        read_warc_at_binary,
+        write_warc_gz,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("http://wb.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("wave"),
+        F.lit(200).alias("status"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.concat(
+            F.unhex(F.md5(F.col("doc_id").cast("string"))),
+            F.lit(b"caf\xe9"),
+        ).alias("body"),
+    )
+    tmp = tempfile.mkdtemp(
+        prefix="kermit_warcbin_", dir=os.environ.get("KERMIT_BENCH_TMPDIR")
+    )
+    try:
+        write_warc_gz(docs.repartition(4), tmp)
+        cdx = build_cdx_binary(spark, tmp)
+        back = read_warc_at_binary(spark, cdx)
+        return (
+            back.select(
+                "url", "status", "content_type",
+                F.hex(F.col("body")).alias("body_hex"),
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET extracted-text export ROUND TRIP through the REAL conversion
     sink (kermit_spark.warc.write_wet/read_wet): the shared interleaved
@@ -3582,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "export_tokens": q_export_tokens,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_binary": q_warc_binary,
         "warc_wet": q_warc_wet,
         "warc_wat": q_warc_wat,
         "warc_reparse": q_warc_reparse,
@@ -5673,6 +5724,18 @@ def oracle_sql() -> dict[str, str]:
                    200 AS status,
                    'text/html' AS content_type,
                    md5(text) AS body_md5
+            FROM documents
+            ORDER BY url
+        """,
+        # Foreign/binary .warc.gz ingestion: the ranged re-read's body is
+        # unhex(md5(doc_id)) ++ latin-1 'café' by construction, so its hex
+        # restates directly from doc_id — any framing/compression/offset
+        # error anywhere in the chain changes the bytes and fails the hash
+        "warc_binary": """
+            SELECT 'http://wb.test/d/' || doc_id AS url,
+                   200 AS status,
+                   'application/octet-stream' AS content_type,
+                   upper(md5(doc_id::VARCHAR)) || '636166E9' AS body_hex
             FROM documents
             ORDER BY url
         """,

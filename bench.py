@@ -351,6 +351,7 @@ def bench_big_frontier(
     waves: int = 3,
     batch: int = 1_000_000,
     spread_hosts: int = 50_000,
+    driver_blob_max_bytes: int | None = None,
 ) -> dict:
     """The big-frontier scale leg (`python bench.py --big-frontier`): a
     10^7-row frontier with SKEWED hosts (~30% of every URL on one hot host,
@@ -411,13 +412,29 @@ def bench_big_frontier(
         "spread_hosts": spread_hosts,
     }
     try:
-        fr = Frontier(SnapshotCatalog(spark, root), num_partitions=32)
+        # driver_blob_max_bytes below the blob total forces the DISTRIBUTED
+        # cogroup probe/merge on every wave — the beyond-driver-budget
+        # posture a 10^10-key deployment runs in (r4 VERDICT #2: measure
+        # it at scale, not just the toy equivalence test)
+        kwargs = {}
+        if driver_blob_max_bytes is not None:
+            from kermit_spark.bloom import BloomSpec
+
+            kwargs["driver_blob_max_bytes"] = driver_blob_max_bytes
+            out["driver_blob_max_bytes"] = driver_blob_max_bytes
+            # cogroup mode has no driver popcount, so the saturation
+            # auto-grow cannot fire — pre-size the blobs for the known
+            # frontier instead (the posture a real beyond-driver deployment
+            # plans for: spec sized from expected keys/partition)
+            kwargs["bloom_spec"] = BloomSpec.for_capacity(int(n / 32 * 1.3))
+        fr = Frontier(SnapshotCatalog(spark, root), num_partitions=32, **kwargs)
         t0 = time.time()
         fr.init(urls(0, n))
         out["init_sec"] = round(time.time() - t0, 2)
         t0 = time.time()
-        fr._ensure_blobs_current()  # steady-state posture: blobs resident
+        blobs = fr._ensure_blobs_current()  # steady-state posture (None => cogroup mode)
         out["blob_build_sec"] = round(time.time() - t0, 2)
+        out["cogroup_mode"] = blobs is None
         pre = fr.seen_fill_stats()
         out["bloom_before"] = {
             "m_bits": fr.bloom_spec.m_bits,
@@ -429,7 +446,8 @@ def bench_big_frontier(
         # rebuild fires HERE, timed on its own (production pays it once per
         # saturation event, every bloom_commit_every epochs — not per
         # wave); the timed waves below then measure the healthy steady
-        # state
+        # state. In cogroup mode the blobs were pre-sized (no driver
+        # popcount → no auto-grow); the warm wave still primes plans/caches.
         fr.schedule(urls(n - 5_000, n + 5_000), wave=0)
         t0 = time.time()
         fr.flush_bloom()
@@ -777,6 +795,91 @@ def run_crawl_only(cpus: str) -> dict:
     return out
 
 
+def run_scaling_control(trials: int = 3) -> dict:
+    """r4 VERDICT #3: the dedup N→4N matched pair AND the §3a
+    perfect-isolation control measured in the SAME contention window.
+
+    Per trial, back-to-back: (1) one single-core engine (`--crawl-only 1`,
+    the N leg), (2) the engine at local[4] (the 4N leg), (3) FOUR fully
+    isolated single-core engines as concurrent subprocesses — zero Spark
+    coordination between them, so their aggregate is the hardware's
+    4-way co-residency ceiling for this exact workload. Reported per
+    trial:
+
+      engine_efficiency  = T_4N / (4 × T_N)        (the north-rule number)
+      control_efficiency = Σ control_i / (4 × T_N) (what PERFECT scaling
+                           achieves on this box's shared memory bus)
+      bus_relative_ratio = engine_efficiency / control_efficiency
+                         = T_4N / Σ control_i
+
+    The ratio strips the shared-bus denominator the sandbox cannot scale
+    (real clusters add a memory bus per executor; this box does not), so
+    it is the per-round tracked number — ≥0.9 means the engine extracts
+    ≥90 % of what four perfectly-isolated engines extract from the same
+    silicon in the same window."""
+    env_base = dict(os.environ)
+    env_base.setdefault("KERMIT_SCALE_WORKLOADS", "dedup")
+    env_base.setdefault("KERMIT_SCALE_N", "4000000")
+    env_base.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
+
+    def run_sub(cpus: int):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--crawl-only", str(cpus)],
+            capture_output=True, text=True, env=dict(env_base),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    rows = []
+    for t in range(trials):
+        _log(f"scaling-control trial {t + 1}/{trials}: solo N=1 leg")
+        t1 = run_sub(1)["dedup"]["urls_per_sec"]
+        _log(f"  N=1 solo: {t1:.0f} URLs/s; engine local[4] leg")
+        t4 = run_sub(4)["dedup"]["urls_per_sec"]
+        _log(f"  local[4]: {t4:.0f} URLs/s; 4x isolated control")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--crawl-only", "1"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=dict(env_base),
+            )
+            for _ in range(4)
+        ]
+        control = []
+        for p in procs:
+            out_s, _ = p.communicate()
+            control.append(
+                json.loads(out_s.strip().splitlines()[-1])["dedup"]["urls_per_sec"]
+            )
+        agg = sum(control)
+        engine_eff = t4 / (4 * t1) if t1 else 0.0
+        control_eff = agg / (4 * t1) if t1 else 0.0
+        ratio = t4 / agg if agg else 0.0
+        _log(f"  control agg: {agg:.0f} ({[round(c) for c in control]}); "
+             f"engine_eff={engine_eff:.3f} control_eff={control_eff:.3f} "
+             f"ratio={ratio:.3f}")
+        rows.append({
+            "throughput_N": round(t1, 1),
+            "throughput_4N": round(t4, 1),
+            "control_each": [round(c, 1) for c in control],
+            "control_aggregate": round(agg, 1),
+            "engine_efficiency": round(engine_eff, 3),
+            "control_efficiency": round(control_eff, 3),
+            "bus_relative_ratio": round(ratio, 3),
+        })
+    best = max(rows, key=lambda r: r["bus_relative_ratio"])
+    med = sorted(rows, key=lambda r: r["bus_relative_ratio"])[len(rows) // 2]
+    return {
+        "metric": ("dedup N->4N matched pair with SAME-WINDOW 4x-isolated "
+                   "control; bus_relative_ratio = engine T_4N / control "
+                   "aggregate"),
+        "workload": "dedup",
+        "candidates": int(env_base["KERMIT_SCALE_N"]),
+        "trials": rows,
+        "best": best,
+        "median": med,
+    }
+
+
 def run_scaling(n: int = 4, trials: int = 3) -> dict:
     """North-rule scaling evidence: same jobs, same input, local[N] vs
     local[4N]. Efficiency = T_4N / (4 * T_N) per workload.
@@ -849,9 +952,13 @@ if __name__ == "__main__":
         spark = _build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"),
                              shuffle_partitions=64)
         # KERMIT_BIGF_N scales the frontier (default 10^7); candidate batch
-        # stays 1M so wave throughput is comparable across sizes
+        # stays 1M so wave throughput is comparable across sizes.
+        # KERMIT_BIGF_BLOB_BUDGET (bytes) forces the beyond-driver-budget
+        # cogroup path when set below the blob total (r4 VERDICT #2 leg).
+        blob_budget = os.environ.get("KERMIT_BIGF_BLOB_BUDGET")
         print(json.dumps(bench_big_frontier(
-            spark, n=int(os.environ.get("KERMIT_BIGF_N", 10_000_000))
+            spark, n=int(os.environ.get("KERMIT_BIGF_N", 10_000_000)),
+            driver_blob_max_bytes=int(blob_budget) if blob_budget else None,
         )))
         spark.stop()
     elif "--evict" in sys.argv:
@@ -873,6 +980,11 @@ if __name__ == "__main__":
         os.environ.setdefault("KERMIT_SCALE_N", "4000000")
         print(json.dumps(run_scaling(
             n=1, trials=int(os.environ.get("KERMIT_SCALE_TRIALS", "3"))
+        )))
+    elif "--scaling-control" in sys.argv:
+        # r4 VERDICT #3: dedup matched pair + same-window isolation control
+        print(json.dumps(run_scaling_control(
+            trials=int(os.environ.get("KERMIT_SCALE_TRIALS", "3"))
         )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(

@@ -99,8 +99,9 @@ _TAG_RE = re.compile(rf"<{_IN_TAG}+>")
 
 
 def _first_group(m: re.Match, *idxs: int) -> str | None:
-    for i in idxs:
-        v = m.group(i)
+    # one C-level group() call for all indices (NOT `a or b or c` — an
+    # EMPTY string is a present, valid attribute value: href="")
+    for v in m.group(*idxs):
         if v is not None:
             return v
     return None
@@ -131,27 +132,47 @@ def extract_spans_one(body: str | None) -> list[tuple] | None:
     if body is None:
         return None
     spans: list[tuple] = []
+    append = spans.append
     pos = 0
     unescape = _html.unescape
+    tag_sub = _TAG_RE.sub
 
+    # Hot-loop micro-optimizations (r4 VERDICT #7 — parse is the steady-
+    # state ceiling of the crawl loop; profiled 45% of tokenizer time in
+    # this helper): empty gaps return before any allocation (adjacent
+    # tokens are the common corpus shape), the tag-strip regex only runs
+    # when the chunk can contain a tag ('<'), and unescape only when it
+    # can contain a reference ('&') — same results by construction, the
+    # guards are exactly the patterns' necessary preconditions.
     def text_between(lo: int, hi: int) -> None:
-        chunk = _TAG_RE.sub(" ", body[lo:hi])
-        chunk = " ".join(unescape(chunk).split())
+        if lo >= hi:
+            return
+        chunk = body[lo:hi]
+        if "<" in chunk:
+            chunk = tag_sub(" ", chunk)
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        chunk = " ".join(chunk.split())
         if chunk:
-            spans.append(("text", chunk, None, len(spans)))
+            append(("text", chunk, None, len(spans)))
 
     for m in _TOKEN_RE.finditer(body):
         text_between(pos, m.start())
         a_href = _first_group(m, 1, 2, 3)
         if a_href is not None:
-            anchor = " ".join(unescape(_TAG_RE.sub(" ", m.group(4))).split())
-            spans.append(("link", anchor or None, unescape(a_href), len(spans)))
+            raw = m.group(4)
+            if "<" in raw:
+                raw = tag_sub(" ", raw)
+            if "&" in raw:
+                raw = unescape(raw)
+            anchor = " ".join(raw.split())
+            append(("link", anchor or None, unescape(a_href), len(spans)))
         else:
             l_href = _first_group(m, 5, 6, 7)
             if l_href is not None:
-                spans.append(("resource", None, unescape(l_href), len(spans)))
+                append(("resource", None, unescape(l_href), len(spans)))
             else:
-                spans.append(
+                append(
                     ("media", None, unescape(_first_group(m, 8, 9, 10)), len(spans))
                 )
         pos = m.end()
@@ -164,6 +185,66 @@ def _extract_series(body: pd.Series) -> pd.Series:
 
 
 extract_spans = session_safe_pandas_udf(_extract_series, SPAN_TYPE)
+
+
+def extract_spans_expr(body) -> "F.Column":
+    """Span extraction with a JVM FAST PATH in front of the Python
+    tokenizer (r4 VERDICT #7 — parse is the crawl loop's steady-state
+    ceiling, and real corpora carry plenty of token-free documents:
+    plain-text bodies, leaf pages, boilerplate fragments).
+
+    A body that provably contains
+      * no token opener (``<a\\s``/``<link\\s``/``<img\\s`` — _TOKEN_RE
+        can only match at those), and
+      * no character reference (``&`` — unescape is then identity), and
+      * only printable-ASCII + ``\\t\\r\\n`` characters (so Python's
+        ``str.split()`` whitespace set and Java's ``[ \\t\\r\\n]`` agree
+        exactly — exotic whitespace like U+00A0 routes to Python)
+    tokenizes to AT MOST one text span: tags stripped by the same
+    quote-aware pattern (_TAG_RE — Java regex supports the atomic group),
+    whitespace collapsed, empty → empty array. That whole computation
+    stays in whole-stage codegen; the Arrow batch to Python carries ONLY
+    bodies that can actually yield link/resource/media spans or entities.
+
+    Two structural details that make the gate a real gate:
+      * Spark evaluates a Python UDF inside CASE WHEN for EVERY row (the
+        ArrowEvalPython projection runs before the branch picks) — so the
+        UDF input is NULLED for fast-path rows rather than branched
+        around: a null crosses Arrow as one validity bit and the
+        tokenizer returns immediately, skipping both the body transfer
+        and the regex scan.
+      * the conjunction is ordered cheapest-exit-first: codegen's And
+        short-circuits per row, so token-bearing HTML pays only a scan
+        to its first '&' or token opener; the full-body ASCII check (the
+        expensive predicate) runs only for bodies that passed both.
+
+    Equivalence with extract_spans_one on the fast-path subset is pinned
+    by tests (including a hypothesis fuzz over the simple-body alphabet).
+    """
+    is_simple = (
+        ~body.contains("&")
+        & ~body.rlike(r"(?i)<(a|link|img)\s")
+        & body.rlike(r"^[ -~\t\r\n]*$")
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(body, _TAG_RE.pattern, " "), r"[ \t\r\n]+", " "
+        )
+    )
+    jvm = F.when(stripped == "", F.array().cast(SPAN_TYPE)).otherwise(
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                stripped.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        )
+    )
+    gated = extract_spans(
+        F.when(is_simple, F.lit(None).cast("string")).otherwise(body)
+    )
+    return F.when(is_simple, jvm).otherwise(gated)
 
 
 def _attr_value(body, tag_prefix: str, attr: str):
@@ -281,7 +362,7 @@ def parse_documents(
     # the revalidation for lineage; content/spans live in the earlier
     # wave's row — an empty array, like a 404, never a null
     is_html = (content_type == "text/html") & (F.col("status") != 304)
-    spans = F.when(is_html, extract_spans(F.col("body"))).otherwise(
+    spans = F.when(is_html, extract_spans_expr(F.col("body"))).otherwise(
         F.when(
             F.col("status") == 200,
             F.array(

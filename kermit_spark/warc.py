@@ -656,3 +656,296 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInPandas(parse, WAT_READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Foreign/binary WARC ingestion (r4 VERDICT #5). Everything above is the
+# engine's OWN archive face: UTF-8 text by construction, written and read
+# through Spark's text source, offsets derived post-decode (and guarded by
+# _check_utf8_fidelity). Real-world archives — Common Crawl's .warc.gz —
+# violate both assumptions: each record is its own gzip MEMBER
+# (concatenated members = one valid gzip stream, but ranged access needs
+# the member's compressed offset/length), and bodies are arbitrary bytes
+# (images, latin-1 HTML, truncated junk). This section ingests those:
+#
+#   * byte-space record walker (no decode anywhere near the framing),
+#   * per-member gzip walk with COMPRESSED offsets/lengths — exactly the
+#     coordinates a Common Crawl CDX stores for HTTP Range-GET access,
+#   * binaryFile-source readers (one row per archive file, content:binary),
+#   * a per-record-gzip writer so the engine can also EMIT CC-framed
+#     archives (and tests can synthesize foreign corpora deterministically).
+#
+# The bodies surface as BINARY columns — decoding is the consumer's choice
+# (charset sniffing is content policy, not archive framing).
+# ---------------------------------------------------------------------------
+
+WARC_BINARY_READ_SCHEMA = (
+    "url string, wave int, status int, content_type string, body binary"
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _iter_gzip_members(data: bytes):
+    """Walk concatenated gzip members, yielding (decompressed_bytes,
+    member_offset, member_compressed_length). Stops at the first byte that
+    is not a gzip magic (trailing garbage — members are a prefix), the
+    same tolerance contract as the text walker."""
+    import zlib
+
+    pos = 0
+    while pos < len(data) - 1:
+        if data[pos:pos + 2] != _GZIP_MAGIC:
+            break
+        obj = zlib.decompressobj(wbits=31)
+        raw = obj.decompress(data[pos:])
+        raw += obj.flush()
+        consumed = len(data) - pos - len(obj.unused_data)
+        if consumed <= 0:  # corrupt/empty member: cannot advance
+            break
+        yield raw, pos, consumed
+        pos += consumed
+
+
+def _iter_plain_records_bytes(data: bytes):
+    """Byte-space twin of _iter_records: walk WARC records by
+    Content-Length without ANY text decode on the framing path. WARC
+    headers are decoded latin-1 (byte-preserving for any 8-bit header
+    value; the spec says headers are UTF-8, but a lossy foreign header
+    must not shift framing); payloads stay raw bytes."""
+    version = _WARC_VERSION.encode()
+    pos = 0
+    while pos < len(data):
+        if not data.startswith(version, pos):
+            break
+        head_end = data.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in data[pos:head_end].decode("latin-1").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers["content-length"])
+        body_start = head_end + 4
+        payload = data[body_start:body_start + n]
+        end = body_start + n + 4  # payload + its two trailing CRLFs
+        yield headers, payload, pos, end - pos
+        pos = end
+
+
+def _iter_records_bytes(data: bytes):
+    """Unified byte-space walker: a gzip archive yields one record per
+    MEMBER with the member's COMPRESSED (offset, length) — the ranged-read
+    coordinates of the .warc.gz ecosystem; a plain archive yields records
+    with their uncompressed coordinates. Either way (headers, payload
+    bytes, byte_offset, byte_length)."""
+    if data[:2] == _GZIP_MAGIC:
+        for raw, off, ln in _iter_gzip_members(data):
+            for headers, payload, _, _ in _iter_plain_records_bytes(raw):
+                yield headers, payload, off, ln
+        return
+    yield from _iter_plain_records_bytes(data)
+
+
+def _parse_http_payload_bytes(raw: bytes) -> tuple[int, str | None, bytes]:
+    """One response record's raw payload → (status, content_type,
+    body_bytes). The HTTP head is ASCII-framed by spec; latin-1 decode
+    keeps any 8-bit header byte-preserving."""
+    http_head, _, body = raw.partition(b"\r\n\r\n")
+    head_lines = http_head.decode("latin-1").split("\r\n")
+    status = int(head_lines[0].split(" ", 1)[1].split(" ")[0])
+    ctype = None
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, body
+
+
+def _render_record_bytes(url, wave, status, content_type, body: bytes,
+                         date: str) -> bytes:
+    """Binary twin of _render_record: the full record as bytes, INCLUDING
+    both trailing CRLFs (no text-writer lineSep here to supply the second
+    one)."""
+    body = body if body is not None else b""
+    payload = (
+        f"HTTP/1.1 {status}\r\n"
+        f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
+        "\r\n"
+    ).encode("latin-1") + body
+    head = (
+        f"{_WARC_VERSION}\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_record_uuid(url, wave)}>\r\n"
+        f"WARC-Kermit-Wave: {wave}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("latin-1")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc_gz(
+    documents: DataFrame,
+    path: str,
+    date: str = "2000-01-01T00:00:00Z",
+    order_cols: tuple[str, ...] = ("url",),
+) -> None:
+    """Common-Crawl-framed sink: (url, wave, status, content_type,
+    body:binary) rows → ``path`` as parallel part-*.warc.gz files, each
+    record its OWN gzip member (zlib wbits=31 — mtime 0, so re-runs are
+    byte-identical; python's gzip module would stamp wall-clock). One file
+    per partition, rows sorted by ``order_cols`` within the partition —
+    the same parallel, reproducible layout as the text sink, but carrying
+    arbitrary byte bodies. Spark has no binary-line sink, so each task
+    writes its part file directly (posix locally; at cluster scale the
+    same code targets a fuse/NFS mount, or swap the open() for an object-
+    store client — the record bytes are sink-agnostic)."""
+    import shutil
+    import zlib
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = ["url", "wave", "status", "content_type", "body"]
+    prepared = documents.select(*cols).sortWithinPartitions(*order_cols)
+
+    def write_part(idx: int, rows) -> Iterator[int]:
+        out = None
+        n = 0
+        for row in rows:
+            if out is None:
+                out = open(os.path.join(path, f"part-{idx:05d}.warc.gz"), "wb")
+            rec = _render_record_bytes(
+                row["url"], row["wave"], row["status"], row["content_type"],
+                bytes(row["body"]) if row["body"] is not None else b"", date,
+            )
+            obj = zlib.compressobj(9, zlib.DEFLATED, 31)
+            out.write(obj.compress(rec) + obj.flush())
+            n += 1
+        if out is not None:
+            out.close()
+        yield n
+
+    prepared.rdd.mapPartitionsWithIndex(write_part).sum()
+
+
+def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Parse foreign/binary archives (.warc or per-record-gzip .warc.gz)
+    back to (url, wave, status, content_type, body:binary). One row per
+    file via the binaryFile source — framing walks raw bytes, so latin-1
+    HTML, images, or any other byte payload round-trips bit-exactly."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for data in pdf["content"]:
+                for headers, raw, _, _ in _iter_records_bytes(bytes(data)):
+                    status, ctype, body = _parse_http_payload_bytes(raw)
+                    rows.append(
+                        (
+                            headers["warc-target-uri"],
+                            int(headers.get("warc-kermit-wave", 0)),
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "wave", "status", "content_type", "body"]
+                )
+
+    return files.mapInPandas(parse, WARC_BINARY_READ_SCHEMA)
+
+
+def build_cdx_binary(spark: SparkSession, path: str) -> DataFrame:
+    """CDX over foreign/binary archives: one row per record with byte-TRUE
+    coordinates — for a .warc.gz the (offset, length) of the record's gzip
+    MEMBER inside the compressed file (the Common Crawl cdx convention:
+    a consumer Range-GETs exactly those bytes and gunzips one member);
+    for a plain .warc the record's uncompressed coordinates. digest =
+    md5 of the raw HTTP body BYTES. Same schema as build_cdx, so
+    write_cdx_table / lookup_cdx work unchanged."""
+    import hashlib
+
+    files = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("filename"), "content"
+    )
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, data in zip(pdf["filename"], pdf["content"]):
+                for headers, raw, off, ln in _iter_records_bytes(bytes(data)):
+                    status, ctype, body = _parse_http_payload_bytes(raw)
+                    rows.append(
+                        (
+                            headers["warc-target-uri"],
+                            int(headers.get("warc-kermit-wave", 0)),
+                            status,
+                            ctype,
+                            hashlib.md5(body).hexdigest(),
+                            fname,
+                            off,
+                            ln,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url", "wave", "status", "content_type",
+                        "digest", "filename", "offset", "length",
+                    ],
+                )
+
+    idx = files.mapInPandas(
+        index,
+        "url string, wave int, status int, content_type string, "
+        "digest string, filename string, offset long, length long",
+    )
+    return idx.select(surt_key(F.col("url")).alias("surt_key"), "*")
+
+
+def read_warc_at_binary(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Ranged binary fetch: given CDX rows (filename, offset, length) from
+    build_cdx_binary, return exactly those records as (url, wave, status,
+    content_type, body:binary) — one seek+read of ``length`` bytes per
+    record; a gzip member is gunzipped after the ranged read (the
+    Range-GET + gunzip access pattern of the .warc.gz ecosystem). Scales
+    with |requested records|, independent of archive size."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, grp in pdf.groupby("filename", sort=True):
+                local = fname[len("file:"):] if fname.startswith("file:") else fname
+                grp = grp.sort_values("offset")
+                with open(local, "rb") as f:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        f.seek(int(off))
+                        blob = f.read(int(ln))
+                        if blob[:2] == _GZIP_MAGIC:
+                            blob = zlib.decompress(blob, wbits=31)
+                        for headers, raw, _, _ in _iter_plain_records_bytes(blob):
+                            status, ctype, body = _parse_http_payload_bytes(raw)
+                            rows.append(
+                                (
+                                    headers["warc-target-uri"],
+                                    int(headers.get("warc-kermit-wave", 0)),
+                                    status,
+                                    ctype,
+                                    body,
+                                )
+                            )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "wave", "status", "content_type", "body"]
+                )
+
+    return cdx.select("filename", "offset", "length").mapInPandas(
+        fetch, WARC_BINARY_READ_SCHEMA
+    )

@@ -1030,3 +1030,57 @@ def test_notification_events_fire_on_error_and_lifecycle(spark, tmp_path):
     assert stop["waves_run"] == 2
     # default config (no callback): zero events machinery — attribute is None
     assert CrawlConfig().on_event is None
+
+
+def test_rollback_neutralizes_key_sidecar_on_bloom_path(spark, tmp_path):
+    """rollback_to_wave must NEUTRALIZE the (p, url_hash, h2) key sidecar,
+    not merely leave it to the epoch check: rollback makes url_epoch
+    non-monotonic, so a later commit could re-reach the sidecar's stamped
+    epoch while its content still holds the rolled-back (superset) keys —
+    and unlike the Bloom blobs, a superset sidecar wrongly DROPS
+    re-discovered URLs (it feeds the anti-join). After rollback the stamp
+    must be -1 and a fresh crawl must reconverge to the identical closure."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Frontier, Limit, Politeness
+
+    rows = [
+        ("http://a.test/1.html", "a.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a></body></html>'),
+        ("http://a.test/2.html", "a.test", 200, "text/html",
+         '<html><body><a href="/3.html">y</a></body></html>'),
+        ("http://a.test/3.html", "a.test", 200, "text/html",
+         "<html><body>leaf</body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    root = str(tmp_path / "cat")
+    cfg = CrawlConfig(
+        num_partitions=2, politeness=Politeness((Limit(".*", 10),)), obey_robots=False
+    )
+
+    def make(c):
+        # force the Bloom/sidecar path at toy scale
+        c.frontier = Frontier(c.catalog, 2, bloom_min_frontier=0)
+        return c
+
+    c = make(Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg))
+    c.seed(["http://a.test/1.html"])
+    c.crawl(3)
+    full = sorted((r["url"], r["status"]) for r in c.frontier.read().collect())
+    assert c.frontier._keys_synced_epoch() == c.frontier._frontier_stats()[1]
+    c.rollback_to_wave(0)
+    assert c.frontier._keys_synced_epoch() == -1  # neutralized, never matches
+    # fresh crawler resumes and reconverges: the rolled-back /3.html must be
+    # re-admitted through the rebuilt sidecar (a stale superset would drop it)
+    c2 = make(Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg))
+    c2.crawl(4)
+    assert sorted(
+        (r["url"], r["status"]) for r in c2.frontier.read().collect()
+    ) == full
+    # known URL still adds nothing through the sidecar-fed anti-join
+    assert c2.frontier.schedule(
+        spark.createDataFrame([("http://a.test/2.html",)], "url string"), wave=9
+    ) == 0

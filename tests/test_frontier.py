@@ -1153,3 +1153,55 @@ def test_bloom_cogroup_fallback_beyond_driver_cap(spark, tmp_path):
         )
     assert results["cogroup"] == results["driver"]
     assert results["driver"][0] == 1000 and results["driver"][1] == 500
+
+
+def test_key_sidecar_stays_synced_and_rebuilds_after_evict(spark, tmp_path):
+    """r5 key sidecar (FRONTIER_KEYS_TABLE): above the Bloom threshold the
+    dedup anti-join is fed from the narrow (p, url_hash, h2) table. The
+    sidecar must (a) track the frontier exactly across incremental wave
+    appends, (b) go stale on evict and rebuild so evicted URLs are
+    RE-ADMITTED (the sidecar is anti-join truth — a stale superset would
+    wrongly drop them), and (c) survive a resume with a fresh Frontier."""
+    from kermit_spark.frontier import FRONTIER_KEYS_TABLE, url_h2
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0)
+    fr.init(_urls(spark, _range_urls(0, 100)))
+    assert cat.exists(FRONTIER_KEYS_TABLE)
+    assert fr.schedule(_urls(spark, _range_urls(50, 150)), wave=1) == 50
+
+    # (a) incremental append kept the projection exact
+    exp = fr.read().select("p", "url_hash", url_h2(F.col("url")).alias("h2"))
+    got = cat.read(FRONTIER_KEYS_TABLE).select("p", "url_hash", "h2")
+    assert got.count() == 150
+    assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
+    # and the sidecar is stamped at the frontier's epoch
+    assert fr._keys_synced_epoch() == fr._frontier_stats()[1]
+
+    # duplicates stay dropped through the sidecar-fed anti-join
+    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=2) == 0
+
+    # (b) evict -> stale sidecar -> rebuild on next use -> re-admission
+    n_ev = fr.evict(F.col("url_hash") % 2 == 0)
+    assert n_ev > 0
+    assert fr._keys_synced_epoch() != fr._frontier_stats()[1]  # stale now
+    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=3) == n_ev
+    assert cat.read(FRONTIER_KEYS_TABLE).count() == 150
+
+    # (c) fresh Frontier over the same catalog: dedup state intact
+    fr2 = Frontier(cat, num_partitions=4, bloom_min_frontier=0)
+    assert fr2.schedule(_urls(spark, _range_urls(0, 150)), wave=4) == 0
+    assert fr2.schedule(_urls(spark, _range_urls(150, 160)), wave=4) == 10
+
+
+def test_key_sidecar_off_keeps_exact_url_anti_join(spark, tmp_path):
+    """use_key_sidecar=False must keep the pre-r5 exact (p,url_hash,url)
+    anti-join against the full frontier — same results, no keys table."""
+    from kermit_spark.frontier import FRONTIER_KEYS_TABLE
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, use_key_sidecar=False)
+    fr.init(_urls(spark, _range_urls(0, 100)))
+    assert not cat.exists(FRONTIER_KEYS_TABLE)
+    assert fr.schedule(_urls(spark, _range_urls(50, 150)), wave=1) == 50
+    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=2) == 0

@@ -517,3 +517,152 @@ def test_crawler_replay_documents_uses_crawl_partitioning(spark, tmp_path):
         for r in documents_from_warc(spark, warc_dir).select("url", "p").collect()
     }
     assert default_p != live
+
+
+# ---------------------------------------------------------------------------
+# Foreign/binary archives (r5): per-record-gzip .warc.gz + raw-bytes bodies
+# ---------------------------------------------------------------------------
+
+_BIN_ROWS = [
+    ("http://a.test/latin1.html", 1, 200, "text/html; charset=latin-1",
+     "café crème ¡voilà!".encode("latin-1")),          # NOT valid UTF-8
+    ("http://a.test/img.png", 1, 200, "image/png",
+     b"\x89PNG\r\n\x1a\n" + bytes(range(256))),         # raw binary, CRLFs inside
+    ("http://b.test/utf8.html", 2, 200, "text/html",
+     "héllo <a href='/x'>x</a>".encode()),
+    ("http://b.test/trap", 1, 200, "text/plain",
+     b"body with\r\n\r\nWARC/1.0\r\nfake header"),      # framing decoy
+    ("http://b.test/empty", 2, 404, None, b""),
+]
+
+
+def _bin_docs(spark):
+    return spark.createDataFrame(
+        _BIN_ROWS,
+        "url string, wave int, status int, content_type string, body binary",
+    )
+
+
+def test_warc_gz_roundtrip_bit_exact(spark, tmp_path):
+    """write_warc_gz → read_warc_binary round-trips latin-1, raw binary,
+    UTF-8 and empty bodies BIT-exactly (the UTF-8 text path would corrupt
+    or loudly reject every one of the first two)."""
+    from kermit_spark.warc import read_warc_binary, write_warc_gz
+
+    path = str(tmp_path / "arc")
+    write_warc_gz(_bin_docs(spark), path)
+    back = {
+        r["url"]: (r["wave"], r["status"], r["content_type"], bytes(r["body"]))
+        for r in read_warc_binary(spark, path).collect()
+    }
+    assert len(back) == len(_BIN_ROWS)
+    for url, wave, status, ctype, body in _BIN_ROWS:
+        assert back[url] == (
+            wave, status, ctype or "application/octet-stream", body
+        ), url
+
+
+def test_warc_gz_member_coordinates_are_compressed_byte_true(spark, tmp_path):
+    """build_cdx_binary's (offset, length) must be the record's gzip
+    MEMBER coordinates inside the COMPRESSED file: a manual seek+read of
+    exactly those bytes must gunzip to a complete WARC record — the
+    Range-GET contract of the .warc.gz ecosystem."""
+    import hashlib
+    import zlib
+
+    from kermit_spark.warc import build_cdx_binary, write_warc_gz
+
+    path = str(tmp_path / "arc")
+    write_warc_gz(_bin_docs(spark), path)
+    rows = build_cdx_binary(spark, path).collect()
+    assert len(rows) == len(_BIN_ROWS)
+    bodies = {u: b for u, _, _, _, b in _BIN_ROWS}
+    for r in rows:
+        local = r["filename"][len("file:"):]
+        with open(local, "rb") as f:
+            f.seek(r["offset"])
+            blob = f.read(r["length"])
+        assert blob[:2] == b"\x1f\x8b"
+        rec = zlib.decompress(blob, wbits=31)
+        assert rec.startswith(b"WARC/1.0") and rec.endswith(b"\r\n\r\n")
+        # digest is md5 over the raw BODY bytes
+        assert r["digest"] == hashlib.md5(bodies[r["url"]]).hexdigest()
+
+
+def test_warc_gz_ranged_read_back(spark, tmp_path):
+    """CDX → read_warc_at_binary returns every record's body bit-exactly
+    through seek+read+one-member-gunzip; lookup_cdx pruning composes with
+    the binary index unchanged (same CDX schema)."""
+    from kermit_spark.warc import (
+        build_cdx_binary,
+        lookup_cdx,
+        read_warc_at_binary,
+        write_cdx_table,
+        write_warc_gz,
+    )
+
+    path = str(tmp_path / "arc")
+    write_warc_gz(_bin_docs(spark), path)
+    cdx = build_cdx_binary(spark, path)
+    back = {
+        r["url"]: bytes(r["body"])
+        for r in read_warc_at_binary(spark, cdx).collect()
+    }
+    for url, _, _, _, body in _BIN_ROWS:
+        assert back[url] == body, url
+    # stored + pruned lookup path
+    table = str(tmp_path / "cdx")
+    write_cdx_table(cdx, table, buckets=8)
+    hit = lookup_cdx(spark, table, ["http://a.test/img.png"], buckets=8)
+    got = read_warc_at_binary(spark, hit).collect()
+    assert len(got) == 1 and bytes(got[0]["body"]) == _BIN_ROWS[1][4]
+
+
+def test_plain_binary_warc_and_trailing_garbage(spark, tmp_path):
+    """An UNCOMPRESSED foreign .warc with binary/latin-1 bodies reads via
+    the same byte-space walker with uncompressed coordinates; trailing
+    garbage after the last record is tolerated (records are a prefix),
+    matching the text walker's contract."""
+    import os
+
+    from kermit_spark.warc import (
+        _render_record_bytes,
+        build_cdx_binary,
+        read_warc_at_binary,
+        read_warc_binary,
+    )
+
+    d = str(tmp_path / "plain")
+    os.makedirs(d)
+    with open(os.path.join(d, "f.warc"), "wb") as f:
+        for url, wave, status, ctype, body in _BIN_ROWS:
+            f.write(_render_record_bytes(url, wave, status, ctype, body,
+                                         "2000-01-01T00:00:00Z"))
+        f.write(b"\x00trailing-garbage-not-a-record")
+    back = {r["url"]: bytes(r["body"]) for r in read_warc_binary(spark, d).collect()}
+    assert len(back) == len(_BIN_ROWS)
+    for url, _, _, _, body in _BIN_ROWS:
+        assert back[url] == body
+    at = {
+        r["url"]: bytes(r["body"])
+        for r in read_warc_at_binary(spark, build_cdx_binary(spark, d)).collect()
+    }
+    for url, _, _, _, body in _BIN_ROWS:
+        assert at[url] == body
+
+
+def test_warc_gz_rewrite_is_byte_identical(spark, tmp_path):
+    """Determinism: writing the same rows twice produces byte-identical
+    .warc.gz files (zlib gzip framing carries no timestamp — python's gzip
+    module would stamp wall-clock and break reproducible archives)."""
+    import glob as g
+
+    from kermit_spark.warc import write_warc_gz
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    docs = _bin_docs(spark).repartition(2, "url")
+    write_warc_gz(docs, p1)
+    write_warc_gz(docs, p2)
+    f1 = {f.split("/")[-1]: open(f, "rb").read() for f in g.glob(p1 + "/*.warc.gz")}
+    f2 = {f.split("/")[-1]: open(f, "rb").read() for f in g.glob(p2 + "/*.warc.gz")}
+    assert f1 and f1 == f2
