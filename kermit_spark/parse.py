@@ -187,64 +187,15 @@ def _extract_series(body: pd.Series) -> pd.Series:
 extract_spans = session_safe_pandas_udf(_extract_series, SPAN_TYPE)
 
 
-def extract_spans_expr(body) -> "F.Column":
-    """Span extraction with a JVM FAST PATH in front of the Python
-    tokenizer (r4 VERDICT #7 — parse is the crawl loop's steady-state
-    ceiling, and real corpora carry plenty of token-free documents:
-    plain-text bodies, leaf pages, boilerplate fragments).
-
-    A body that provably contains
-      * no token opener (``<a\\s``/``<link\\s``/``<img\\s`` — _TOKEN_RE
-        can only match at those), and
-      * no character reference (``&`` — unescape is then identity), and
-      * only printable-ASCII + ``\\t\\r\\n`` characters (so Python's
-        ``str.split()`` whitespace set and Java's ``[ \\t\\r\\n]`` agree
-        exactly — exotic whitespace like U+00A0 routes to Python)
-    tokenizes to AT MOST one text span: tags stripped by the same
-    quote-aware pattern (_TAG_RE — Java regex supports the atomic group),
-    whitespace collapsed, empty → empty array. That whole computation
-    stays in whole-stage codegen; the Arrow batch to Python carries ONLY
-    bodies that can actually yield link/resource/media spans or entities.
-
-    Two structural details that make the gate a real gate:
-      * Spark evaluates a Python UDF inside CASE WHEN for EVERY row (the
-        ArrowEvalPython projection runs before the branch picks) — so the
-        UDF input is NULLED for fast-path rows rather than branched
-        around: a null crosses Arrow as one validity bit and the
-        tokenizer returns immediately, skipping both the body transfer
-        and the regex scan.
-      * the conjunction is ordered cheapest-exit-first: codegen's And
-        short-circuits per row, so token-bearing HTML pays only a scan
-        to its first '&' or token opener; the full-body ASCII check (the
-        expensive predicate) runs only for bodies that passed both.
-
-    Equivalence with extract_spans_one on the fast-path subset is pinned
-    by tests (including a hypothesis fuzz over the simple-body alphabet).
-    """
-    is_simple = (
-        ~body.contains("&")
-        & ~body.rlike(r"(?i)<(a|link|img)\s")
-        & body.rlike(r"^[ -~\t\r\n]*$")
-    )
-    stripped = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(body, _TAG_RE.pattern, " "), r"[ \t\r\n]+", " "
-        )
-    )
-    jvm = F.when(stripped == "", F.array().cast(SPAN_TYPE)).otherwise(
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                stripped.alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        )
-    )
-    gated = extract_spans(
-        F.when(is_simple, F.lit(None).cast("string")).otherwise(body)
-    )
-    return F.when(is_simple, jvm).otherwise(gated)
+# NOTE (r5, VERDICT #7): a JVM "fast path" for token-free bodies
+# (predicate-gated codegen tag-strip + whitespace collapse, UDF input
+# nulled) was implemented and MEASURED — it LOSES 3-5x to the Arrow UDF
+# on 10 kB bodies in every regime tried, because java.util.regex
+# regexp_replace over long strings (~1 ms/doc, and ~0.5 ms/doc even with
+# no tag-strip at all) is slower than CPython sre + the whole Arrow round
+# trip (~0.2 ms/doc). Evidence: BENCH/BASELINE.md "Parse-leg probe (r5)".
+# The tokenizer below keeps the profiled hot-loop micro-optimizations
+# from the same probe (~19% single-core).
 
 
 def _attr_value(body, tag_prefix: str, attr: str):
@@ -362,7 +313,7 @@ def parse_documents(
     # the revalidation for lineage; content/spans live in the earlier
     # wave's row — an empty array, like a 404, never a null
     is_html = (content_type == "text/html") & (F.col("status") != 304)
-    spans = F.when(is_html, extract_spans_expr(F.col("body"))).otherwise(
+    spans = F.when(is_html, extract_spans(F.col("body"))).otherwise(
         F.when(
             F.col("status") == 200,
             F.array(

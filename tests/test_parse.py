@@ -422,45 +422,3 @@ def test_stray_quote_in_unquoted_attr_value_matches_html_parser():
     ]
     for body in cases:
         assert extract_spans_one(body) == extract_spans_oracle(body), body
-
-
-def test_jvm_fast_path_matches_python_tokenizer(spark):
-    """r5 parse fast path (extract_spans_expr): bodies with no token
-    opener, no '&' and only printable-ASCII whitespace are tokenized
-    entirely in JVM codegen — the result must equal extract_spans_one
-    EXACTLY on a mixed corpus of simple, token-bearing, entity-bearing,
-    exotic-whitespace, empty and null bodies (the non-simple ones route to
-    the Python tokenizer through a NULLED-input gate, so this also pins
-    that the gate never corrupts the slow path)."""
-    import random
-    import string
-
-    from kermit_spark.parse import extract_spans_expr
-
-    rng = random.Random(1234)
-    alphabet = string.ascii_letters + string.digits + " \t\r\n<>/=\"'.-_:;&"
-    bodies = [
-        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 150)))
-        for _ in range(300)
-    ]
-    bodies += [
-        '<html><body><a href="/x">link &amp; co</a><p>tail</p></body></html>',
-        "plain text with &nbsp; entity",
-        "unicode\xa0space body",                       # exotic ws -> Python path
-        '<p class="x>y">quoted gt</p> plain',
-        "<a\thref=/u>t</a>",
-        "<abc unterminated",
-        "",
-        None,
-        '<LINK href="/css"><IMG src=i.png>',
-        "simple no tokens here at all",                # pure JVM path
-        "<p>only paragraph tags</p>",                  # JVM path with tag strip
-        "   \t\r\n  ",                                 # whitespace-only -> []
-    ]
-    df = spark.createDataFrame([(b,) for b in bodies], "body string")
-    out = df.select("body", extract_spans_expr(F.col("body")).alias("spans")).collect()
-    for r in out:
-        exp = extract_spans_one(r["body"])
-        got = None if r["spans"] is None else [tuple(x) for x in r["spans"]]
-        exp = None if exp is None else [tuple(x) for x in exp]
-        assert got == exp, (repr(r["body"]), got, exp)
