@@ -352,6 +352,7 @@ def bench_big_frontier(
     batch: int = 1_000_000,
     spread_hosts: int = 50_000,
     driver_blob_max_bytes: int | None = None,
+    exact_dedup: bool = True,
 ) -> dict:
     """The big-frontier scale leg (`python bench.py --big-frontier`): a
     10^7-row frontier with SKEWED hosts (~30% of every URL on one hot host,
@@ -427,6 +428,13 @@ def bench_big_frontier(
             # frontier instead (the posture a real beyond-driver deployment
             # plans for: spec sized from expected keys/partition)
             kwargs["bloom_spec"] = BloomSpec.for_capacity(int(n / 32 * 1.3))
+        if not exact_dedup:
+            # trust-the-filter mode (Heritrix BloomUriUniqFilter
+            # semantics): probe-positive == seen, no anti-join — the
+            # frontier-size-independent dedup regime a 10^10 deployment
+            # runs in; URL loss bounded by the post-auto-grow fpp
+            kwargs["exact_dedup"] = False
+            out["exact_dedup"] = False
         fr = Frontier(SnapshotCatalog(spark, root), num_partitions=32, **kwargs)
         t0 = time.time()
         fr.init(urls(0, n))
@@ -955,10 +963,13 @@ if __name__ == "__main__":
         # stays 1M so wave throughput is comparable across sizes.
         # KERMIT_BIGF_BLOB_BUDGET (bytes) forces the beyond-driver-budget
         # cogroup path when set below the blob total (r4 VERDICT #2 leg).
+        # KERMIT_BIGF_TRUST=1 runs the trust-the-filter dedup regime
+        # (exact_dedup=False: probe-positive == seen, no anti-join).
         blob_budget = os.environ.get("KERMIT_BIGF_BLOB_BUDGET")
         print(json.dumps(bench_big_frontier(
             spark, n=int(os.environ.get("KERMIT_BIGF_N", 10_000_000)),
             driver_blob_max_bytes=int(blob_budget) if blob_budget else None,
+            exact_dedup=os.environ.get("KERMIT_BIGF_TRUST") != "1",
         )))
         spark.stop()
     elif "--evict" in sys.argv:

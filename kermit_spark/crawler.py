@@ -208,6 +208,15 @@ class CrawlConfig:
     # Frontier.evict removes keys in place instead of forcing a blob
     # rebuild — pick this when running re-crawl/aging policies)
     seen_filter: str = "bloom"
+    # True (default) = the URL-seen probe is a PREFILTER and the exact
+    # anti-join is membership truth (reference parity: never lose a URL).
+    # False = trust-the-filter dedup (Heritrix BloomUriUniqFilter
+    # semantics): probe-positive == seen, no anti-join — per-wave dedup
+    # cost becomes frontier-size-INDEPENDENT, at the price of dropping
+    # genuinely-new URLs at the filter's false-positive rate (auto-grow
+    # holds it at ~1e-5; ~10 lost per million discoveries). The knob a
+    # 10^10-frontier deployment flips.
+    exact_dedup: bool = True
     verification: ResultVerification | None = None
     # Q10: defer a deterministic pseudo-random fraction of due URLs per wave
     delay: RandomizedDelay | None = None
@@ -402,6 +411,7 @@ class Crawler:
         self.frontier = Frontier(
             catalog, self.config.num_partitions, self.config.bloom,
             seen_filter=self.config.seen_filter,
+            exact_dedup=self.config.exact_dedup,
         )
         # driver-side cache of hosts KNOWN to have robots state. Filled
         # lazily from the hosts this run actually touches (never a full
@@ -1778,22 +1788,6 @@ class Crawler:
         fr._blobs = None
         fr._blobs_epoch = -1
         fr._blob_counts = {}
-        # the key sidecar must be NEUTRALIZED, not left to the epoch check:
-        # rollback makes url_epoch non-monotonic, so a later commit could
-        # re-reach the sidecar's stamped epoch and false-match — and unlike
-        # the url_seen blobs a stale-SUPERSET sidecar is NOT safe (it is
-        # the anti-join's frontier side, so it would wrongly drop
-        # re-discovered URLs). Marking synced_epoch=-1 forces the one
-        # documented rebuild on next use; -1 can never equal a real epoch.
-        from .frontier import FRONTIER_KEYS_TABLE
-
-        if fr.use_key_sidecar and self.catalog.exists(FRONTIER_KEYS_TABLE):
-            empty_keys = self.catalog.read(FRONTIER_KEYS_TABLE).limit(0)
-            self.catalog.overwrite_partitions(
-                FRONTIER_KEYS_TABLE, empty_keys,
-                range(fr.num_partitions),
-                properties={"synced_epoch": -1},
-            )
         return target
 
     def documents(self) -> DataFrame:
@@ -1918,22 +1912,15 @@ class Crawler:
         long-lived frontiers; data and snapshot stats are unchanged.
         With ``expire_keep_last`` set, old snapshot versions past the
         retention window are deleted afterwards (expire_snapshots)."""
-        from .frontier import FRONTIER_KEYS_TABLE, FRONTIER_TABLE, URL_SEEN_TABLE
+        from .frontier import FRONTIER_TABLE, URL_SEEN_TABLE
 
         self.catalog.compact(FRONTIER_TABLE)
         if self.catalog.exists(ROBOTS_TABLE):
             # robots rows are fast-appended per fetch wave; fold them too
             self.catalog.compact(ROBOTS_TABLE)
-        if self.catalog.exists(FRONTIER_KEYS_TABLE):
-            # the key sidecar fast-appends every wave; compaction preserves
-            # properties (synced_epoch), so validity is unaffected
-            self.catalog.compact(FRONTIER_KEYS_TABLE)
         keep = self.config.expire_keep_last
         if keep:
-            for table in (
-                FRONTIER_TABLE, URL_SEEN_TABLE, FRONTIER_KEYS_TABLE,
-                DOCUMENTS_TABLE, ROBOTS_TABLE,
-            ):
+            for table in (FRONTIER_TABLE, URL_SEEN_TABLE, DOCUMENTS_TABLE, ROBOTS_TABLE):
                 if self.catalog.exists(table):
                     self.catalog.expire_snapshots(table, keep_last=keep)
 

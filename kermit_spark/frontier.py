@@ -69,30 +69,6 @@ from .functions.urls import host_of
 
 FRONTIER_TABLE = "frontier"
 URL_SEEN_TABLE = "url_seen"
-# Narrow key sidecar feeding the per-wave dedup prune/anti-join
-# (p:int, url_hash:long, h2:long — ~20 B/row fixed-width vs the full
-# frontier row's ~100+ B with three string columns). The per-wave
-# O(frontier) term of the dedup merge is the columnar scan feeding the
-# reverse semi-join prune; scanning the full frontier decodes the url
-# STRING column for every row just to serve the exactness tie-break of
-# the final anti-join. The sidecar replaces that with a second 64-bit
-# key (h2, below): the anti-join becomes a 128-bit-key match over pure
-# fixed-width longs — vectorized parquet decode, no string
-# materialization — and the sidecar is the single-box stand-in for the
-# documented Iceberg bucket-partitioned key table that
-# storage-partitioned joins consume on a real cluster.
-FRONTIER_KEYS_TABLE = "frontier_keys"
-
-
-def url_h2(url: Column) -> Column:
-    """Second, independent 64-bit key over the url. (url_hash, h2) is an
-    effective 128-bit identity: two distinct URLs collide only if
-    xxhash64(url) AND xxhash64(url || '#') both collide — expected
-    collisions over a 10^10-URL frontier ≈ (10^10)²/2 / 2^128 ≈ 1.5e-19,
-    i.e. never in the lifetime of any crawl. ('#' never appears in a
-    canonicalized URL — fragments are stripped by uri.clean — so the
-    suffixed input is collision-free with every other canonical URL.)"""
-    return F.xxhash64(F.concat(url, F.lit("#")))
 
 # Below this many frontier rows the Bloom machinery (blob read + broadcast
 # probe + reverse prefilter: ~4 extra jobs per wave) costs more than the
@@ -375,7 +351,7 @@ class Frontier:
         seen_filter: str = "bloom",
         cuckoo_spec: CuckooSpec | None = None,
         driver_blob_max_bytes: int = 512 << 20,
-        use_key_sidecar: bool = True,
+        exact_dedup: bool = True,
     ):
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
@@ -423,13 +399,21 @@ class Frontier:
         # falls back to the unpruned anti-join rather than OOMing the
         # driver (see _dedup_candidates)
         self.broadcast_prune_max_rows = 100_000_000
-        # narrow (p, url_hash, h2) sidecar (FRONTIER_KEYS_TABLE): feeds the
-        # dedup prune/anti-join with fixed-width longs instead of the
-        # full-width frontier scan (url-string decode was the dominant
-        # per-wave O(frontier) term at 5x10^7 rows). Epoch-stamped like the
-        # url_seen blobs: appends ride each wave commit, any desync (crash,
-        # rollback, evict, sub-threshold waves) rebuilds once on next use.
-        self.use_key_sidecar = use_key_sidecar
+        # exact_dedup=False = TRUST-THE-FILTER mode (Heritrix's
+        # BloomUriUniqFilter semantics): a probe-positive candidate is
+        # treated as seen WITHOUT the exact anti-join confirmation, so the
+        # per-wave dedup cost is batch-sized at ANY frontier size — the
+        # O(frontier) scan feeding the reverse prune/anti-join (the one
+        # frontier-size-dependent term of a wave, measured ~6 s at 5x10^7
+        # rows) disappears entirely. The price is bounded URL LOSS at the
+        # filter's false-positive rate: with the saturation auto-grow
+        # holding fpp ≤ bloom_max_fpp (post-grow measured 7e-06), a
+        # 10^6-candidate wave wrongly drops ~7 genuinely-new URLs per
+        # million — the standard large-crawler trade (Heritrix ships it as
+        # the default wide-crawl uniq filter). Default True: exactness is
+        # the reference-parity contract (never lose a URL), and every
+        # oracle/test runs exact.
+        self.exact_dedup = exact_dedup
         self._blobs: dict | None = None  # p -> (bits ndarray, m, k)
         self._blob_counts: dict[int, int] = {}
         self._blobs_epoch = -1
@@ -485,15 +469,6 @@ class Frontier:
                 URL_SEEN_TABLE, bloom, self.num_partitions,
                 properties={"synced_epoch": 0},
             )
-            if self.use_key_sidecar:
-                # seed the key sidecar in the same pass (rows is cached) so
-                # wave 1 skips the lazy O(frontier) rebuild
-                self.catalog.create(
-                    FRONTIER_KEYS_TABLE,
-                    rows.select("p", "url_hash", url_h2(F.col("url")).alias("h2")),
-                    self.num_partitions,
-                    properties={"synced_epoch": 0},
-                )
         else:
             # small frontier: dedup is a plain anti-join; blobs are built on
             # demand the first time the frontier crosses the threshold
@@ -502,19 +477,6 @@ class Frontier:
                 URL_SEEN_TABLE, empty, self.num_partitions,
                 properties={"synced_epoch": -1},
             )
-            if self.catalog.exists(FRONTIER_KEYS_TABLE):
-                # re-init over a previous incarnation: a leftover sidecar
-                # could carry synced_epoch == 0 (a REAL epoch for the new
-                # frontier) with the OLD key set — neutralize it so the
-                # epoch check can never false-match (rebuilt lazily)
-                self.catalog.overwrite_partitions(
-                    FRONTIER_KEYS_TABLE,
-                    rows.limit(0).select(
-                        "p", "url_hash", url_h2(F.col("url")).alias("h2")
-                    ),
-                    range(self.num_partitions),
-                    properties={"synced_epoch": -1},
-                )
         rows.unpersist()
 
     def _use_bloom(self, n_rows: int | None) -> bool:
@@ -597,41 +559,6 @@ class Frontier:
             URL_SEEN_TABLE, df, dirty, properties={"synced_epoch": self._blobs_epoch}
         )
         self._dirty_parts = set()
-
-    def _keys_synced_epoch(self) -> int:
-        """synced url_epoch of the key sidecar; -2 = table absent."""
-        if not self.catalog.exists(FRONTIER_KEYS_TABLE):
-            return -2
-        return int(
-            self.catalog.snapshot_property(FRONTIER_KEYS_TABLE).get("synced_epoch", -2)
-        )
-
-    def _ensure_keys_current(self) -> DataFrame | None:
-        """Return the narrow (p, url_hash, h2) key sidecar aligned with the
-        frontier's url_epoch; None when the sidecar is disabled. A stale or
-        absent sidecar (first use, crash between commits, rollback, evict,
-        sub-threshold waves that skipped maintenance) is rebuilt ONCE from
-        the frontier — the same derived-state discipline as the url_seen
-        blobs: the frontier table is membership truth, the sidecar is a
-        projection of it, and the epoch stamp decides validity."""
-        if not self.use_key_sidecar:
-            return None
-        _, epoch = self._frontier_stats()
-        if self._keys_synced_epoch() != epoch:
-            keys = self.read().select(
-                "p", "url_hash", url_h2(F.col("url")).alias("h2")
-            )
-            if self.catalog.exists(FRONTIER_KEYS_TABLE):
-                self.catalog.overwrite_partitions(
-                    FRONTIER_KEYS_TABLE, keys, range(self.num_partitions),
-                    properties={"synced_epoch": epoch},
-                )
-            else:
-                self.catalog.create(
-                    FRONTIER_KEYS_TABLE, keys, self.num_partitions,
-                    properties={"synced_epoch": epoch},
-                )
-        return self.catalog.read(FRONTIER_KEYS_TABLE)
 
     def _grow_and_rebuild(self, stats: dict[int, dict]) -> None:
         """Saturation response: grow each partition's blob to
@@ -772,6 +699,13 @@ class Frontier:
         tagged = tagged.persist()
         self._pending_cache = tagged
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        if not self.exact_dedup:
+            # trust-the-filter mode (see __init__): probe-positive == seen.
+            # No prune, no anti-join, no O(frontier) term — the wave's
+            # dedup cost is the batch agg + probe, regardless of whether
+            # the frontier holds 10^6 or 10^10 rows. URL loss bounded by
+            # the filter's actual fpp (auto-grow-managed).
+            return definitely_new
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         # reverse prefilter: prune the frontier side of the anti-join down
         # to rows that could match THIS batch — the exact anti-join then
@@ -798,35 +732,8 @@ class Frontier:
         # back to the unpruned anti-join (both ~frontier-sized sides, the
         # pre-r2 behavior) instead of force-broadcasting gigabytes into
         # the driver and every executor.
-        #
-        # KEY SIDECAR (r4 VERDICT #1): the frontier side of the prune +
-        # anti-join is fed from FRONTIER_KEYS_TABLE — (p, url_hash, h2)
-        # fixed-width longs — instead of the full-width frontier scan.
-        # Scanning the frontier here decoded the url STRING column for
-        # every row purely to serve the anti-join's exactness tie-break;
-        # at 5x10^7 rows that decode dominated the steady wave wall. The
-        # anti-join key becomes (p, url_hash, h2) — an effective 128-bit
-        # URL identity (see url_h2: expected collisions ≈ 1.5e-19 at
-        # 10^10 URLs), h2 computed on the batch side by the same JVM
-        # expression. Falls back to the exact full-width path when the
-        # sidecar is disabled.
-        prunable = maybe.count() <= self.broadcast_prune_max_rows
-        keys = self._ensure_keys_current()
-        if keys is not None:
-            if prunable:
-                keys = keys.join(
-                    F.broadcast(maybe.select("p", "url_hash")),
-                    on=["p", "url_hash"],
-                    how="left_semi",
-                )
-            survivors = (
-                maybe.withColumn("h2", url_h2(F.col("url")))
-                .join(keys, on=["p", "url_hash", "h2"], how="left_anti")
-                .drop("h2")
-            )
-            return definitely_new.unionByName(survivors)
         frontier_keys = self.read().select("p", "url_hash", "url")
-        if prunable:
+        if maybe.count() <= self.broadcast_prune_max_rows:
             frontier_keys = frontier_keys.join(
                 F.broadcast(maybe.select("p", "url_hash")),
                 on=["p", "url_hash"],
@@ -1019,29 +926,6 @@ class Frontier:
                             URL_SEEN_TABLE, new_bloom, tl,
                             properties={"synced_epoch": prev_epoch + 1},
                         )
-            if use_bloom and n_new and self.use_key_sidecar:
-                # key-sidecar maintenance rides the wave: fast-APPEND the
-                # just-scheduled keys (new_rows is cached from the frontier
-                # write — this pulls only 3 narrow columns from cached
-                # blocks). Gated on the sidecar being in sync at the
-                # pre-commit epoch; if it isn't (crash, another writer,
-                # sub-threshold history), leave it stale — the next
-                # _ensure_keys_current pays the one documented rebuild.
-                # A failed append (e.g. CAS conflict with a second writer)
-                # must never fail the wave: the sidecar is derived state.
-                try:
-                    if self._keys_synced_epoch() == prev_epoch:
-                        self.catalog.merge_write(
-                            FRONTIER_KEYS_TABLE,
-                            new_rows.select(
-                                "p", "url_hash",
-                                url_h2(F.col("url")).alias("h2"),
-                            ),
-                            replace_parts=(),
-                            properties={"synced_epoch": prev_epoch + 1},
-                        )
-                except Exception:
-                    pass
             new_rows.unpersist()
         if updates is not None:
             updates.unpersist()

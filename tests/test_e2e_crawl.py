@@ -1032,14 +1032,12 @@ def test_notification_events_fire_on_error_and_lifecycle(spark, tmp_path):
     assert CrawlConfig().on_event is None
 
 
-def test_rollback_neutralizes_key_sidecar_on_bloom_path(spark, tmp_path):
-    """rollback_to_wave must NEUTRALIZE the (p, url_hash, h2) key sidecar,
-    not merely leave it to the epoch check: rollback makes url_epoch
-    non-monotonic, so a later commit could re-reach the sidecar's stamped
-    epoch while its content still holds the rolled-back (superset) keys —
-    and unlike the Bloom blobs, a superset sidecar wrongly DROPS
-    re-discovered URLs (it feeds the anti-join). After rollback the stamp
-    must be -1 and a fresh crawl must reconverge to the identical closure."""
+def test_rollback_reconverges_on_bloom_path(spark, tmp_path):
+    """rollback_to_wave with the frontier ABOVE the Bloom threshold (the
+    regime the small-scale rollback test never exercises): the anti-join's
+    frontier side is read from the rolled-back snapshot itself, so a fresh
+    crawl must re-admit the rolled-back URLs through the Bloom-prefiltered
+    dedup and reconverge to the identical closure."""
     from kermit_spark.catalog import SnapshotCatalog
     from kermit_spark.crawler import Crawler, CrawlConfig
     from kermit_spark.fetch import CorpusFetcher
@@ -1062,7 +1060,7 @@ def test_rollback_neutralizes_key_sidecar_on_bloom_path(spark, tmp_path):
     )
 
     def make(c):
-        # force the Bloom/sidecar path at toy scale
+        # force the Bloom path at toy scale
         c.frontier = Frontier(c.catalog, 2, bloom_min_frontier=0)
         return c
 
@@ -1070,17 +1068,15 @@ def test_rollback_neutralizes_key_sidecar_on_bloom_path(spark, tmp_path):
     c.seed(["http://a.test/1.html"])
     c.crawl(3)
     full = sorted((r["url"], r["status"]) for r in c.frontier.read().collect())
-    assert c.frontier._keys_synced_epoch() == c.frontier._frontier_stats()[1]
     c.rollback_to_wave(0)
-    assert c.frontier._keys_synced_epoch() == -1  # neutralized, never matches
-    # fresh crawler resumes and reconverges: the rolled-back /3.html must be
-    # re-admitted through the rebuilt sidecar (a stale superset would drop it)
+    # the rolled-back /3.html must be re-discoverable: the anti-join's
+    # frontier side comes from the rolled-back snapshot
     c2 = make(Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg))
     c2.crawl(4)
     assert sorted(
         (r["url"], r["status"]) for r in c2.frontier.read().collect()
     ) == full
-    # known URL still adds nothing through the sidecar-fed anti-join
+    # known URL still adds nothing through the exact anti-join
     assert c2.frontier.schedule(
         spark.createDataFrame([("http://a.test/2.html",)], "url string"), wave=9
     ) == 0

@@ -1155,53 +1155,40 @@ def test_bloom_cogroup_fallback_beyond_driver_cap(spark, tmp_path):
     assert results["driver"][0] == 1000 and results["driver"][1] == 500
 
 
-def test_key_sidecar_stays_synced_and_rebuilds_after_evict(spark, tmp_path):
-    """r5 key sidecar (FRONTIER_KEYS_TABLE): above the Bloom threshold the
-    dedup anti-join is fed from the narrow (p, url_hash, h2) table. The
-    sidecar must (a) track the frontier exactly across incremental wave
-    appends, (b) go stale on evict and rebuild so evicted URLs are
-    RE-ADMITTED (the sidecar is anti-join truth — a stale superset would
-    wrongly drop them), and (c) survive a resume with a fresh Frontier."""
-    from kermit_spark.frontier import FRONTIER_KEYS_TABLE, url_h2
-
-    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
-    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0)
-    fr.init(_urls(spark, _range_urls(0, 100)))
-    assert cat.exists(FRONTIER_KEYS_TABLE)
-    assert fr.schedule(_urls(spark, _range_urls(50, 150)), wave=1) == 50
-
-    # (a) incremental append kept the projection exact
-    exp = fr.read().select("p", "url_hash", url_h2(F.col("url")).alias("h2"))
-    got = cat.read(FRONTIER_KEYS_TABLE).select("p", "url_hash", "h2")
-    assert got.count() == 150
-    assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
-    # and the sidecar is stamped at the frontier's epoch
-    assert fr._keys_synced_epoch() == fr._frontier_stats()[1]
-
-    # duplicates stay dropped through the sidecar-fed anti-join
-    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=2) == 0
-
-    # (b) evict -> stale sidecar -> rebuild on next use -> re-admission
-    n_ev = fr.evict(F.col("url_hash") % 2 == 0)
-    assert n_ev > 0
-    assert fr._keys_synced_epoch() != fr._frontier_stats()[1]  # stale now
-    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=3) == n_ev
-    assert cat.read(FRONTIER_KEYS_TABLE).count() == 150
-
-    # (c) fresh Frontier over the same catalog: dedup state intact
-    fr2 = Frontier(cat, num_partitions=4, bloom_min_frontier=0)
-    assert fr2.schedule(_urls(spark, _range_urls(0, 150)), wave=4) == 0
-    assert fr2.schedule(_urls(spark, _range_urls(150, 160)), wave=4) == 10
+def test_trust_filter_mode_matches_exact_when_filter_healthy(spark, tmp_path):
+    """exact_dedup=False (Heritrix BloomUriUniqFilter semantics): with a
+    healthily-sized filter (no false positives at toy scale) the admitted
+    URL set must equal the exact mode's — the switch changes cost shape
+    (batch-sized vs O(frontier) anti-join), not healthy-path results."""
+    results = {}
+    for exact in (True, False):
+        cat = SnapshotCatalog(spark, str(tmp_path / f"c{exact}"))
+        fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, exact_dedup=exact)
+        fr.init(_urls(spark, _range_urls(0, 200)))
+        n1 = fr.schedule(_urls(spark, _range_urls(100, 300)), wave=1)
+        n2 = fr.schedule(_urls(spark, _range_urls(0, 300)), wave=2)
+        rows = sorted(r["url"] for r in fr.read().collect())
+        results[exact] = (n1, n2, rows)
+    assert results[True] == results[False]
+    assert results[True][0] == 100 and results[True][1] == 0
 
 
-def test_key_sidecar_off_keeps_exact_url_anti_join(spark, tmp_path):
-    """use_key_sidecar=False must keep the pre-r5 exact (p,url_hash,url)
-    anti-join against the full frontier — same results, no keys table."""
-    from kermit_spark.frontier import FRONTIER_KEYS_TABLE
+def test_trust_filter_mode_documents_bounded_loss_on_saturated_filter(spark, tmp_path):
+    """The trade exact_dedup=False makes, demonstrated: a deliberately
+    SATURATED tiny Bloom (fpp ~1) makes trust mode drop new URLs (they
+    probe positive), while exact mode re-admits every one through the
+    anti-join. This is the documented bounded-loss behavior — production
+    keeps fpp at the auto-grow target (~1e-5), not 1.0."""
+    from kermit_spark.bloom import BloomSpec
 
-    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
-    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0, use_key_sidecar=False)
-    fr.init(_urls(spark, _range_urls(0, 100)))
-    assert not cat.exists(FRONTIER_KEYS_TABLE)
-    assert fr.schedule(_urls(spark, _range_urls(50, 150)), wave=1) == 50
-    assert fr.schedule(_urls(spark, _range_urls(0, 150)), wave=2) == 0
+    tiny = BloomSpec(m_bits=1 << 10, k_hashes=7)  # saturates at ~200 keys
+    lost, exact_ok = {}, {}
+    for exact in (True, False):
+        cat = SnapshotCatalog(spark, str(tmp_path / f"s{exact}"))
+        fr = Frontier(cat, num_partitions=2, bloom_min_frontier=0,
+                      bloom_spec=tiny, bloom_max_fpp=None, exact_dedup=exact)
+        fr.init(_urls(spark, _range_urls(0, 2000)))
+        n_new = fr.schedule(_urls(spark, _range_urls(2000, 2400)), wave=1)
+        lost[exact] = 400 - n_new
+    assert lost[True] == 0          # exact mode never loses a URL
+    assert lost[False] > 0          # trust mode pays the (bounded) fp loss

@@ -498,13 +498,3 @@ def test_schedule_dedup_prune_is_jvm_broadcast_semi_join(spark, tmp_path):
     assert "Scan parquet" in left_subtree, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
         assert marker not in left_subtree, plan
-    # r5 key sidecar: the frontier side must be the NARROW keys table —
-    # fixed-width (p, url_hash, h2) longs, no url STRING decode (the url
-    # column decode was the dominant O(frontier) term at 5x10^7 rows).
-    # In executedPlan().toString() the scan line carries Location and
-    # ReadSchema inline.
-    scan_line = next(ln for ln in plan.splitlines() if "Scan parquet" in ln)
-    assert "h2" in scan_line, scan_line
-    schema = scan_line.split("ReadSchema:")[-1]
-    assert "struct<url_hash:bigint,h2:bigint>" in schema, scan_line
-    assert "url:string" not in schema, scan_line
