@@ -522,8 +522,15 @@ class Frontier:
         """Commit deferred driver-side blob maintenance to the url_seen
         table (partition-pruned: only dirty blobs are written). Runs every
         ``bloom_commit_every`` epochs and should be called at crawl end; a
-        no-op when nothing is dirty."""
-        if self._blobs is None or not self._dirty_parts:
+        no-op when nothing is dirty.
+
+        The saturation check runs even with NOTHING dirty: under
+        ``exact_dedup=False`` a fully saturated filter admits nothing, so
+        no blob ever goes dirty — gating the check on dirtiness would
+        leave the filter saturated FOREVER, silently dropping every new
+        URL. The check is a driver-side popcount (no Spark job), so the
+        nothing-dirty path stays cheap."""
+        if self._blobs is None:
             return
         if self.seen_filter == "bloom" and self.bloom_max_fpp is not None:
             stats = blob_fill_stats(self._blobs, self._blob_counts)
@@ -531,6 +538,8 @@ class Frontier:
             if worst > self.bloom_max_fpp:
                 self._grow_and_rebuild(stats)
                 return
+        if not self._dirty_parts:
+            return
         dirty = sorted(self._dirty_parts)
         if self.seen_filter == "cuckoo":
             rows = [

@@ -1192,3 +1192,32 @@ def test_trust_filter_mode_documents_bounded_loss_on_saturated_filter(spark, tmp
         lost[exact] = 400 - n_new
     assert lost[True] == 0          # exact mode never loses a URL
     assert lost[False] > 0          # trust mode pays the (bounded) fp loss
+
+
+def test_trust_filter_mode_never_duplicates_frontier_rows(spark, tmp_path):
+    """Trust mode across a saturation + auto-grow window: a saturated
+    filter DROPS new URLs (loss maximal at fpp~1 — the exact situation
+    auto-grow exists to end), and once the rebuild restores a low fpp the
+    dropped URLs are legitimately RE-ADMITTED on re-discovery (they never
+    entered the frontier). What must NEVER happen in trust mode is a
+    duplicate frontier row — the filter has no false negatives, so every
+    probe-negative is genuinely new. Pin both properties."""
+    from kermit_spark.bloom import BloomSpec
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0,
+                  bloom_spec=BloomSpec(m_bits=1 << 10, k_hashes=7),
+                  bloom_max_fpp=0.02, exact_dedup=False)
+    fr.init(_urls(spark, _range_urls(0, 3000)))
+    fr._ensure_blobs_current()
+    fr.schedule(_urls(spark, _range_urls(2990, 3010)), wave=0)  # mostly dropped
+    fr.flush_bloom()                                            # auto-grow fires
+    assert fr.bloom_spec.m_bits > 1 << 10
+    fr.schedule(_urls(spark, _range_urls(2500, 3110)), wave=1)  # re-offer + new
+    total = fr.read().count()
+    distinct = fr.read().select("url").distinct().count()
+    assert total == distinct                 # no duplicate rows, ever
+    # and the re-offered URLs ended up admitted exactly once
+    n_target = fr.read().filter(F.col("url").isin(
+        [f"http://h{i % 3}.test/{i}" for i in range(3000, 3010)])).count()
+    assert n_target == 10
