@@ -1080,3 +1080,44 @@ def test_rollback_reconverges_on_bloom_path(spark, tmp_path):
     assert c2.frontier.schedule(
         spark.createDataFrame([("http://a.test/2.html",)], "url string"), wave=9
     ) == 0
+
+
+def test_trust_filter_crawl_matches_exact_closure(spark, tmp_path):
+    """CrawlConfig.exact_dedup=False end-to-end: with a healthy filter the
+    trust-mode crawl must reach the IDENTICAL closure (URL-seen set,
+    statuses, document set) as the exact crawl — the knob changes the
+    dedup cost shape at 10^10 scale, never healthy-path results."""
+    from kermit_spark.catalog import SnapshotCatalog
+    from kermit_spark.crawler import Crawler, CrawlConfig
+    from kermit_spark.fetch import CorpusFetcher
+    from kermit_spark.frontier import Frontier, Limit, Politeness
+
+    rows = [
+        ("http://a.test/1.html", "a.test", 200, "text/html",
+         '<html><body><a href="/2.html">x</a><a href="/3.html">y</a></body></html>'),
+        ("http://a.test/2.html", "a.test", 200, "text/html",
+         '<html><body><a href="/3.html">z</a></body></html>'),
+        ("http://a.test/3.html", "a.test", 200, "text/html",
+         "<html><body>leaf</body></html>"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, host string, status int, content_type string, body string"
+    )
+    closures = {}
+    for exact in (True, False):
+        root = str(tmp_path / f"cat{exact}")
+        cfg = CrawlConfig(
+            num_partitions=2, politeness=Politeness((Limit(".*", 10),)),
+            obey_robots=False, exact_dedup=exact,
+        )
+        c = Crawler(spark, SnapshotCatalog(spark, root), CorpusFetcher(corpus), cfg)
+        # force the Bloom path so trust mode actually exercises the probe
+        c.frontier = Frontier(c.catalog, 2, bloom_min_frontier=0, exact_dedup=exact)
+        c.seed(["http://a.test/1.html"])
+        c.crawl(4)
+        closures[exact] = (
+            sorted((r["url"], r["status"]) for r in c.frontier.read().collect()),
+            sorted(r["url"] for r in c.documents().collect()),
+        )
+    assert closures[True] == closures[False]
+    assert len(closures[True][1]) == 3

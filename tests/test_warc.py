@@ -666,3 +666,76 @@ def test_warc_gz_rewrite_is_byte_identical(spark, tmp_path):
     f1 = {f.split("/")[-1]: open(f, "rb").read() for f in g.glob(p1 + "/*.warc.gz")}
     f2 = {f.split("/")[-1]: open(f, "rb").read() for f in g.glob(p2 + "/*.warc.gz")}
     assert f1 and f1 == f2
+
+
+def test_documents_from_warc_binary_replays_foreign_archive(spark, tmp_path):
+    """Common Crawl replay face: a foreign per-record-gzip archive with a
+    charset-DECLARED latin-1 HTML page, an undeclared UTF-8 page, and a
+    binary image must replay into documents rows — links extracted from
+    both HTML pages (accented latin-1 text decoded correctly), the image
+    routed to a single media span, and (p, url_hash) re-derived exactly
+    as the live fetch path derives them."""
+    from pyspark.sql import functions as F
+
+    from kermit_spark.functions.urls import host_salt, url_hash
+    from kermit_spark.warc import documents_from_warc_binary, write_warc_gz
+
+    rows = [
+        ("http://f.test/l1.html", 1, 200, "text/html; charset=latin-1",
+         '<html><body>caf\xe9 <a href="/next.html">entr\xe9e</a></body></html>'
+         .encode("latin-1")),
+        ("http://f.test/u8.html", 1, 200, "text/html",
+         '<html><body>héllo <a href="/x.html">go</a></body></html>'.encode()),
+        ("http://f.test/pic.png", 2, 200, "image/png",
+         b"\x89PNG\r\n\x1a\n" + bytes(range(64))),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, wave int, status int, content_type string, body binary"
+    )
+    path = str(tmp_path / "arc")
+    write_warc_gz(df, path)
+
+    docs = documents_from_warc_binary(spark, path, num_partitions=4)
+    got = {r["url"]: r for r in docs.collect()}
+    assert set(got) == {u for u, *_ in rows}
+
+    l1 = [tuple(s) for s in got["http://f.test/l1.html"]["spans"]]
+    assert ("text", "café", None, 0) in l1
+    assert ("link", "entrée", "/next.html", 1) in l1
+    u8 = [tuple(s) for s in got["http://f.test/u8.html"]["spans"]]
+    assert ("link", "go", "/x.html", 1) in u8
+    pic = [tuple(s) for s in got["http://f.test/pic.png"]["spans"]]
+    assert pic == [("media", None, "http://f.test/pic.png", 0)]
+
+    # key re-derivation matches the live path exactly
+    expect = (
+        spark.createDataFrame([(u,) for u, *_ in rows], "url string")
+        .select(
+            "url",
+            url_hash(F.col("url")).alias("h"),
+            host_salt(F.lit("f.test"), 4).alias("p"),
+        )
+        .collect()
+    )
+    for r in expect:
+        assert got[r["url"]]["url_hash"] == r["h"]
+        assert got[r["url"]]["p"] == r["p"]
+
+
+def test_documents_from_warc_binary_mislabeled_body_never_crashes(spark, tmp_path):
+    """An undeclared body that is NOT valid UTF-8 (mislabeled text, the
+    real-web norm) must fall back to byte-preserving latin-1 instead of
+    failing the replay task."""
+    from kermit_spark.warc import documents_from_warc_binary, write_warc_gz
+
+    df = spark.createDataFrame(
+        [("http://f.test/bad.html", 1, 200, "text/html",
+          b"<html><body>caf\xe9 broken</body></html>")],  # latin-1, undeclared
+        "url string, wave int, status int, content_type string, body binary",
+    )
+    path = str(tmp_path / "arc")
+    write_warc_gz(df, path)
+    docs = documents_from_warc_binary(spark, path, num_partitions=2).collect()
+    assert len(docs) == 1
+    spans = [tuple(s) for s in docs[0]["spans"]]
+    assert spans == [("text", "café broken", None, 0)]
