@@ -426,8 +426,15 @@ def bench_big_frontier(
             # cogroup mode has no driver popcount, so the saturation
             # auto-grow cannot fire — pre-size the blobs for the known
             # frontier instead (the posture a real beyond-driver deployment
-            # plans for: spec sized from expected keys/partition)
-            kwargs["bloom_spec"] = BloomSpec.for_capacity(int(n / 32 * 1.3))
+            # plans for: spec sized from expected keys/partition). Size for
+            # the HOT partition, not the uniform mean: ~30% of this leg's
+            # URLs share one host and host-salting puts them all in ONE
+            # partition — a mean-sized spec would leave that partition's
+            # filter ~7x undersized with no grow to save it (review
+            # finding). Uniform hot-sized blobs cost extra bytes on cold
+            # partitions, which is exactly what the per-partition
+            # m_by_partition sizing avoids in driver mode.
+            kwargs["bloom_spec"] = BloomSpec.for_capacity(int(n * 0.3 * 1.3))
         if not exact_dedup:
             # trust-the-filter mode (Heritrix BloomUriUniqFilter
             # semantics): probe-positive == seen, no anti-join — the
@@ -830,12 +837,21 @@ def run_scaling_control(trials: int = 3) -> dict:
     env_base.setdefault("KERMIT_SCALE_N", "4000000")
     env_base.setdefault("KERMIT_BENCH_TMPDIR", "/dev/shm")
 
+    def parse_sub(proc_stdout: str, proc_stderr: str, rc, label: str):
+        lines = proc_stdout.strip().splitlines()
+        if rc or not lines:
+            raise RuntimeError(
+                f"scaling-control child {label} failed (rc={rc}); "
+                f"stderr tail: {proc_stderr.strip()[-2000:]}"
+            )
+        return json.loads(lines[-1])
+
     def run_sub(cpus: int):
         proc = subprocess.run(
             [sys.executable, __file__, "--crawl-only", str(cpus)],
             capture_output=True, text=True, env=dict(env_base),
         )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return parse_sub(proc.stdout, proc.stderr, proc.returncode, f"local[{cpus}]")
 
     rows = []
     for t in range(trials):
@@ -853,10 +869,11 @@ def run_scaling_control(trials: int = 3) -> dict:
             for _ in range(4)
         ]
         control = []
-        for p in procs:
-            out_s, _ = p.communicate()
+        for i, p in enumerate(procs):
+            out_s, err_s = p.communicate()
             control.append(
-                json.loads(out_s.strip().splitlines()[-1])["dedup"]["urls_per_sec"]
+                parse_sub(out_s, err_s, p.returncode, f"control[{i}]")
+                ["dedup"]["urls_per_sec"]
             )
         agg = sum(control)
         engine_eff = t4 / (4 * t1) if t1 else 0.0

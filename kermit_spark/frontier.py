@@ -936,6 +936,17 @@ class Frontier:
                             properties={"synced_epoch": prev_epoch + 1},
                         )
             new_rows.unpersist()
+        if use_bloom and not self.exact_dedup and not n_new and self._blobs is not None:
+            # trust-mode liveness: a SATURATED filter makes every candidate
+            # probe-positive, so n_new stays 0 and the epoch-gated flush
+            # above never runs — without this, the saturation check could
+            # only fire at crawl end while every discovered URL was being
+            # dropped in between. A zero-new wave IS the saturation
+            # symptom, so run the check right here: flush_bloom popcounts
+            # the driver-held blobs in-process (no Spark job) and returns
+            # immediately when the filter is healthy and nothing is dirty
+            # — the steady-state cost of this call is microseconds.
+            self.flush_bloom()
         if updates is not None:
             updates.unpersist()
         self._drop_pending_cache()

@@ -689,21 +689,39 @@ _GZIP_MAGIC = b"\x1f\x8b"
 def _iter_gzip_members(data: bytes):
     """Walk concatenated gzip members, yielding (decompressed_bytes,
     member_offset, member_compressed_length). Stops at the first byte that
-    is not a gzip magic (trailing garbage — members are a prefix), the
-    same tolerance contract as the text walker."""
+    is not a gzip magic (trailing garbage / truncation — members are a
+    prefix), the same tolerance contract as the text walker.
+
+    Streaming decompress in bounded chunks via ``memoryview`` slices: a
+    ``decompress(data[pos:])`` per member would COPY the whole remaining
+    file per member (and ``unused_data`` copies it again) — O(members ×
+    filesize) memcpy, quadratic on a real per-record-gzip part file with
+    ~10^4-10^5 members. Chunked feeding keeps the walk O(filesize) with
+    the residual ``unused_data`` copy bounded by one chunk."""
     import zlib
 
+    mv = memoryview(data)
+    chunk_size = 1 << 20
     pos = 0
     while pos < len(data) - 1:
         if data[pos:pos + 2] != _GZIP_MAGIC:
             break
         obj = zlib.decompressobj(wbits=31)
-        raw = obj.decompress(data[pos:])
-        raw += obj.flush()
-        consumed = len(data) - pos - len(obj.unused_data)
-        if consumed <= 0:  # corrupt/empty member: cannot advance
+        out: list[bytes] = []
+        fed = 0
+        try:
+            while not obj.eof and pos + fed < len(data):
+                chunk = mv[pos + fed: pos + fed + chunk_size]
+                out.append(obj.decompress(chunk))
+                fed += len(chunk)
+        except zlib.error:  # corrupt member: records are a prefix
             break
-        yield raw, pos, consumed
+        if not obj.eof:  # truncated member (partial download)
+            break
+        consumed = fed - len(obj.unused_data)
+        if consumed <= 0:
+            break
+        yield b"".join(out), pos, consumed
         pos += consumed
 
 
@@ -712,19 +730,31 @@ def _iter_plain_records_bytes(data: bytes):
     Content-Length without ANY text decode on the framing path. WARC
     headers are decoded latin-1 (byte-preserving for any 8-bit header
     value; the spec says headers are UTF-8, but a lossy foreign header
-    must not shift framing); payloads stay raw bytes."""
+    must not shift framing); payloads stay raw bytes.
+
+    Tolerance contract (this walker INGESTS FOREIGN archives): a record
+    whose header block is truncated before its blank line, or that lacks
+    a parseable Content-Length, ends the walk — the valid record prefix
+    is yielded rather than crashing the task on a partial download."""
     version = _WARC_VERSION.encode()
     pos = 0
     while pos < len(data):
         if not data.startswith(version, pos):
             break
-        head_end = data.index(b"\r\n\r\n", pos)
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:  # truncated header: yield the prefix, stop
+            break
         headers = {}
         for line in data[pos:head_end].decode("latin-1").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        n = int(headers["content-length"])
+        try:
+            n = int(headers["content-length"])
+        except (KeyError, ValueError):  # malformed foreign record
+            break
         body_start = head_end + 4
+        if body_start + n > len(data):  # payload cut off mid-record
+            break
         payload = data[body_start:body_start + n]
         end = body_start + n + 4  # payload + its two trailing CRLFs
         yield headers, payload, pos, end - pos
@@ -909,12 +939,21 @@ def build_cdx_binary(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_warc_at_binary(spark: SparkSession, cdx: DataFrame) -> DataFrame:
-    """Ranged binary fetch: given CDX rows (filename, offset, length) from
-    build_cdx_binary, return exactly those records as (url, wave, status,
-    content_type, body:binary) — one seek+read of ``length`` bytes per
-    record; a gzip member is gunzipped after the ranged read (the
-    Range-GET + gunzip access pattern of the .warc.gz ecosystem). Scales
-    with |requested records|, independent of archive size."""
+    """Ranged binary fetch: given CDX rows (url, filename, offset, length)
+    from build_cdx_binary, return exactly those records as (url, wave,
+    status, content_type, body:binary) — one seek+read of ``length``
+    bytes per RANGE; a gzip member is gunzipped after the ranged read
+    (the Range-GET + gunzip access pattern of the .warc.gz ecosystem).
+    Scales with |requested records|, independent of archive size.
+
+    Two contracts a foreign archive forces (a member may hold MORE THAN
+    ONE record — e.g. a whole-file single-stream gzip indexes every
+    record at the member's coordinates):
+      * each distinct (filename, offset, length) range is read and
+        parsed ONCE, however many CDX rows point at it;
+      * only the REQUESTED urls within the range are returned — a lookup
+        for one URL in a multi-record member yields that record, not the
+        member's whole contents."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -923,18 +962,23 @@ def read_warc_at_binary(spark: SparkSession, cdx: DataFrame) -> DataFrame:
             rows: list[tuple] = []
             for fname, grp in pdf.groupby("filename", sort=True):
                 local = fname[len("file:"):] if fname.startswith("file:") else fname
-                grp = grp.sort_values("offset")
                 with open(local, "rb") as f:
-                    for off, ln in zip(grp["offset"], grp["length"]):
+                    for (off, ln), want in grp.groupby(
+                        ["offset", "length"], sort=True
+                    )["url"]:
+                        wanted = set(want)
                         f.seek(int(off))
                         blob = f.read(int(ln))
                         if blob[:2] == _GZIP_MAGIC:
                             blob = zlib.decompress(blob, wbits=31)
                         for headers, raw, _, _ in _iter_plain_records_bytes(blob):
+                            url = headers["warc-target-uri"]
+                            if url not in wanted:
+                                continue
                             status, ctype, body = _parse_http_payload_bytes(raw)
                             rows.append(
                                 (
-                                    headers["warc-target-uri"],
+                                    url,
                                     int(headers.get("warc-kermit-wave", 0)),
                                     status,
                                     ctype,
@@ -946,7 +990,7 @@ def read_warc_at_binary(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                     rows, columns=["url", "wave", "status", "content_type", "body"]
                 )
 
-    return cdx.select("filename", "offset", "length").mapInPandas(
+    return cdx.select("url", "filename", "offset", "length").mapInPandas(
         fetch, WARC_BINARY_READ_SCHEMA
     )
 

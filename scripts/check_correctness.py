@@ -68,8 +68,10 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"{name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            record(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf),
-                   err="rows-only")
+            # rows_match stays null: nothing was VERIFIED for an
+            # oracle-less query — a tautological true here would make the
+            # committed artifact claim certification that never happened
+            record(name, spark_rows=len(sdf), err="rows-only")
             continue
         try:
             odf = con.sql(oracles[name]).df()

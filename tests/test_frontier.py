@@ -1221,3 +1221,30 @@ def test_trust_filter_mode_never_duplicates_frontier_rows(spark, tmp_path):
     n_target = fr.read().filter(F.col("url").isin(
         [f"http://h{i % 3}.test/{i}" for i in range(3000, 3010)])).count()
     assert n_target == 10
+
+
+def test_trust_filter_saturation_recovers_mid_crawl(spark, tmp_path):
+    """Trust-mode liveness (review finding): a saturated filter makes every
+    candidate probe-positive, so n_new==0 and the epoch-gated flush never
+    runs — the auto-grow must fire from the zero-new wave itself, not
+    only at crawl end, or every URL discovered for the rest of the crawl
+    is silently dropped. After one all-dropped wave the NEXT offer of the
+    same URLs must be admitted through the grown filter."""
+    from kermit_spark.bloom import BloomSpec
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    fr = Frontier(cat, num_partitions=4, bloom_min_frontier=0,
+                  bloom_spec=BloomSpec(m_bits=1 << 10, k_hashes=7),
+                  bloom_max_fpp=0.02, exact_dedup=False)
+    fr.init(_urls(spark, _range_urls(0, 12000)))  # fill 1.0: every bit set
+    fr._ensure_blobs_current()
+    m0 = fr.bloom_spec.m_bits
+    # saturated: every genuinely-new candidate probes positive -> 0 new
+    n1 = fr.schedule(_urls(spark, _range_urls(12000, 12200)), wave=1)
+    assert n1 == 0
+    # the zero-new wave itself must have triggered the saturation check
+    assert fr.bloom_spec.m_bits > m0
+    # next offer of the SAME URLs goes through the grown filter
+    n2 = fr.schedule(_urls(spark, _range_urls(12000, 12200)), wave=2)
+    assert n2 == 200
+    assert fr.read().count() == 12200

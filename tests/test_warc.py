@@ -739,3 +739,88 @@ def test_documents_from_warc_binary_mislabeled_body_never_crashes(spark, tmp_pat
     assert len(docs) == 1
     spans = [tuple(s) for s in docs[0]["spans"]]
     assert spans == [("text", "café broken", None, 0)]
+
+
+def test_single_stream_gzip_archive_no_duplication(spark, tmp_path):
+    """Review finding: a foreign .warc.gz gzipped as ONE stream holds all
+    N records in one member, so every CDX row carries the member's
+    coordinates. The ranged reader must (a) parse each distinct range
+    once — the full CDX returns exactly N rows, not N² — and (b) return
+    only the requested urls: a one-URL lookup yields 1 record, not the
+    member's whole contents."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kermit_spark.warc import (
+        _render_record_bytes,
+        build_cdx_binary,
+        read_warc_at_binary,
+        read_warc_binary,
+    )
+
+    d = str(tmp_path / "ss")
+    os.makedirs(d)
+    blob = b"".join(
+        _render_record_bytes(u, w, s, c, b, "2000-01-01T00:00:00Z")
+        for u, w, s, c, b in _BIN_ROWS
+    )
+    with open(os.path.join(d, "whole.warc.gz"), "wb") as f:
+        f.write(gzip.compress(blob))
+
+    back = read_warc_binary(spark, d).collect()
+    assert len(back) == len(_BIN_ROWS)
+
+    cdx = build_cdx_binary(spark, d)
+    rows = cdx.collect()
+    assert len(rows) == len(_BIN_ROWS)
+    assert {(r["offset"], r["length"]) for r in rows} == {
+        (rows[0]["offset"], rows[0]["length"])
+    }  # one member -> shared coordinates
+    # (a) full fetch: exactly one row per record
+    at = read_warc_at_binary(spark, cdx).collect()
+    assert sorted(r["url"] for r in at) == sorted(u for u, *_ in _BIN_ROWS)
+    bodies = {u: b for u, _, _, _, b in _BIN_ROWS}
+    for r in at:
+        assert bytes(r["body"]) == bodies[r["url"]]
+    # (b) one-URL lookup: one record only
+    one = read_warc_at_binary(
+        spark, cdx.filter(F.col("url") == "http://a.test/img.png")
+    ).collect()
+    assert len(one) == 1 and bytes(one[0]["body"]) == _BIN_ROWS[1][4]
+
+
+def test_binary_walker_tolerates_truncation(spark, tmp_path):
+    """Review finding: a partially-downloaded foreign archive (header cut
+    before its blank line, payload cut mid-body, or a truncated gzip
+    member) must yield the valid record prefix, never crash the task."""
+    import gzip
+    import os
+    import zlib
+
+    from kermit_spark.warc import _render_record_bytes, read_warc_binary
+
+    recs = [
+        _render_record_bytes(u, w, s, c, b, "2000-01-01T00:00:00Z")
+        for u, w, s, c, b in _BIN_ROWS[:3]
+    ]
+    cases = {
+        # plain: full record + header cut off mid-headers
+        "plain_hdr": recs[0] + recs[1][: len(recs[1]) // 3],
+        # plain: full record + payload cut mid-body
+        "plain_body": recs[0] + recs[1][: -10],
+        # gzip: full member + truncated member
+        "gz_member": (
+            gzip.compress(recs[0]) + gzip.compress(recs[1])[: 20]
+        ),
+    }
+    for name, blob in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        ext = "warc.gz" if name.startswith("gz") else "warc"
+        with open(os.path.join(d, f"f.{ext}"), "wb") as f:
+            f.write(blob)
+        back = read_warc_binary(spark, d).collect()
+        assert len(back) == 1, name                      # the valid prefix
+        assert back[0]["url"] == _BIN_ROWS[0][0], name
